@@ -1,0 +1,129 @@
+"""StandardAnalyzer-equivalent text analysis chain.
+
+Behavioral model (from public apache/lucene source, behavior only):
+  - StandardTokenizer: UAX#29 word-break segmentation, max token length 255
+    (longer tokens are split, not dropped)
+    [lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizer.java:43-84]
+  - LowerCaseFilter: per-code-point Unicode lowercase
+    [lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:23-38]
+  - StopFilter: drops stopwords [lucene/core/src/java/org/apache/lucene/analysis/StopFilter.java:25]
+  - StandardAnalyzer default stop set is EMPTY
+    [lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:51-53];
+    EnglishAnalyzer ships the classic 33-word list
+    [lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:43-52]
+
+UAX#29 subset implemented (sufficient for source-code corpora):
+  - runs of word characters (Unicode letters/digits/underscore) form tokens
+    (underscore is ExtendNumLet -> joins, so ``snake_case`` is ONE token);
+  - MidNumLet ``.``/``'``/U+2019 join two word runs (``example.com``, ``can't``);
+  - MidNum ``,`` joins digit runs (``1,024``); MidLetter ``:`` joins letter runs;
+  - CJK ideographs are emitted one-per-character (Lucene IDEOGRAPHIC tokens);
+  - tokens longer than 255 chars are split into 255-char chunks.
+
+This is the single hot UDF of the build; it runs inside Arrow batches
+(pandas), never per-row Python at the Spark API level.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List
+
+import numpy as np
+import pandas as pd
+
+MAX_TOKEN_LEN = 255
+
+# The classic 33-word English stop set (EnglishAnalyzer.java:43-52).
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+# Word run: letters/digits/underscore. Joiners per UAX#29 subset above.
+# CJK ideographs + hiragana break one-per-char; excluded from word runs.
+_CJK = r"一-鿿㐀-䶿豈-﫿ぁ-ゟ"
+_W = rf"(?:(?![{_CJK}])\w)+"
+_WORD_RE = re.compile(
+    rf"[{_CJK}]|{_W}(?:[.'’:,]{_W})*",
+    re.UNICODE,
+)
+# Post-filter for joiners that UAX#29 restricts: ',' only digit-digit,
+# ':' only letter-letter. We split a matched run at illegal joiners.
+_BAD_COMMA = re.compile(r"(?<=\D),|,(?=\D)")
+_BAD_COLON = re.compile(r"(?<=\d):|:(?=\d)")
+
+# Per-code-point lowercase exceptions where Python's str.lower() (context
+# sensitive / multi-char) differs from java.lang.Character.toLowerCase.
+_LOWER_FIX = str.maketrans({"İ": "i"})  # LATIN CAPITAL I WITH DOT
+
+
+def _lower_cp(tok: str) -> str:
+    """Per-code-point lowercase matching Character.toLowerCase semantics.
+
+    Python's str.lower() applies final-sigma context rules; Java's
+    per-code-point map does not, so a trailing capital sigma must become
+    U+03C3, not U+03C2.
+    """
+    if tok.isascii():
+        return tok.lower()
+    low = tok.translate(_LOWER_FIX).lower()
+    if low.endswith("ς") and not tok.endswith("ς"):
+        low = low[:-1] + "σ"
+    return low
+
+
+def tokenize(text: str) -> List[str]:
+    """StandardTokenizer-equivalent: UAX#29-subset segmentation, 255-char split."""
+    if not text:
+        return []
+    out: List[str] = []
+    for run in _WORD_RE.findall(text):
+        if "," in run:
+            pieces: Iterable[str] = _BAD_COMMA.split(run)
+        else:
+            pieces = (run,)
+        for p in pieces:
+            if ":" in p:
+                subpieces: Iterable[str] = _BAD_COLON.split(p)
+            else:
+                subpieces = (p,)
+            for sp in subpieces:
+                sp = sp.strip(".'’:,")
+                if not sp:
+                    continue
+                while len(sp) > MAX_TOKEN_LEN:
+                    out.append(sp[:MAX_TOKEN_LEN])
+                    sp = sp[MAX_TOKEN_LEN:]
+                if sp:
+                    out.append(sp)
+    return out
+
+
+def analyze(text: str, stop_words: frozenset = ENGLISH_STOP_WORDS) -> List[str]:
+    """Full chain: tokenize -> lowercase -> stop filter (one string)."""
+    return [t for tok in tokenize(text) if (t := _lower_cp(tok)) not in stop_words]
+
+
+def analyze_batch(texts: pd.Series, stop_words: frozenset = ENGLISH_STOP_WORDS) -> pd.Series:
+    """Arrow-batch analyze: pd.Series[str] -> pd.Series[list[str]].
+
+    The regex work is per-row Python inside the batch (same as any
+    tokenizer), but the Spark boundary is a vectorized pandas UDF.
+    """
+    vals = texts.to_numpy(dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for i, t in enumerate(vals):
+        out[i] = analyze(t if isinstance(t, str) else "", stop_words)
+    return pd.Series(out, index=texts.index)
+
+
+def make_analyze_udf(stop_words: frozenset = ENGLISH_STOP_WORDS):
+    """Build the @pandas_udf('array<string>') for the Spark plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def analyze_udf(texts: pd.Series) -> pd.Series:
+        return analyze_batch(texts, stop_words)
+
+    return analyze_udf

@@ -1,0 +1,82 @@
+"""Deterministic synthetic source-code corpus generator (FIXTURES.md §1).
+
+Schema matches BASELINE.json input_hint exactly:
+  (repo:string, path:string, commit:string, lang:string, content:string)
+
+Generation is fully deterministic (seeded RNG, fixed ordering):
+  - Zipf-skewed hot tokens ('import', 'return', 'def', 'public') so the
+    hot-term salting path is exercised;
+  - a few docs with >255-char identifiers (token-length splitting);
+  - a few empty files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import List, Tuple
+
+KEYWORDS = ["import", "return", "def", "public"]  # Zipf head
+VOCAB = [
+    "class", "static", "void", "self", "lambda", "struct", "interface",
+    "async", "await", "yield", "raise", "except", "finally", "while",
+    "break", "continue", "match", "case", "const", "let", "var", "func",
+    "package", "module", "export", "extends", "implements", "override",
+    "string", "integer", "float", "boolean", "array", "vector", "buffer",
+    "stream", "socket", "thread", "mutex", "atomic", "channel", "queue",
+    "parse", "format", "encode", "decode", "hash", "digest", "cipher",
+    "handler", "listener", "callback", "promise", "future", "task",
+    "error", "warning", "debug", "trace", "panic", "assert", "verify",
+    "config", "option", "setting", "param", "argument", "value", "result",
+]
+EXT = {"py": "py", "java": "java", "go": "go", "js": "js"}
+LANGS = ["py", "java", "go", "js"]
+
+
+def _identifiers(rng: random.Random, n: int) -> List[str]:
+    return [
+        f"{rng.choice(VOCAB)}_{rng.choice(VOCAB)}_{rng.randrange(1000)}"
+        for _ in range(n)
+    ]
+
+
+def make_corpus(n_docs: int, seed: int = 42) -> List[Tuple[str, str, str, str, str]]:
+    """Returns rows (repo, path, commit, lang, content), deterministic."""
+    rng = random.Random(seed)
+    idents = _identifiers(rng, max(50, n_docs // 10))
+    rows = []
+    n_repos = 8
+    for i in range(n_docs):
+        lang = LANGS[i % 4]
+        repo = f"org/repo{i % n_repos}"
+        path = f"src/dir{i % 13}/file{i}.{EXT[lang]}"
+        commit = hashlib.sha1(f"commit{i // 100}".encode()).hexdigest()[:12]
+        if i % 97 == 13:
+            content = ""  # empty file
+        else:
+            n_tokens = rng.randrange(20, 200)
+            words = []
+            for _ in range(n_tokens):
+                r = rng.random()
+                if r < 0.30:  # Zipf head: hot keywords ~30% of tokens
+                    words.append(KEYWORDS[min(int(rng.paretovariate(1.2)) - 1, 3) % 4])
+                elif r < 0.45:
+                    words.append(rng.choice(VOCAB))
+                elif r < 0.50:
+                    words.append(rng.choice(["the", "a", "of", "to", "in"]))  # stopwords
+                else:
+                    words.append(rng.choice(idents))
+            if i % 211 == 7:
+                words.append("x" * 300)  # >255-char identifier
+            content = " ".join(words)
+        rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+def corpus_spark_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
+    """Corpus as a Spark DataFrame (content sha256 computed engine-side)."""
+    rows = make_corpus(n_docs, seed)
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return df

@@ -1,0 +1,72 @@
+"""Tokenizer parity vectors (FIXTURES.md §4): StandardAnalyzer chain."""
+
+import pandas as pd
+
+from lucene_spark.analysis import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LEN,
+    analyze,
+    analyze_batch,
+    tokenize,
+)
+
+
+def test_stop_set_is_the_33_word_list():
+    # EnglishAnalyzer.java:43-52
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "with" in ENGLISH_STOP_WORDS
+    assert "i" not in ENGLISH_STOP_WORDS
+
+
+GOLDEN = [
+    # (text, expected tokens after full chain)
+    ("Hello World", ["hello", "world"]),
+    ("foo  bar,  baz.", ["foo", "bar", "baz"]),
+    ("snake_case CamelCase", ["snake_case", "camelcase"]),  # _ = ExtendNumLet joins
+    ("can't stop won't stop", ["can't", "stop", "won't", "stop"]),
+    ("example.com and 3.14 no 1,024 yes", ["example.com", "3.14", "1,024", "yes"]),
+    ("import numpy as np", ["import", "numpy", "np"]),
+    ("", []),
+    ("THE AND OF", []),  # stopwords only -> empty
+    ("x+y=z", ["x", "y", "z"]),
+    ("naïve café ÜBER", ["naïve", "café", "über"]),
+    ("ΣΟΦΟΣ", ["σοφοσ"]),  # per-code-point lowercase: no final sigma
+    ("日本語 text", ["日", "本", "語", "text"]),  # CJK one token per ideograph
+    ("a,b 1,2", ["b", "1,2"]),  # ',' joins digits only; 'a' is a stopword
+    ("key:value 10:30", ["key:value", "10", "30"]),  # ':' joins letters only
+]
+
+
+def test_golden_analysis_vectors():
+    for text, want in GOLDEN:
+        assert analyze(text) == want, f"text={text!r}"
+
+
+def test_long_token_split_not_dropped():
+    # StandardTokenizer.java:84 - tokens > 255 chars are split
+    tok = "x" * 300
+    got = analyze(f"start {tok} end")
+    assert got == ["start", "x" * MAX_TOKEN_LEN, "x" * 45, "end"]
+
+
+def test_tokenize_no_lowercase_no_stop():
+    assert tokenize("The QUICK fox") == ["The", "QUICK", "fox"]
+
+
+def test_batch_matches_scalar():
+    texts = [t for t, _ in GOLDEN]
+    got = analyze_batch(pd.Series(texts))
+    for g, (_, want) in zip(got, GOLDEN):
+        assert list(g) == want
+
+
+def test_batch_handles_nulls():
+    got = analyze_batch(pd.Series(["ok fine", None]))
+    assert list(got.iloc[0]) == ["ok", "fine"]
+    assert list(got.iloc[1]) == []
+
+
+def test_custom_stop_set():
+    assert analyze("foo bar", frozenset({"foo"})) == ["bar"]
+    # StandardAnalyzer default stop set is EMPTY (StandardAnalyzer.java:51-53)
+    assert analyze("the fox", frozenset()) == ["the", "fox"]
