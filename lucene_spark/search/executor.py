@@ -1,0 +1,455 @@
+"""Query execution: exhaustive DataFrame path + per-segment block-max top-k.
+
+Physical strategy mirrors Lucene's BooleanScorerSupplier choices
+(SURVEY.md §4.2, search/BooleanScorerSupplier.java:33):
+
+  exhaustive path  -> decode postings into a DataFrame, score with Spark SQL
+                      (windowed BooleanScorer analog; always correct; used as
+                      the oracle and for non-top-k consumers: counts, facets)
+  top-k path       -> per-segment vectorized block-max MAXSCORE/WAND inside
+                      applyInPandas (WANDScorer.java:55, MaxScoreBulkScorer.java:26,
+                      BlockMaxConjunctionBulkScorer.java:36), then a global
+                      merge: orderBy(score desc, docid asc).limit(k)
+                      == per-leaf collectors + TopDocs.merge
+                      (TopScoreDocCollector.java:64-170, TopDocs.java:203-228)
+
+Per-segment top-k is a superset of each segment's contribution to the
+global top-k, so the merge is exact. Tie-break: score desc, docid asc
+(HitQueue.java lessThan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.codec import decode_block
+from ..index.builder import IndexPaths
+from .plan import NormalizedQuery
+from .scorer import FieldStats, max_term_score, score_arrays, term_weights
+
+TOPK_SCHEMA = "docid long, score double, blocks_total long, blocks_decoded long"
+DECODED_SCHEMA = "term string, docid long, tf int, doclen int"
+
+# Pruning safety margin: per-doc sums are re-done in canonical order for the
+# final score, so prune thresholds get a tiny slack to cover reassociation.
+PRUNE_SCALE = {np.float32: 1.0 - 1e-4, np.float64: 1.0 - 1e-9}
+
+
+class Index:
+    """Opened index: stats + lazy DataFrames (DirectoryReader analog)."""
+
+    def __init__(self, spark: SparkSession, paths: IndexPaths):
+        self.spark = spark
+        self.paths = paths
+        with open(paths.field_stats) as f:
+            fs = json.load(f)
+        self.field_stats = FieldStats(
+            fs["max_doc"], fs["doc_count"], fs["sum_total_term_freq"], fs["sum_doc_freq"]
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "Index":
+        return cls(spark, IndexPaths(index_dir))
+
+    @property
+    def merged(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.merged)
+
+    @property
+    def seg_postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.term_stats)
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docs)
+
+    @property
+    def norms(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.norms)
+
+    def term_stats_for(self, terms: Sequence[str]) -> Dict[str, Tuple[int, int]]:
+        """Driver-side lookup of (df, ttf) for a few query terms
+        (TermStates.build analog — global stats before scoring)."""
+        if not terms:
+            return {}
+        rows = self.term_stats.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+
+    def expand_terms(
+        self,
+        prefix: Optional[str] = None,
+        regex: Optional[str] = None,
+        fuzzy: Optional[Tuple[str, int]] = None,
+        max_terms: int = 1024,
+    ) -> List[str]:
+        """Term-dictionary scan: MultiTermQuery rewrite analog
+        (PrefixQuery/WildcardQuery/FuzzyQuery -> enumerate matching terms,
+        search/ScoringRewrite.java; fuzzy via edit distance like
+        LevenshteinAutomata, maxEdits <= 2 [FuzzyQuery.java:52-64])."""
+        ts = self.term_stats
+        if prefix is not None:
+            ts = ts.filter(F.col("term").startswith(prefix))
+        if regex is not None:
+            ts = ts.filter(F.col("term").rlike(regex))
+        if fuzzy is not None:
+            term, dist = fuzzy
+            ts = ts.filter(F.levenshtein(F.col("term"), F.lit(term)) <= dist)
+        # TopTermsRewrite keeps the highest-scoring (lowest-df) terms first
+        rows = ts.orderBy(F.col("df").asc(), F.col("term").asc()).limit(max_terms).collect()
+        return [r["term"] for r in rows]
+
+
+def _weights_for(index: Index, q: NormalizedQuery, boost: float, dtype) -> Dict[str, float]:
+    qtf = q.scoring_terms
+    stats = index.term_stats_for(list(qtf))
+    return term_weights(qtf, {t: s[0] for t, s in stats.items()},
+                        index.field_stats.doc_count, boost, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decoded-postings DataFrame (shared by exhaustive path / counts / facets)
+# ---------------------------------------------------------------------------
+
+def decoded_postings(index: Index, terms: Sequence[str], use_segments: bool = False) -> DataFrame:
+    """(term, docid, tf, doclen) rows for the given terms, decoded from
+    block binaries in mapInPandas (Arrow batches, numpy decode)."""
+    src = index.seg_postings if use_segments else index.merged
+    rows = src.filter(F.col("term").isin(list(terms))).select(
+        "term", "block_data"
+    )
+
+    def decode_map(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, blocks in zip(pdf["term"], pdf["block_data"]):
+                if blocks is None or len(blocks) == 0:
+                    continue
+                ids, tfs, dls = zip(*(decode_block(bytes(b)) for b in blocks))
+                ids = np.concatenate(ids)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": np.full(len(ids), term, dtype=object),
+                            "docid": ids,
+                            "tf": np.concatenate(tfs).astype(np.int32),
+                            "doclen": np.concatenate(dls).astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return rows.mapInPandas(decode_map, DECODED_SCHEMA)
+
+
+def search_exhaustive(
+    index: Index,
+    q: NormalizedQuery,
+    k: Optional[int] = 10,
+    boost: float = 1.0,
+    quantize: bool = False,
+    dtype=np.float64,
+) -> DataFrame:
+    """Exhaustive scoring in Spark SQL (float64) — the always-correct path.
+
+    AND = posting intersection via a count-of-required-matches filter;
+    OR = union + groupBy(docid).sum(score); NOT = left_anti join
+    (SURVEY.md §2.5 BooleanQuery row). With quantize=True the doclen goes
+    through the byte4 code (applied in the decode UDF upstream).
+    """
+    spark = index.spark
+    if q.is_match_none:
+        return spark.createDataFrame([], "docid long, score double")
+    weights = _weights_for(index, q, boost, dtype)
+    req = [t for t, _ in q.required]
+    live_terms = [t for t in q.scoring_terms if t in weights]
+    if not live_terms or any(t not in weights for t in req):
+        return spark.createDataFrame([], "docid long, score double")
+
+    dec = decoded_postings(index, live_terms)
+    if quantize:
+        from ..functions.smallfloat import byte4_to_int, int_to_byte4
+
+        @F.pandas_udf("int")
+        def quantize_len(s: pd.Series) -> pd.Series:
+            return pd.Series(byte4_to_int(int_to_byte4(s.to_numpy(dtype=np.int64))))
+
+        dec = dec.withColumn("doclen", quantize_len("doclen"))
+
+    wdf = F.broadcast(
+        spark.createDataFrame([(t, float(w)) for t, w in weights.items()], "term string, w double")
+    )
+    avgdl = float(index.field_stats.avgdl())
+    k1, b = 1.2, 0.75
+    ninv = 1.0 / (F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl)))
+    score = F.col("w") - F.col("w") / (F.lit(1.0) + F.col("tf").cast("double") * ninv)
+    scored = dec.join(wdf, "term").withColumn("s", score)
+
+    agg = scored.groupBy("docid").agg(
+        F.sum("s").alias("score"),
+        F.count(F.when(F.col("term").isin(req), True)).alias("n_req") if req else F.lit(0).alias("n_req"),
+    )
+    if req:
+        agg = agg.filter(F.col("n_req") == len(req))
+    out = agg.select("docid", "score")
+    if q.excluded:
+        excl = decoded_postings(index, list(q.excluded)).select("docid").distinct()
+        out = out.join(excl, "docid", "left_anti")
+    out = out.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return out.limit(k) if k else out
+
+
+# ---------------------------------------------------------------------------
+# Per-segment vectorized block-max top-k (the WAND/MAXSCORE path)
+# ---------------------------------------------------------------------------
+
+def _decode_rows(row, sel: Optional[np.ndarray], counters: List[int]):
+    """Decode a term's blocks, optionally only blocks intersecting the
+    sorted candidate docids `sel` (advanceShallow/block-skip analog,
+    ImpactsDISI.java:67-80)."""
+    bf = np.asarray(row["block_first"], dtype=np.int64)
+    bl = np.asarray(row["block_last"], dtype=np.int64)
+    data = row["block_data"]
+    counters[0] += len(bf)
+    if sel is not None:
+        lo = np.searchsorted(sel, bf, "left")
+        hi = np.searchsorted(sel, bl, "right")
+        keep = np.flatnonzero(hi > lo)
+    else:
+        keep = np.arange(len(bf))
+    counters[1] += len(keep)
+    if len(keep) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    parts = [decode_block(bytes(data[i])) for i in keep]
+    return tuple(np.concatenate(x) for x in zip(*parts))
+
+
+def make_topk_fn(
+    weights: Dict[str, float],
+    required: Sequence[str],
+    excluded: Sequence[str],
+    k: int,
+    avgdl: float,
+    quantize: bool,
+    dtype,
+):
+    """Build the per-segment applyInPandas function.
+
+    Pure OR      -> MAXSCORE phases: process terms by descending max-score;
+                    once the remaining terms' summed max-scores fall below
+                    the running k-th score, restrict decoding to blocks
+                    holding still-competitive candidates
+                    (MaxScoreBulkScorer.java:26 essential/non-essential split).
+    With MUST    -> block-max conjunction: lead with the rarest required
+                    term, leapfrog the rest at block granularity
+                    (ConjunctionDISI.java:166-206, BlockMaxConjunctionBulkScorer.java:36).
+    MUST_NOT     -> decoded-docid set subtraction (ReqExclScorer.java:26).
+    Final scores are re-summed in sorted-term order (canonical float32
+    order) for cross-path exactness; pruning uses PRUNE_SCALE slack.
+    """
+    req = sorted(set(required))
+    excl = sorted(set(excluded))
+    scale = PRUNE_SCALE[dtype]
+
+    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {}
+        for _, r in pdf.iterrows():
+            rows.setdefault(r["term"], []).append(r)
+        # a term may arrive as several (term,salt) rows: keep in docid order
+        for t in rows:
+            rows[t].sort(key=lambda r: r["first_docid"])
+
+        empty = pd.DataFrame(
+            {"docid": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64"),
+             "blocks_total": pd.Series([], dtype="int64"), "blocks_decoded": pd.Series([], dtype="int64")}
+        )
+        scoring = [t for t in sorted(weights) if t in rows]
+        if not scoring or any(t not in rows for t in req):
+            return empty
+
+        base = min(int(r["first_docid"]) for t in scoring for r in rows[t])
+        hi = max(int(r["last_docid"]) for t in scoring for r in rows[t])
+        n = hi - base + 1
+        counters = [0, 0]  # blocks_total, blocks_decoded
+
+        def decode_term(t, sel=None):
+            if sel is not None and len(sel) == 0:
+                z = np.empty(0, np.int64)
+                return z, z, z
+            parts = [_decode_rows(r, sel, counters) for r in rows[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            if sel is not None and len(ids):
+                m = sel[np.searchsorted(sel, ids).clip(max=len(sel) - 1)] == ids
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+            return ids, tfs, dls
+
+        contrib = {t: np.zeros(n, dtype=dtype) for t in scoring}
+
+        def umax(t):
+            mt = max(int(r["max_tf"]) for r in rows[t])
+            md = min(int(r["min_doclen"]) for r in rows[t])
+            return max_term_score(weights[t], mt, md, avgdl, quantize, dtype)
+
+        if req:
+            # --- conjunction: lead with rarest required term
+            req_order = sorted(req, key=lambda t: sum(int(r["df"]) for r in rows[t]))
+            lead = req_order[0]
+            ids, tfs, dls = decode_term(lead)
+            cand = ids
+            contrib[lead][ids - base] = score_arrays(tfs, dls, weights[lead], avgdl, quantize, dtype)
+            for t in req_order[1:]:
+                ids, tfs, dls = decode_term(t, sel=cand)
+                contrib[t][ids - base] = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
+                cand = np.intersect1d(cand, ids, assume_unique=True)
+                if len(cand) == 0:
+                    return empty
+            opt = [t for t in scoring if t not in req]
+            for t in opt:
+                ids, tfs, dls = decode_term(t, sel=cand)  # ReqOptSumScorer probe
+                contrib[t][ids - base] = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
+            matched = cand
+        else:
+            # --- pure disjunction: MAXSCORE over descending max-score terms
+            order = sorted(scoring, key=lambda t: -umax(t))
+            umaxes = np.array([umax(t) for t in order], dtype=np.float64)
+            suffix = np.concatenate((np.cumsum(umaxes[::-1])[::-1], [0.0]))
+            acc = np.zeros(n, dtype=np.float64)
+            seen = np.zeros(n, dtype=bool)
+            theta = -np.inf
+            for i, t in enumerate(order):
+                restricted = theta > 0 and suffix[i] < theta * scale
+                if restricted:
+                    cand_idx = np.flatnonzero(seen & (acc + suffix[i] >= theta * scale))
+                    if len(cand_idx) == 0:
+                        counters[0] += sum(len(r["block_first"]) for r in rows[t])
+                        continue
+                    sel = cand_idx + base
+                else:
+                    sel = None
+                ids, tfs, dls = decode_term(t, sel=sel)
+                if len(ids) == 0:
+                    continue
+                s = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
+                contrib[t][ids - base] = s
+                acc[ids - base] += s.astype(np.float64)
+                seen[ids - base] = True
+                nseen = int(seen.sum())
+                if nseen >= k:
+                    vals = acc[seen]
+                    theta = float(np.partition(vals, len(vals) - k)[len(vals) - k])
+            matched = np.flatnonzero(seen) + base
+
+        if len(matched) == 0:
+            return empty
+        if excl:
+            ex_ids = []
+            for t in excl:
+                if t in rows:
+                    ex_ids.append(decode_term(t, sel=matched)[0])
+            if ex_ids:
+                matched = np.setdiff1d(matched, np.concatenate(ex_ids), assume_unique=True)
+            if len(matched) == 0:
+                return empty
+
+        # canonical final sum: sorted-term order, engine dtype
+        final = np.zeros(len(matched), dtype=dtype)
+        idx = matched - base
+        for t in sorted(scoring):
+            final = final + contrib[t][idx]
+        kk = min(k, len(matched))
+        part = np.argpartition(-final.astype(np.float64), kk - 1)[:kk]
+        sel_ids = matched[part]
+        sel_sc = final[part]
+        ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
+        return pd.DataFrame(
+            {
+                "docid": sel_ids[ordr],
+                "score": sel_sc[ordr].astype(np.float64),
+                "blocks_total": np.full(kk, counters[0], dtype=np.int64),
+                "blocks_decoded": np.full(kk, counters[1], dtype=np.int64),
+            }
+        )
+
+    return topk_fn
+
+
+def search_topk(
+    index: Index,
+    q: NormalizedQuery,
+    k: int = 10,
+    boost: float = 1.0,
+    quantize: bool = True,
+    dtype=np.float32,
+    with_metrics: bool = False,
+) -> DataFrame:
+    """Top-k via per-segment block-max pruning + global ordered merge."""
+    spark = index.spark
+    empty = spark.createDataFrame([], TOPK_SCHEMA if with_metrics else "docid long, score double")
+    if q.is_match_none:
+        return empty
+    weights = _weights_for(index, q, boost, dtype)
+    req = [t for t, _ in q.required]
+    if not weights or any(t not in weights for t in req):
+        return empty
+
+    all_terms = sorted(set(weights) | set(q.excluded))
+    rows = index.seg_postings.filter(F.col("term").isin(all_terms))
+    fn = make_topk_fn(
+        weights, req, list(q.excluded), k, float(index.field_stats.avgdl()), quantize, dtype
+    )
+    per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
+    out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    return out if with_metrics else out.select("docid", "score")
+
+
+def count_hits(index: Index, q: NormalizedQuery) -> int:
+    """TotalHitCountCollector / IndexSearcher.count analog, with the
+    single-term df shortcut (Weight#count, IndexSearcher.java:495)."""
+    if q.is_match_none:
+        return 0
+    terms = list(q.scoring_terms)
+    if len(terms) == 1 and not q.excluded:
+        stats = index.term_stats_for(terms)
+        return stats.get(terms[0], (0, 0))[0]
+    df = search_exhaustive(index, q, k=None)
+    return df.count()
+
+
+def hydrate(index: Index, topk: DataFrame) -> DataFrame:
+    """Stored-fields hydration: join top-k docids back to the docs table
+    (broadcast the tiny top-k side)."""
+    return index.docs.join(F.broadcast(topk), "docid").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+
+
+def search_after(
+    index: Index,
+    q: NormalizedQuery,
+    k: int,
+    after_score: float,
+    after_docid: int,
+    **kw,
+) -> DataFrame:
+    """Cursor pagination (IndexSearcher.searchAfter, IndexSearcher.java:587-602):
+    keep hits strictly after (score desc, docid asc) cursor. Correctness
+    over pruning: fetch (k + enough) via exhaustive filter."""
+    full = search_exhaustive(index, q, k=None, **kw)
+    cond = (F.col("score") < after_score) | (
+        (F.col("score") == after_score) & (F.col("docid") > after_docid)
+    )
+    return full.filter(cond).orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

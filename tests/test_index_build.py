@@ -1,0 +1,150 @@
+"""End-to-end index build: structure, stats, determinism, resume (FIXTURES.md §8)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_manifest_and_field_stats(built_index, ref_index):
+    fs = built_index.field_stats
+    assert fs.max_doc == 600
+    assert fs.doc_count == ref_index.doc_count  # docs with >=1 token
+    assert fs.sum_total_term_freq == ref_index.sum_ttf
+    manifests = sorted(glob.glob(os.path.join(built_index.paths.segments, "*.json")))
+    assert len(manifests) == 4
+    rows = [json.load(open(m)) for m in manifests]
+    assert sum(r["num_docs"] for r in rows) == 600
+    assert all(r["status"] == "complete" for r in rows)
+    # docid ranges are disjoint and ordered by segment
+    spans = sorted((r["first_docid"], r["last_docid"]) for r in rows if r["num_docs"])
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b < c
+
+
+def test_docids_dense_and_deterministic(built_index):
+    docs = built_index.docs.select("docid", "repo", "path", "commit").orderBy("docid").collect()
+    assert [r["docid"] for r in docs] == list(range(600))
+    keys = [(r["repo"], r["path"], r["commit"]) for r in docs]
+    assert keys == sorted(keys)  # docid order == (repo,path,commit) order
+
+
+def test_content_sha256_per_row(built_index):
+    """input_hint hard gate: per-row content sha256 equality vs source."""
+    bad = built_index.docs.filter(
+        F.sha2(F.col("content"), 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0
+
+
+def test_term_stats_match_reference(built_index, ref_index):
+    got = {r["term"]: (r["df"], r["ttf"]) for r in built_index.term_stats.collect()}
+    want = {
+        t: (len(p), sum(p.values())) for t, p in ref_index.postings.items()
+    }
+    assert got == want
+
+
+def test_norms_match_reference(built_index, ref_index):
+    rows = built_index.norms.collect()
+    got = {r["docid"]: (r["doclen"], r["norm_byte"]) for r in rows}
+    # norms shard stores every doc (incl. empty with doclen 0)
+    for docid, dl in ref_index.doclen.items():
+        assert got[docid][0] == dl
+        assert got[docid][1] == ref_index.norm_byte[docid]
+
+
+def test_merged_postings_roundtrip(built_index, ref_index):
+    """Merged (salted) postings decode to exactly the reference postings."""
+    from lucene_spark.search.executor import decoded_postings
+
+    terms = ["import", "return", "def", "public", "error", "vector"]
+    dec = decoded_postings(built_index, terms).collect()
+    got = {}
+    for r in dec:
+        got.setdefault(r["term"], {})[r["docid"]] = r["tf"]
+    for t in terms:
+        assert got.get(t, {}) == ref_index.postings.get(t, {}), t
+
+
+def test_hot_terms_are_salted(built_index):
+    """df >= 100 terms must be split into multiple salt buckets (4 segments
+    / bucket size 2 -> 2 buckets)."""
+    merged = built_index.merged
+    hot = merged.filter(F.col("term") == "import").select("salt").distinct().count()
+    assert hot == 2
+    rare = (
+        merged.groupBy("term")
+        .agg(F.countDistinct("salt").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    ts = {r["term"] for r in rare.collect()}
+    stats = built_index.term_stats_for(list(ts))
+    assert all(stats[t][0] >= 100 for t in ts)
+
+
+def test_salted_postings_in_docid_order(built_index):
+    rows = (
+        built_index.merged.filter(F.col("term") == "import")
+        .orderBy("salt")
+        .collect()
+    )
+    firsts = [r["first_docid"] for r in rows]
+    lasts = [r["last_docid"] for r in rows]
+    for prev_last, nxt_first in zip(lasts, firsts[1:]):
+        assert prev_last < nxt_first
+
+
+def test_resume_skips_completed_segments(spark, tmpdir_index):
+    """Kill-and-resume (FIXTURES.md §8): drop half the manifests, rebuild,
+    assert completed segments are skipped and output is identical."""
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, IndexPaths, build_index
+
+    docs = corpus_spark_df(spark, 300, seed=7)
+    cfg = IndexConfig(num_segments=4, hot_df_threshold=50, merge_bucket_segments=2)
+    paths = build_index(spark, docs, tmpdir_index, cfg)
+
+    merged_before = {
+        (r["term"], r["salt"]): (r["df"], r["ttf"], r["first_docid"], r["last_docid"])
+        for r in spark.read.parquet(paths.merged).collect()
+    }
+    # simulate a killed build: remove half the manifests + downstream outputs
+    manifests = sorted(glob.glob(os.path.join(paths.segments, "*.json")))
+    for m in manifests[: len(manifests) // 2]:
+        os.remove(m)
+    import shutil
+
+    shutil.rmtree(paths.merged)
+    shutil.rmtree(paths.term_stats)
+    os.remove(paths.field_stats)
+
+    build_index(spark, docs, tmpdir_index, cfg)
+    manifests2 = sorted(glob.glob(os.path.join(paths.segments, "*.json")))
+    rows = [json.load(open(m)) for m in manifests2]
+    assert len(rows) == 4
+    merged_after = {
+        (r["term"], r["salt"]): (r["df"], r["ttf"], r["first_docid"], r["last_docid"])
+        for r in spark.read.parquet(paths.merged).collect()
+    }
+    assert merged_after == merged_before
+    # manifest metrics sum to global field stats (lineage invariant)
+    with open(paths.field_stats) as f:
+        fs = json.load(f)
+    assert fs["max_doc"] == sum(r["num_docs"] for r in rows) == 300
+    assert fs["sum_total_term_freq"] == sum(r["sum_doclen"] for r in rows)
+
+
+def test_resumed_flag_set_on_skip(spark, tmpdir_index):
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, build_index
+
+    docs = corpus_spark_df(spark, 100, seed=3)
+    cfg = IndexConfig(num_segments=2)
+    build_index(spark, docs, tmpdir_index, cfg)
+    # full rebuild request: everything resumable is skipped, outputs intact
+    paths = build_index(spark, docs, tmpdir_index, cfg)
+    assert os.path.exists(paths.field_stats)

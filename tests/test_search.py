@@ -1,0 +1,251 @@
+"""Search correctness: golden BM25 scores + engine==reference differentials.
+
+Style mirrors TestWANDScorer.testBasics (exact docids + float scores on a
+tiny hand-checked corpus) and the CheckHits invariant pruned == exhaustive
+(lucene/core/src/test/org/apache/lucene/search/TestWANDScorer.java:90-140,
+test-framework/.../CheckHits.java:102-222).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.pyref import build_ref_index, search as ref_search
+from lucene_spark.search.plan import normalize, parse
+
+
+# --- tiny hand-checked golden (no Spark) ------------------------------------
+
+def test_bm25_hand_computed_single_term():
+    """3 docs, no stopwords removed lengths: verify BM25 by hand.
+
+    docs: d0='cat', d1='cat cat dog', d2='dog'
+    For 'cat': df=2, N=3 -> idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    avgdl = (1+3+1)/3 = 5/3; doclens exact (<40 so quantization is identity)
+    d0: tf=1, dl=1: norm = 1.2*(0.25 + 0.75*1/(5/3)) = 1.2*0.7 = 0.84
+        score = idf * (1 - 1/(1 + 1/0.84))
+    d1: tf=2, dl=3: norm = 1.2*(0.25+0.75*3/(5/3)) = 1.2*1.6 = 1.92
+        score = idf * (1 - 1/(1 + 2/1.92))
+    """
+    idx = build_ref_index([(0, "cat"), (1, "cat cat dog"), (2, "dog")])
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    s0 = idf * (1 - 1 / (1 + 1 / 0.84))
+    s1 = idf * (1 - 1 / (1 + 2 / 1.92))
+    hits = ref_search(idx, ["cat"], k=10)
+    assert [d for d, _ in hits] == [0, 1]  # d0 shorter -> higher score
+    assert hits[0][1] == pytest.approx(s0, rel=1e-6)
+    assert hits[1][1] == pytest.approx(s1, rel=1e-6)
+
+
+def test_bm25_tie_breaks_by_docid():
+    idx = build_ref_index([(5, "x y"), (2, "x y"), (9, "x y")])
+    hits = ref_search(idx, ["x"], k=3)
+    assert [d for d, _ in hits] == [2, 5, 9]
+    assert hits[0][1] == hits[1][1] == hits[2][1]
+
+
+def test_repeated_query_term_qtf_weight():
+    idx = build_ref_index([(0, "cat"), (1, "dog")])
+    one = ref_search(idx, ["cat"], k=1)[0][1]
+    two = ref_search(idx, ["cat", "cat"], k=1)[0][1]
+    assert two == pytest.approx(2 * one, rel=1e-6)
+
+
+# --- parser / normalizer -----------------------------------------------------
+
+def test_parse_free_text_is_or():
+    q = parse("error handler")
+    assert q.required == ()
+    assert q.optional == (("error", 1), ("handler", 1))
+
+
+def test_parse_and():
+    q = parse("import AND numpy")
+    assert q.required == (("import", 1), ("numpy", 1))
+    assert q.optional == ()
+
+
+def test_parse_not_and_minus():
+    q = parse("foo NOT bar -baz")
+    assert q.optional == (("foo", 1),)
+    assert q.excluded == ("bar", "baz")
+
+
+def test_parse_stopword_only_is_match_none():
+    q = parse("the and of")
+    assert q.is_match_none
+
+
+def test_normalize_must_and_must_not_same_term():
+    q = normalize(must=["foo"], must_not=["foo"])
+    assert q.is_match_none  # BooleanQuery.java:365-375
+
+
+def test_normalize_duplicate_should_to_qtf():
+    q = normalize(should=["foo", "foo", "bar"])
+    assert q.optional == (("bar", 1), ("foo", 2))  # BooleanQuery.java:429-446
+
+
+def test_query_terms_are_analyzed():
+    q = normalize(should=["IMPORT", "The"])
+    assert q.optional == (("import", 1),)  # lowercased; stopword dropped
+
+
+# --- Spark engine vs pure-Python reference (differential) --------------------
+
+QUERIES = [
+    ("single common", dict(should=["import"])),
+    ("single rare", dict(should=["vector"])),
+    ("single absent", dict(should=["zzzznotaterm"])),
+    ("or 3", dict(should=["error", "handler", "vector"])),
+    ("or hot+rare", dict(should=["import", "cipher"])),
+    ("repeated qtf", dict(should=["import", "import"])),
+    ("and 2", dict(must=["import", "return"])),
+    ("and 3", dict(must=["import", "return", "def"])),
+    ("and rare", dict(must=["vector", "stream"])),
+    ("and+should", dict(must=["import"], should=["vector", "error"])),
+    ("not", dict(should=["import"], must_not=["vector"])),
+    ("and not", dict(must=["import", "def"], must_not=["return"])),
+    ("stop only", dict(should=["the"])),
+]
+
+
+@pytest.mark.parametrize("name,clauses", QUERIES, ids=[q[0] for q in QUERIES])
+@pytest.mark.parametrize("k", [1, 10])
+def test_topk_matches_reference(built_index, ref_index, name, clauses, k):
+    """Engine per-segment block-max top-k == pure-Python exhaustive top-k:
+    same docids, same float32 scores, same order."""
+    from lucene_spark.search.executor import search_topk
+
+    q = normalize(**clauses)
+    got = search_topk(built_index, q, k=k).collect()
+
+    mode = "and" if clauses.get("must") else "or"
+    terms = list(clauses.get("must", [])) + list(clauses.get("should", []))
+    want = ref_search(ref_index, terms, k=k, mode=mode,
+                      must_not=clauses.get("must_not", ()))
+    # and+should: reference 'and' mode ignores optional-should scoring;
+    # recompute expected via optional-aware reference
+    if clauses.get("must") and clauses.get("should"):
+        want = _ref_req_opt(ref_index, clauses["must"], clauses["should"], k)
+
+    assert [r["docid"] for r in got] == [d for d, _ in want], name
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-6), name
+
+
+def _ref_req_opt(idx, must, should, k):
+    """Reference ReqOptSumScorer: docs matching all MUST; score adds SHOULD."""
+    from collections import Counter
+
+    from lucene_spark.pyref import score_term
+
+    must_c, should_c = Counter(must), Counter(should)
+    per = {t: score_term(idx, t) for t in set(must) | set(should)}
+    docs = set.intersection(*(set(per[t]) for t in must_c))
+    out = []
+    for d in docs:
+        s = np.float32(0)
+        for t in sorted(set(must_c) | set(should_c)):
+            qtf = must_c.get(t, 0) + should_c.get(t, 0)
+            if d in per[t]:
+                s = s + np.float32(qtf) * per[t][d]
+        out.append((d, float(s)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("name,clauses", QUERIES[:8], ids=[q[0] for q in QUERIES[:8]])
+def test_exhaustive_float64_matches_reference_ranks(built_index, ref_index, name, clauses):
+    """The SQL exhaustive path (float64, unquantized) must produce the same
+    RANKING as the reference (scores differ: doubles, no norm byte)."""
+    from lucene_spark.search.executor import search_exhaustive
+
+    q = normalize(**clauses)
+    got = search_exhaustive(built_index, q, k=10).collect()
+    mode = "and" if clauses.get("must") else "or"
+    terms = list(clauses.get("must", [])) + list(clauses.get("should", []))
+    want = ref_search(ref_index, terms, k=10, mode=mode, quantize=False)
+    assert [r["docid"] for r in got] == [d for d, _ in want], name
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-5), name
+
+
+def test_wand_pruning_equals_exhaustive_random_corpora(spark, tmp_path):
+    """CheckHits invariant on seeded random corpora (FIXTURES.md §7)."""
+    import random
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, search_topk
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(60)]
+        rows = []
+        for i in range(250):
+            content = " ".join(rng.choices(vocab, k=rng.randrange(1, 60)))
+            rows.append((f"r{i%4}", f"p{i}", "c0", "py", content))
+        docs = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        d = str(tmp_path / f"rand{seed}")
+        idx = Index(spark, build_index(spark, docs, d, IndexConfig(num_segments=3, hot_df_threshold=40)))
+        ref = build_ref_index(
+            [(i, r[4]) for i, r in enumerate(sorted(rows, key=lambda r: (r[0], r[1], r[2])))]
+        )
+        for terms in (["w0", "w1", "w2", "w3"], ["w5"], ["w1", "w2"]):
+            got = search_topk(idx, normalize(should=terms), k=10).collect()
+            want = ref_search(ref, terms, k=10)
+            assert [r["docid"] for r in got] == [d0 for d0, _ in want], (seed, terms)
+            for r, (_, s) in zip(got, want):
+                assert r["score"] == pytest.approx(s, rel=1e-6)
+
+
+def test_bm25_monotonicity_axioms():
+    """BaseSimilarityTestCase-style axioms: score up with tf, down with dl,
+    down with df (BaseSimilarityTestCase.java:537-541)."""
+    from lucene_spark.search.scorer import idf, score_arrays
+
+    avgdl = 20.0
+    s = score_arrays(np.array([1, 2, 5, 10]), np.array([20, 20, 20, 20]), 1.5, avgdl)
+    assert np.all(np.diff(s) > 0)  # tf up -> score up
+    s2 = score_arrays(np.array([2, 2, 2]), np.array([5, 20, 100]), 1.5, avgdl)
+    assert np.all(np.diff(s2) < 0)  # dl up -> score down
+    assert idf(1, 100) > idf(10, 100) > idf(90, 100)  # df up -> idf down
+
+
+def test_count_and_searchafter(built_index, ref_index):
+    from lucene_spark.search.executor import count_hits, search_after, search_exhaustive
+
+    q = normalize(should=["import"])
+    assert count_hits(built_index, q) == len(ref_index.postings["import"])
+    # pagination: page2 == rows 10..19 of the full ranking
+    full = search_exhaustive(built_index, q, k=20).collect()
+    page1 = full[:10]
+    cursor = page1[-1]
+    page2 = search_after(built_index, q, 10, cursor["score"], cursor["docid"]).collect()
+    assert [r["docid"] for r in page2] == [r["docid"] for r in full[10:20]]
+
+
+def test_hydrate_returns_stored_fields(built_index):
+    from lucene_spark.search.executor import hydrate, search_topk
+
+    top = search_topk(built_index, normalize(should=["import"]), k=5)
+    rows = hydrate(built_index, top).collect()
+    assert len(rows) == 5
+    assert all(r["content"] is not None and r["repo"].startswith("org/") for r in rows)
+
+
+def test_block_skipping_happens(built_index):
+    """Block-max metrics: conjunction with a rare lead must decode fewer
+    blocks than exist (the BlockMaxConjunction skip effect)."""
+    from lucene_spark.search.executor import search_topk
+
+    got = search_topk(
+        built_index, normalize(must=["vector", "import"]), k=5, with_metrics=True
+    ).collect()
+    assert got, "expected hits"
+    total = sum({r["blocks_total"] for r in got})
+    decoded = sum({r["blocks_decoded"] for r in got})
+    assert decoded <= total
