@@ -96,6 +96,9 @@ class IndexPaths:
     def staged(self) -> str:
         return os.path.join(self.root, "staged")
 
+    def staged_gen(self, generation: int) -> str:
+        return self.staged if generation == 0 else os.path.join(self.root, f"staged-g{generation}")
+
     @property
     def segments(self) -> str:
         return os.path.join(self.root, "segments")
@@ -250,24 +253,20 @@ def _invert_group(
     return pd.DataFrame([row])
 
 
-def build_index(
+def build_segments(
     spark: SparkSession,
     docs: DataFrame,
-    index_dir: str,
-    cfg: IndexConfig | None = None,
-) -> IndexPaths:
-    """Full build: stage -> segments -> global stats -> salted merge."""
-    cfg = cfg or IndexConfig()
-    paths = IndexPaths(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
-
-    field_stats_done = os.path.exists(paths.field_stats)
-    merged_done = os.path.exists(os.path.join(paths.merged, "_SUCCESS"))
-    if field_stats_done and merged_done:
-        return paths  # fully built (resume no-op)
-
+    paths: IndexPaths,
+    cfg: IndexConfig,
+    docid_base: int = 0,
+    segment_id_base: int = 0,
+    generation: int = 0,
+) -> None:
+    """Stage + per-partition segment build. Appends to the segment set when
+    docid_base/segment_id_base are offset (NRT-append analog)."""
+    staged_dir = paths.staged_gen(generation)
     # --- stage: freeze deterministic range partitioning (docid basis)
-    if not os.path.exists(os.path.join(paths.staged, "_SUCCESS")):
+    if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
         n_docs = docs.count()
         nseg = cfg.num_segments or max(1, math.ceil(n_docs / cfg.target_docs_per_segment))
         cols = [cfg.docid_col] if cfg.docid_col else list(cfg.order_cols)
@@ -276,32 +275,45 @@ def build_index(
             .repartitionByRange(nseg, *[F.col(c) for c in cols])
             .withColumn("__pid__", F.spark_partition_id())
         )
-        staged.write.mode("overwrite").parquet(paths.staged)
+        staged.write.mode("overwrite").parquet(staged_dir)
 
-    staged = spark.read.parquet(paths.staged)
+    staged = spark.read.parquet(staged_dir)
 
     # --- per-partition doc counts -> docid offsets (column-pruned scan)
     pid_counts = staged.groupBy("__pid__").count().collect()
     pid_counts.sort(key=lambda r: r["__pid__"])
     offsets = {}
-    acc = 0
+    acc = docid_base
     for r in pid_counts:
         offsets[r["__pid__"]] = acc
         acc += r["count"]
 
-    cfg_bc = cfg
-    paths_bc = paths
-    offsets_bc = offsets
+    cfg_bc, paths_bc, offsets_bc, sid_base = cfg, paths, offsets, segment_id_base
 
     def seg_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
-        return _invert_group(pdf, sid, offsets_bc.get(sid, 0), paths_bc, cfg_bc)
+        return _invert_group(pdf, sid + sid_base, offsets_bc.get(sid, 0), paths_bc, cfg_bc)
 
-    manifest = staged.groupBy("__pid__").applyInPandas(seg_fn, MANIFEST_SCHEMA)
-    manifest_rows = manifest.collect()  # small: one row per segment
+    staged.groupBy("__pid__").applyInPandas(seg_fn, MANIFEST_SCHEMA).collect()
+
+
+def read_manifests(paths: IndexPaths) -> List[dict]:
+    import glob
+
+    rows = []
+    for m in sorted(glob.glob(os.path.join(paths.segments, "segment-*.json"))):
+        with open(m) as f:
+            rows.append(json.load(f))
+    return rows
+
+
+def finalize_index(spark: SparkSession, paths: IndexPaths, cfg: IndexConfig) -> None:
+    """Global artifacts over the full segment set: field stats, term stats,
+    salted merged index. Idempotent (skips what exists)."""
+    manifest_rows = read_manifests(paths)
 
     # --- global field stats (TermStates/FieldStats analog, SURVEY §2.4)
-    if not field_stats_done:
+    if not os.path.exists(paths.field_stats):
         fs = {
             "max_doc": int(sum(r["num_docs"] for r in manifest_rows)),
             "doc_count": int(sum(r["doc_count"] for r in manifest_rows)),
@@ -314,6 +326,7 @@ def build_index(
             json.dump(fs, f)
         os.replace(tmp, paths.field_stats)
 
+    merged_done = os.path.exists(os.path.join(paths.merged, "_SUCCESS"))
     seg_postings = spark.read.parquet(paths.postings)
 
     # --- global term stats (aggregate across segments == TermStates.build)
@@ -376,4 +389,53 @@ def build_index(
             .parquet(paths.merged)
         )
 
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+) -> IndexPaths:
+    """Full build: stage -> segments -> global stats -> salted merge."""
+    cfg = cfg or IndexConfig()
+    paths = IndexPaths(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    if os.path.exists(paths.field_stats) and os.path.exists(
+        os.path.join(paths.merged, "_SUCCESS")
+    ):
+        return paths  # fully built (resume no-op)
+    build_segments(spark, docs, paths, cfg)
+    finalize_index(spark, paths, cfg)
+    return paths
+
+
+def append_to_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+) -> IndexPaths:
+    """NRT-append analog (DirectoryReader.openIfChanged, SURVEY.md §2.9):
+    index a new batch as fresh segments (docids continue after the current
+    max), then rebuild the global snapshot artifacts."""
+    import shutil
+
+    cfg = cfg or IndexConfig()
+    paths = IndexPaths(index_dir)
+    existing = read_manifests(paths)
+    if not existing:
+        return build_index(spark, new_docs, index_dir, cfg)
+    docid_base = max(r["last_docid"] for r in existing) + 1
+    sid_base = max(r["segment_id"] for r in existing) + 1
+    build_segments(
+        spark, new_docs, paths, cfg,
+        docid_base=docid_base, segment_id_base=sid_base, generation=sid_base,
+    )
+    # invalidate + rebuild snapshot-global artifacts
+    for p in (paths.term_stats, paths.merged):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    if os.path.exists(paths.field_stats):
+        os.remove(paths.field_stats)
+    finalize_index(spark, paths, cfg)
     return paths

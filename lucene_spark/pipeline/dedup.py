@@ -1,0 +1,141 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each op at 100 TB):
+  - exact: one hash-shuffle on a 32-byte key; canonical doc = min doc_id.
+  - MinHash+LSH: per-doc signature is a narrow map-side transform; the only
+    shuffle is the band-bucket self-join, whose fan-out is controlled by
+    (n_perm, bands). Deterministic permutation h_i(tok) = md5(i || '_' || tok)
+    compared as hex strings (no integer-overflow games, identical in ANSI
+    SQL, stable everywhere).
+  - SimHash: 60-bit signature from per-token md5 bits, majority vote per
+    bit; pure expressions, no shuffle.
+  - n-gram Jaccard verify runs only on LSH candidate pairs (never all
+    pairs).
+All built-in functions, JVM-side; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import tokens
+
+N_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = N_PERM // BANDS
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash; canonical = min doc_id.
+    Returns (exact_hash, n_dups, canonical_doc_id) for groups of size > 1,
+    plus singleton count semantics left to the caller."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("exact_hash"), "doc_id")
+        .groupBy("exact_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def _minhash_cols(text_col: str, shingle: int = 1):
+    """N_PERM minhash values as hex-string minima over token (or shingle)
+    md5 hashes. shingle=1 -> unigram token set."""
+    toks = F.array_distinct(tokens(text_col))
+    if shingle > 1:
+        # word shingles via transform over index positions
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
+        toks = F.when(
+            n >= shingle,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        toks = F.array_distinct(toks)
+    return [
+        F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{i}_"), t)))).alias(
+            f"mh{i}"
+        )
+        for i in range(N_PERM)
+    ]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", shingle: int = 1) -> DataFrame:
+    return df.select(F.col("doc_id"), *_minhash_cols(text_col, shingle))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", shingle: int = 1) -> DataFrame:
+    """MinHash-LSH: band signatures -> bucket self-join -> distinct
+    candidate pairs (doc_id_a < doc_id_b)."""
+    sig = minhash_signatures(df, text_col, shingle)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  threshold: float = 0.5) -> DataFrame:
+    """Verify candidate pairs with exact unigram-set Jaccard; keeps pairs
+    >= threshold. Join-based (broadcastable when pairs are few)."""
+    tok = df.select(F.col("doc_id"), F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_id_a"), "t")
+    tb = tok.select(F.col("doc_id").alias("doc_id_b"), "t")
+    common = (
+        pairs.join(ta, "doc_id_a")
+        .join(tb, ["doc_id_b", "t"])  # equi-join on (doc, token): no fan-out
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> non-negative int64, SQL-safe
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash: per distinct token take md5 bits 0..59; signature bit
+    j is the majority vote across tokens (strict: set iff #set*2 > #tokens)."""
+    toks = F.array_distinct(tokens(text_col))
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    n = F.size(toks)
+    bit_sums = [
+        F.aggregate(
+            h, F.lit(0), lambda acc, v: acc + F.shiftright(v, j).bitwiseAND(F.lit(1)).cast("int")
+        )
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s * 2 > n, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return df.select(F.col("doc_id"), F.when(n > 0, sig).otherwise(F.lit(0)).alias("simhash"))

@@ -1,0 +1,85 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - brute-force cosine top-k: the exact baseline. Pure built-in exprs
+    (zip_with + aggregate), JVM-side; one TakeOrderedAndProject.
+  - LSH-bucketed variant: random-hyperplane sign bits -> bucket; at scale
+    the query probes one bucket (candidates drop by ~2^n_planes) before the
+    same exact cosine. Planes are deterministic (seeded).
+  - cosine near-dup pairs within a blocking key (label): the
+    embedding-cosine near-dup path for training-data dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+
+
+def cosine_topk(df: DataFrame, query_vec, k: int = 10, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.dot(np.array(query_vec, dtype=np.float64),
+                              np.array(query_vec, dtype=np.float64))))
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id from deterministic hyperplanes (pure exprs)."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        d = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                 F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(df: DataFrame, query_vec, k: int = 10, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """ANN: probe the query's hyperplane bucket, exact cosine within it.
+    (Approximate: recall depends on n_planes; the scale path for 100 TB --
+    bucket column is precomputable + partitionable.)"""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(len(q), n_planes, seed)
+    qbucket = int(sum(2**j for j, p in enumerate(planes) if float(np.dot(p, q)) > 0))
+    bucketed = df.withColumn("__bucket__", lsh_bucket_expr(vec_col, planes))
+    return cosine_topk(bucketed.filter(F.col("__bucket__") == qbucket), query_vec, k, vec_col, id_col)
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95, vec_col: str = "embedding",
+                         id_col: str = "vec_id", block_col: str = "label") -> DataFrame:
+    """All pairs within a blocking key with cosine >= threshold.
+    Blocking bounds the self-join fan-out (at scale use LSH buckets as the
+    blocking key)."""
+    a = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("va"))
+    b = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,64 @@
+"""Streaming analogs of Lucene's incremental machinery (SURVEY.md §2.9).
+
+Two pieces are genuinely streaming-shaped:
+
+  Monitor (percolator)  [lucene/monitor/src/java/org/apache/lucene/monitor/Monitor.java:42]
+      reverse search: stored queries matched against a document stream.
+      -> Structured Streaming stream-static join: stream of docs joined
+         against a small static query-term table.
+
+  NRT refresh / SearcherManager  [index/DirectoryReader.java:241-278]
+      -> foreachBatch incremental index append: each micro-batch builds new
+         segments into the same index dir (manifest grows; readers see the
+         new snapshot on next open).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pipeline.textstats import tokens
+
+
+def percolate_batch(docs: DataFrame, queries: DataFrame, text_col: str = "text") -> DataFrame:
+    """Match stored queries against a batch/stream of documents.
+
+    ``queries``: (qid int, terms array<string>, min_match int) — a doc
+    matches when >= min_match of the query's distinct terms occur in it.
+    Per-doc matching against the broadcast query table (MemoryIndex-style,
+    MemoryIndex.java:201): no shuffle, no stateful aggregation, so the plan
+    is a pure stream-static join that runs in append mode without
+    watermarks. Lucene's Monitor adds query pre-filtering when the stored
+    query set is large; the analog here is partitioning the query table by
+    a required term and joining on it first.
+    """
+    toked = docs.withColumn("__toks__", F.array_distinct(tokens(text_col)))
+    j = toked.crossJoin(F.broadcast(queries))
+    return (
+        j.withColumn("n_matched", F.size(F.array_intersect("__toks__", "terms")))
+        .filter(F.col("n_matched") >= F.col("min_match"))
+        .select("qid", "doc_id", "n_matched")
+    )
+
+
+def percolate_stream(spark: SparkSession, stream_df: DataFrame, queries: DataFrame,
+                     text_col: str = "text", query_name: str = "percolator"):
+    """Run the percolator as a Structured Streaming query into a memory
+    sink. Returns the StreamingQuery; results at ``SELECT * FROM {name}``."""
+    hits = percolate_batch(stream_df, queries, text_col)
+    return (
+        hits.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def incremental_append(spark: SparkSession, new_docs: DataFrame, index_dir: str, cfg=None):
+    """NRT-append analog: index a new micro-batch of docs as fresh segments
+    (docids continue after the current max, block binaries encoded with the
+    offset baked in), then refresh the snapshot-global artifacts. Use from
+    ``foreachBatch`` for a streaming ingest."""
+    from .index.builder import append_to_index
+
+    return append_to_index(spark, new_docs, index_dir, cfg)

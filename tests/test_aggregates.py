@@ -1,0 +1,121 @@
+"""Facets/grouping/stats/join collectors + NRT append + percolator stream."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search.plan import normalize
+
+
+def test_facet_counts(built_index, ref_index):
+    from lucene_spark.search.aggregates import facet_counts
+
+    got = {r["lang"]: r["n"] for r in facet_counts(built_index, normalize(should=["import"]), "lang").collect()}
+    docs = {r["docid"]: r["lang"] for r in built_index.docs.select("docid", "lang").collect()}
+    want = {}
+    for d in ref_index.postings["import"]:
+        want[docs[d]] = want.get(docs[d], 0) + 1
+    assert got == want
+
+
+def test_range_facets(built_index):
+    from lucene_spark.search.aggregates import range_facets
+
+    q = normalize(should=["import"])
+    got = range_facets(built_index, q, "docid", [0, 200, 400, 600]).collect()
+    assert sum(r["n"] for r in got) > 0
+    assert [r["bucket"] for r in got] == sorted(r["bucket"] for r in got)
+
+
+def test_group_topk_and_diversified(built_index):
+    from lucene_spark.search.aggregates import diversified_topk, group_topk
+
+    q = normalize(should=["import", "return"])
+    rows = group_topk(built_index, q, "lang", 2).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r)
+    for lang, rs in per.items():
+        assert len(rs) <= 2
+        assert [r["rnk"] for r in sorted(rs, key=lambda r: r["rnk"])] == list(range(1, len(rs) + 1))
+
+    div = diversified_topk(built_index, q, "lang", k=6, max_per_key=2).collect()
+    langs = [r["lang"] for r in div]
+    assert all(langs.count(l) <= 2 for l in set(langs))
+    scores = [r["score"] for r in div]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_docvalues_stats(built_index, ref_index):
+    from lucene_spark.search.aggregates import docvalues_stats
+
+    got = docvalues_stats(built_index, normalize(should=["vector"]), "docid").collect()[0]
+    want_ids = sorted(ref_index.postings["vector"])
+    assert got["n"] == len(want_ids)
+    assert got["min_v"] == want_ids[0] and got["max_v"] == want_ids[-1]
+    assert got["sum_v"] == sum(want_ids)
+
+
+def test_join_matches(built_index, spark):
+    from lucene_spark.search.aggregates import join_matches
+
+    dim = spark.createDataFrame(
+        [(l, f"Language {l}") for l in ["py", "java", "go", "js"]], "lang string, label string"
+    )
+    got = join_matches(built_index, normalize(should=["import"]), dim, "lang", "total").collect()
+    assert all(r["label"].startswith("Language") for r in got)
+    assert all(r["join_score"] > 0 and r["n_hits"] > 0 for r in got)
+
+
+def test_append_to_index(spark, tmpdir_index):
+    """NRT append: new docs get fresh docids/segments; stats + queries see
+    the union; sha gate still holds."""
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, append_to_index, build_index
+    from lucene_spark.search.executor import Index, search_topk
+    from lucene_spark.pyref import build_ref_index, search as ref_search
+    from lucene_spark.corpus import make_corpus
+
+    cfg = IndexConfig(num_segments=2, hot_df_threshold=50)
+    batch1 = corpus_spark_df(spark, 120, seed=1)
+    build_index(spark, batch1, tmpdir_index, cfg)
+    batch2 = corpus_spark_df(spark, 80, seed=2)
+    paths = append_to_index(spark, batch2, tmpdir_index, cfg)
+    idx = Index(spark, paths)
+    assert idx.field_stats.max_doc == 200
+
+    # reference: batch1 sorted then batch2 sorted, docids 0..199
+    rows1 = sorted(make_corpus(120, seed=1), key=lambda r: (r[0], r[1], r[2]))
+    rows2 = sorted(make_corpus(80, seed=2), key=lambda r: (r[0], r[1], r[2]))
+    ref = build_ref_index([(i, r[4]) for i, r in enumerate(rows1 + rows2)])
+    got = search_topk(idx, normalize(should=["import", "error"]), k=10).collect()
+    want = ref_search(ref, ["import", "error"], k=10)
+    assert [r["docid"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-6)
+    bad = idx.docs.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).count()
+    assert bad == 0
+
+
+def test_percolate_stream(spark, tmp_path):
+    """Structured Streaming percolator: stream-static join via memory sink."""
+    import time
+
+    from lucene_spark.streaming import percolate_stream
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "spark join table"), (2, "der hund katze"), (3, "nothing relevant")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    queries = spark.createDataFrame(
+        [(1, ["spark", "join"], 2), (2, ["katze"], 1)],
+        "qid int, terms array<string>, min_match int",
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = percolate_stream(spark, stream, queries, query_name="perc_test")
+    try:
+        q.processAllAvailable()
+        got = {(r["qid"], r["doc_id"]) for r in spark.sql("SELECT * FROM perc_test").collect()}
+    finally:
+        q.stop()
+    assert got == {(1, 1), (2, 2)}

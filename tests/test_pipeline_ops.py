@@ -1,0 +1,166 @@
+"""Training-data pipeline operators: dedup, similarity, text stats, multimodal."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spark join window table", "en", "src0", 24),
+        (1, "spark join window table", "en", "src1", 24),  # exact dup of 0
+        (2, "table window join spark", "de", "src0", 24),  # same token set
+        (3, "the quick brown fox jumps", "en", "src2", 25),
+        (4, "der hund und die katze nicht", "de", "src3", 28),
+        (5, "le chat et la les fenetre est", "fr", "src4", 29),
+        (6, "completely different words here now", "en", "src5", 35),
+        (7, "spark join window table extra", "en", "src6", 29),  # near dup
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(40):
+        v = rng.randn(8)
+        if i % 10 == 1:  # near-dup of previous vector
+            prev = np.array(rows[-1][1])
+            v = prev + rng.randn(8) * 0.01
+        rows.append((i, [float(x) for x in v], (i // 2) % 4))  # near-dup pairs share label
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_exact_dedup(docs):
+    from lucene_spark.pipeline.dedup import exact_dedup
+
+    groups = {r["exact_hash"]: r for r in exact_dedup(docs).collect()}
+    md5 = hashlib.md5(b"spark join window table").hexdigest()
+    assert groups[md5]["n_dups"] == 2
+    assert groups[md5]["canonical_doc_id"] == 0
+    assert sum(r["n_dups"] for r in groups.values()) == 8
+
+
+def test_minhash_lsh_finds_dup_candidates(docs):
+    from lucene_spark.pipeline.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(docs)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+    # identical token sets always collide in every band
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    verified = jaccard_pairs(docs, pairs, threshold=0.5).collect()
+    jac = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in verified}
+    assert jac[(0, 1)] == 1.0 and jac[(0, 2)] == 1.0
+    if (0, 7) in jac:  # 4 common / 5 union
+        assert jac[(0, 7)] == 0.8
+
+
+def test_simhash_identical_sets_equal(docs):
+    from lucene_spark.pipeline.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1] == sh[2]  # order-insensitive
+    assert sh[0] != sh[6]
+    assert all(v >= 0 for v in sh.values())
+    # near-dup differs in few bits
+    ham = bin(sh[0] ^ sh[7]).count("1")
+    assert ham <= 20
+
+
+def test_token_count_and_quality(docs):
+    from lucene_spark.pipeline.textstats import quality_score, token_count
+
+    tc = {r["doc_id"]: (r["n_tokens"], r["n_subwords"]) for r in token_count(docs).collect()}
+    assert tc[0][0] == 4
+    assert tc[0][1] == sum(-(-len(w) // 4) for w in "spark join window table".split())
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[0]["n_unique"] == 4
+    assert 0 < q[0]["quality"] <= 1
+    assert q[3]["n_stopword_kinds"] == 1  # 'the'
+
+
+def test_lang_id(docs):
+    from lucene_spark.pipeline.textstats import lang_id
+
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got[3] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+    assert got[6] == "und"  # no markers
+
+
+def test_fingerprint_order_insensitive(docs):
+    from lucene_spark.pipeline.textstats import fingerprint
+
+    fp = {r["doc_id"]: r for r in fingerprint(docs).collect()}
+    assert fp[0]["fingerprint"] == fp[2]["fingerprint"]  # same token set
+    assert fp[0]["exact_hash"] != fp[2]["exact_hash"]  # different text
+
+
+def test_cosine_topk_bruteforce(embeddings):
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    qv = embeddings.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    got = cosine_topk(embeddings, qv, k=3).collect()
+    # vec 0 was perturbed into vec 1: both round to cosine 1.0, tie-break id asc
+    assert {got[0]["vec_id"], got[1]["vec_id"]} == {0, 1}
+    assert got[0]["cosine"] == 1.0 and got[1]["cosine"] > 0.99
+    assert got[2]["cosine"] < got[1]["cosine"]
+
+
+def test_cosine_topk_lsh_recalls_self_and_neardup(embeddings):
+    from lucene_spark.pipeline.similarity import cosine_topk_lsh
+
+    qv = embeddings.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    got = cosine_topk_lsh(embeddings, qv, k=3, n_planes=4).collect()
+    # near-identical vectors land in the same bucket and dominate
+    assert {got[0]["vec_id"], got[1]["vec_id"]} == {0, 1}
+
+
+def test_cosine_neardup_pairs(embeddings):
+    from lucene_spark.pipeline.similarity import cosine_neardup_pairs
+
+    got = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(embeddings, 0.95).collect()}
+    # perturbed pairs share a label block -> must be found
+    assert (0, 1) in got and (10, 11) in got
+    # unrelated same-block vectors must not cross the threshold
+    assert (0, 8) not in got
+
+
+def test_multimodal_plumbing(docs):
+    from lucene_spark.pipeline.multimodal import attach_payload, decode_stub, extract_features
+
+    media = attach_payload(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert rows[0]["byte_len"] == len("spark join window table".encode())
+    assert rows[0]["payload_sha256"] == hashlib.sha256(b"spark join window table").hexdigest()
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert len(feats[0]["feature"]) == 8
+    assert abs(sum(feats[0]["feature"]) - 1.0) < 1e-3
+    # deterministic stub dims
+    w, h, n = decode_stub(b"spark join window table", "image")
+    assert (feats[0]["width"], feats[0]["height"]) == (w, h)
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"x", "image", strict=True)
+
+
+def test_percolator_batch_and_stream(spark, docs):
+    from lucene_spark.streaming import percolate_batch
+
+    queries = spark.createDataFrame(
+        [(1, ["spark", "join"], 2), (2, ["katze"], 1), (3, ["absent"], 1)],
+        "qid int, terms array<string>, min_match int",
+    )
+    got = percolate_batch(docs, queries).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["doc_id"])
+    assert by_q[1] == {0, 1, 2, 7}
+    assert by_q[2] == {4}
+    assert 3 not in by_q
