@@ -1,38 +1,750 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship free-text BM25 top-k end-to-end at
+sf0.001. ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the training-pipeline ops); ``oracle_sql()`` gives the
+DuckDB-runnable ANSI SQL equivalent for each.
+
+Fulltext queries run through the real index (segment build + salted merge +
+per-segment block-max top-k) in float64/unquantized scoring mode so the
+plain-SQL oracle can reproduce the scores; the Lucene float32 parity mode
+is exercised by the pytest golden/differential suite instead.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.analysis import ENGLISH_STOP_WORDS, analyze
+from lucene_spark.index.builder import IndexConfig, build_index
+from lucene_spark.oracle import (
+    BM25_CTES,
+    STOPLIST_SQL,
+    TOKS_CTE,
+    bm25_matches_cte,
+    bm25_topk_sql,
+)
+from lucene_spark.search.executor import (
+    Index,
+    count_hits,
+    decoded_postings,
+    hydrate,
+    search_exhaustive,
+    search_topk,
+)
+from lucene_spark.search.plan import normalize
+
+INDEX_FORMAT_VERSION = 1
+_INDEX_CACHE: dict = {}
+
+K1, B = 1.2, 0.75
+NINV_SQL = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+
+
+def _index(spark: SparkSession, sf_dir: str) -> Index:
+    key = os.path.abspath(sf_dir)
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = key.strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("text", "content")
+    )
+    n = docs.count()
+    cfg = IndexConfig(
+        docid_col="doc_id",
+        order_cols=("doc_id",),
+        content_col="content",
+        num_segments=max(2, n // 1500),
+        hot_df_threshold=150,
+        merge_bucket_segments=1,
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _topk(idx: Index, k=10, **clauses) -> DataFrame:
+    q = normalize(**clauses)
+    res = search_topk(idx, q, k=k, quantize=False, dtype=np.float64)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def _scalar(spark: SparkSession, value: int, name: str = "n_docs") -> DataFrame:
+    return spark.createDataFrame([(int(value),)], f"{name} bigint")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: free-text BM25 top-10 over sf0.001 documents, hydrated."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    top = search_topk(idx, normalize(should=["spark", "join", "window"]), k=10)
+    return hydrate(idx, top).select(
+        "docid", F.round("score", 4).alias("score"), "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_term_topk(spark, sf):
+    return _topk(_index(spark, sf), should=["spark"])
+
+
+def q_bool_and_topk(spark, sf):
+    return _topk(_index(spark, sf), must=["window", "stream", "hash"])
+
+
+def q_bool_or_topk(spark, sf):
+    return _topk(_index(spark, sf), should=["join", "merge", "scan"])
+
+
+def q_bool_not_topk(spark, sf):
+    return _topk(_index(spark, sf), should=["spark"], must_not=["join"])
+
+
+def q_free_text_topk(spark, sf):
+    return _topk(_index(spark, sf), should=["spark", "join", "window"])
+
+
+def q_repeated_term_qtf(spark, sf):
+    return _topk(_index(spark, sf), should=["spark", "spark", "join"])
+
+
+def q_req_opt_topk(spark, sf):
+    return _topk(_index(spark, sf), must=["spark"], should=["window", "hash"])
+
+
+def q_term_absent(spark, sf):
+    return _topk(_index(spark, sf), should=["qqqzzz"])
+
+
+def q_count_single_term(spark, sf):
+    idx = _index(spark, sf)
+    return _scalar(spark, count_hits(idx, normalize(should=["spark"])))
+
+
+def q_prefix_count(spark, sf):
+    idx = _index(spark, sf)
+    terms = idx.expand_terms(prefix="wi")
+    if not terms:
+        return _scalar(spark, 0)
+    n = decoded_postings(idx, terms).select("docid").distinct().count()
+    return _scalar(spark, n)
+
+
+def q_fuzzy_count(spark, sf):
+    idx = _index(spark, sf)
+    terms = idx.expand_terms(fuzzy=("sparc", 1))
+    if not terms:
+        return _scalar(spark, 0)
+    n = decoded_postings(idx, terms).select("docid").distinct().count()
+    return _scalar(spark, n)
+
+
+def q_wildcard_count(spark, sf):
+    idx = _index(spark, sf)
+    terms = idx.expand_terms(regex="^me.*e$")
+    if not terms:
+        return _scalar(spark, 0)
+    n = decoded_postings(idx, terms).select("docid").distinct().count()
+    return _scalar(spark, n)
+
+
+def q_term_in_set_facet(spark, sf):
+    idx = _index(spark, sf)
+    ids = decoded_postings(idx, ["join", "merge"]).select("docid").distinct()
+    return (
+        ids.join(idx.docs.select("docid", "lang"), "docid")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+def q_range_query_count(spark, sf):
+    idx = _index(spark, sf)
+    ids = decoded_postings(idx, ["spark"]).select("docid").distinct()
+    n = (
+        ids.join(idx.docs.select("docid", "n_chars"), "docid")
+        .filter((F.col("n_chars") >= 100) & (F.col("n_chars") < 300))
+        .count()
+    )
+    return _scalar(spark, n)
+
+
+def q_facet_counts_lang(spark, sf):
+    from lucene_spark.search.aggregates import facet_counts
+
+    return facet_counts(_index(spark, sf), normalize(should=["spark"]), "lang")
+
+
+def q_range_facets_nchars(spark, sf):
+    from lucene_spark.search.aggregates import range_facets
+
+    return range_facets(_index(spark, sf), normalize(should=["join"]), "n_chars", [0, 200, 400, 600])
+
+
+def q_group_topk_lang(spark, sf):
+    from lucene_spark.search.aggregates import group_topk
+
+    return group_topk(_index(spark, sf), normalize(should=["spark", "join"]), "lang", 2)
+
+
+def q_docvalues_stats(spark, sf):
+    from lucene_spark.search.aggregates import docvalues_stats
+
+    return docvalues_stats(_index(spark, sf), normalize(should=["window"]), "n_chars")
+
+
+def q_join_matches_source(spark, sf):
+    from lucene_spark.search.aggregates import join_matches
+
+    idx = _index(spark, sf)
+    dim = _docs(spark, sf).select("source").distinct().withColumn("label", F.upper("source"))
+    return join_matches(idx, normalize(should=["spark"]), dim, "source", "total").orderBy("source")
+
+
+def q_searchafter_page2(spark, sf):
+    from lucene_spark.search.executor import search_after
+
+    idx = _index(spark, sf)
+    q = normalize(should=["spark"])
+    page1 = search_exhaustive(idx, q, k=10).collect()
+    if len(page1) < 10:
+        return spark.createDataFrame([], "docid long, score double")
+    cur = page1[-1]
+    res = search_after(idx, q, 10, cur["score"], cur["docid"])
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_synonym_topk(spark, sf):
+    """SynonymQuery semantics (SynonymQuery.java:52): union postings of
+    ('join','merge'), sum tf per doc, score once with blended df."""
+    idx = _index(spark, sf)
+    dec = decoded_postings(idx, ["join", "merge"])
+    g = dec.groupBy("docid").agg(F.sum("tf").alias("tf"), F.max("doclen").alias("doclen"))
+    df_syn = g.count()
+    n, avgdl = idx.field_stats.doc_count, float(idx.field_stats.avgdl())
+    idf = float(np.log(1.0 + (n - df_syn + 0.5) / (df_syn + 0.5)))
+    ninv = 1.0 / (F.lit(K1) * (F.lit(1 - B) + F.lit(B) * F.col("doclen") / F.lit(avgdl)))
+    score = F.lit(idf) - F.lit(idf) / (F.lit(1.0) + F.col("tf").cast("double") * ninv)
+    return (
+        g.select("docid", F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+
+
+MLT_SEED_DOC = 0
+
+
+def q_more_like_this(spark, sf):
+    """MoreLikeThis (MoreLikeThis.java:149): top-3 tf*idf terms of the seed
+    doc -> OR query top-10."""
+    idx = _index(spark, sf)
+    row = idx.docs.filter(F.col("docid") == MLT_SEED_DOC).select("content").collect()
+    from collections import Counter
+
+    tf = Counter(analyze(row[0]["content"]))
+    stats = idx.term_stats_for(list(tf))
+    n = idx.field_stats.doc_count
+    scored = [
+        (t, tf[t] * float(np.log(1.0 + (n - stats[t][0] + 0.5) / (stats[t][0] + 0.5))))
+        for t in tf
+        if t in stats
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    terms = [t for t, _ in scored[:3]]
+    return _topk(idx, should=terms)
+
+
+# --- training-pipeline ops ---------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from lucene_spark.pipeline.dedup import exact_dedup
+
+    g = exact_dedup(_docs(spark, sf))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_dups").alias("n_docs"),
+        F.sum(F.when(F.col("n_dups") > 1, F.col("n_dups")).otherwise(0)).alias("n_dup_docs"),
+    )
+
+
+def q_minhash_band_buckets(spark, sf):
+    from lucene_spark.pipeline.dedup import BANDS, ROWS_PER_BAND, minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf))
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+            ).alias(f"b{b}")
+            for b in range(BANDS)
+        ],
+    )
+    per_band = [
+        bands.groupBy(F.col(f"b{b}").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit(b).alias("band"), "bucket", "cnt")
+        for b in range(BANDS)
+    ]
+    allb = per_band[0]
+    for p in per_band[1:]:
+        allb = allb.unionAll(p)
+    return (
+        allb.groupBy("band")
+        .agg(F.countDistinct("bucket").alias("n_buckets"), F.max("cnt").alias("max_bucket"))
+        .orderBy("band")
+    )
+
+
+def q_simhash_values(spark, sf):
+    from lucene_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf)).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf):
+    from lucene_spark.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf)).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf):
+    from lucene_spark.pipeline.textstats import quality_score
+
+    return quality_score(_docs(spark, sf)).orderBy("doc_id")
+
+
+def q_token_count(spark, sf):
+    from lucene_spark.pipeline.textstats import token_count
+
+    return token_count(_docs(spark, sf)).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf):
+    from lucene_spark.pipeline.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf)).orderBy("doc_id")
+
+
+ANN_QUERY_VEC_ID = 7
+
+
+def _ann_query_vec(spark, sf):
+    row = _emb(spark, sf).filter(F.col("vec_id") == ANN_QUERY_VEC_ID).collect()
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def q_ann_cosine_topk(spark, sf):
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf), _ann_query_vec(spark, sf), k=10)
+
+
+def q_ann_lsh_buckets(spark, sf):
+    from lucene_spark.pipeline.similarity import hyperplanes, lsh_bucket_expr
+
+    emb = _emb(spark, sf)
+    planes = hyperplanes(64, n_planes=6, seed=42)
+    return (
+        emb.withColumn("bucket", lsh_bucket_expr("embedding", planes))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_cosine_neardup(spark, sf):
+    from lucene_spark.pipeline.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_emb(spark, sf), threshold=0.35).orderBy("id_a", "id_b")
+
+
+def q_multimodal_meta(spark, sf):
+    from lucene_spark.pipeline.multimodal import attach_payload
+
+    return attach_payload(_docs(spark, sf)).select(
+        "doc_id", "media_type", "byte_len", "payload_sha256"
+    ).orderBy("doc_id")
+
+
+PERCOLATE_QUERIES = [
+    (1, ["spark", "join"], 2),
+    (2, ["window", "hash", "table"], 2),
+    (3, ["qqqzzz"], 1),
+]
+
+
+def q_percolate(spark, sf):
+    from lucene_spark.streaming import percolate_batch
+
+    qdf = spark.createDataFrame(PERCOLATE_QUERIES, "qid int, terms array<string>, min_match int")
+    return percolate_batch(_docs(spark, sf), qdf).orderBy("qid", "doc_id")
+
+
+def q_tpch_join_util(spark, sf):
+    orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_events_agg(spark, sf):
+    events = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "term_topk": q_term_topk,
+        "bool_and_topk": q_bool_and_topk,
+        "bool_or_topk": q_bool_or_topk,
+        "bool_not_topk": q_bool_not_topk,
+        "free_text_topk": q_free_text_topk,
+        "repeated_term_qtf": q_repeated_term_qtf,
+        "req_opt_topk": q_req_opt_topk,
+        "term_absent": q_term_absent,
+        "count_single_term": q_count_single_term,
+        "prefix_count": q_prefix_count,
+        "fuzzy_count": q_fuzzy_count,
+        "wildcard_count": q_wildcard_count,
+        "term_in_set_facet": q_term_in_set_facet,
+        "range_query_count": q_range_query_count,
+        "facet_counts_lang": q_facet_counts_lang,
+        "range_facets_nchars": q_range_facets_nchars,
+        "group_topk_lang": q_group_topk_lang,
+        "docvalues_stats": q_docvalues_stats,
+        "join_matches_source": q_join_matches_source,
+        "searchafter_page2": q_searchafter_page2,
+        "synonym_topk": q_synonym_topk,
+        "more_like_this": q_more_like_this,
+        "dedup_exact": q_dedup_exact,
+        "minhash_band_buckets": q_minhash_band_buckets,
+        "simhash_values": q_simhash_values,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "cosine_neardup": q_cosine_neardup,
+        "multimodal_meta": q_multimodal_meta,
+        "percolate": q_percolate,
+        "tpch_join_util": q_tpch_join_util,
+        "events_agg": q_events_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+TOKLIST = "list_filter(string_split(text, ' '), t -> t <> '')"
+TOKSET = f"list_distinct({TOKLIST})"
+
+
+def _lang_sql() -> str:
+    from lucene_spark.pipeline.textstats import LANG_MARKERS
+
+    hits = {
+        lang: f"len(list_intersect({TOKSET}, [{', '.join(repr(w) for w in words)}]))"
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    g = "greatest(" + ", ".join(f"h_{l}" for l in sorted(hits)) + ")"
+    case = "CASE WHEN g = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = g THEN '{l}'" for l in sorted(hits)
+    ) + " END"
+    inner = ", ".join(f"{e} AS h_{l}" for l, e in hits.items())
+    return f"""
+WITH h AS (SELECT doc_id, {inner} FROM documents),
+g AS (SELECT doc_id, {g} AS g, * FROM h)
+SELECT doc_id, {case} AS pred_lang, g AS marker_hits FROM g ORDER BY doc_id"""
+
+
+def _simhash_sql() -> str:
+    from lucene_spark.pipeline.dedup import SIMHASH_BITS
+
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, v -> ((v >> {j}) & 1) = 1)) > len(hs) "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH h AS (SELECT doc_id,
+  list_transform({TOKSET}, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM documents)
+SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0 ELSE {terms} END AS simhash
+FROM h ORDER BY doc_id"""
+
+
+def _minhash_sql() -> str:
+    from lucene_spark.pipeline.dedup import BANDS, N_PERM, ROWS_PER_BAND
+
+    mins = ", ".join(
+        f"list_min(list_transform(ts, t -> md5(concat('{i}_', t)))) AS mh{i}"
+        for i in range(N_PERM)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")) AS bucket FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {mins} FROM
+    (SELECT doc_id, {TOKSET} AS ts FROM documents)),
+bands AS ({band_rows}),
+cnts AS (SELECT band, bucket, count(*) AS cnt FROM bands GROUP BY 1, 2)
+SELECT band, count(DISTINCT bucket) AS n_buckets, max(cnt) AS max_bucket
+FROM cnts GROUP BY band ORDER BY band"""
+
+
+def _ann_sql(spark_unused=None) -> str:
+    # literals resolved lazily at oracle_sql() call time is not possible
+    # (no spark session); the query vector is read via DuckDB itself.
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID}),
+c AS (SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM embeddings e CROSS JOIN q)
+SELECT vec_id, round(cos, 4) AS cosine FROM c
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def _ann_lsh_sql() -> str:
+    from lucene_spark.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes=6, seed=42)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+SELECT bucket, count(*) AS n FROM
+  (SELECT {terms} AS bucket FROM embeddings)
+GROUP BY bucket ORDER BY bucket"""
+
+
+def _percolate_sql() -> str:
+    parts = []
+    for qid, terms, mm in PERCOLATE_QUERIES:
+        lst = ", ".join(repr(t) for t in terms)
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, len(list_intersect({TOKSET}, [{lst}])) AS n_matched "
+            f"FROM documents WHERE len(list_intersect({TOKSET}, [{lst}])) >= {mm}"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY qid, doc_id"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_spark.pipeline.textstats import LANG_MARKERS  # noqa: F401
+
+    sql = {
+        "term_topk": bm25_topk_sql({"spark": 1}),
+        "bool_and_topk": bm25_topk_sql(
+            {"window": 1, "stream": 1, "hash": 1}, required=["window", "stream", "hash"]
+        ),
+        "bool_or_topk": bm25_topk_sql({"join": 1, "merge": 1, "scan": 1}),
+        "bool_not_topk": bm25_topk_sql({"spark": 1}, excluded=["join"]),
+        "free_text_topk": bm25_topk_sql({"spark": 1, "join": 1, "window": 1}),
+        "repeated_term_qtf": bm25_topk_sql({"spark": 2, "join": 1}),
+        "req_opt_topk": bm25_topk_sql(
+            {"spark": 1, "window": 1, "hash": 1}, required=["spark"]
+        ),
+        "term_absent": bm25_topk_sql({"qqqzzz": 1}),
+        "count_single_term": f"WITH {TOKS_CTE.strip()} "
+        "SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE term = 'spark'",
+        "prefix_count": f"WITH {TOKS_CTE.strip()} "
+        "SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE term LIKE 'wi%'",
+        "fuzzy_count": f"WITH {TOKS_CTE.strip()} "
+        "SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE levenshtein(term, 'sparc') <= 1",
+        "wildcard_count": f"WITH {TOKS_CTE.strip()} "
+        "SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE regexp_matches(term, '^me.*e$')",
+        "term_in_set_facet": f"WITH {TOKS_CTE.strip()} "
+        "SELECT d.lang, count(*) AS n FROM "
+        "(SELECT DISTINCT doc_id FROM toks WHERE term IN ('join', 'merge')) m "
+        "JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang",
+        "range_query_count": f"WITH {TOKS_CTE.strip()} "
+        "SELECT count(*) AS n_docs FROM "
+        "(SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') m "
+        "JOIN documents d USING (doc_id) WHERE d.n_chars >= 100 AND d.n_chars < 300",
+        "facet_counts_lang": bm25_matches_cte({"spark": 1})
+        + """
+SELECT d.lang, count(*) AS n FROM hits JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY n DESC, d.lang ASC""",
+        "range_facets_nchars": bm25_matches_cte({"join": 1})
+        + """
+SELECT bucket, count(*) AS n FROM (
+  SELECT CASE WHEN d.n_chars >= 0 AND d.n_chars < 200 THEN 0
+              WHEN d.n_chars >= 200 AND d.n_chars < 400 THEN 200
+              WHEN d.n_chars >= 400 AND d.n_chars < 600 THEN 400 END AS bucket
+  FROM hits JOIN documents d USING (doc_id))
+WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""",
+        "group_topk_lang": bm25_matches_cte({"spark": 1, "join": 1})
+        + """
+SELECT lang, docid, score, rnk FROM (
+  SELECT d.lang AS lang, hits.doc_id AS docid, round(hits.score, 4) AS score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY hits.score DESC, hits.doc_id ASC) AS rnk
+  FROM hits JOIN documents d USING (doc_id)) WHERE rnk <= 2""",
+        "docvalues_stats": bm25_matches_cte({"window": 1})
+        + """
+SELECT count(*) AS n, min(d.n_chars) AS min_v, max(d.n_chars) AS max_v,
+       round(avg(d.n_chars), 4) AS avg_v, CAST(sum(d.n_chars) AS BIGINT) AS sum_v
+FROM hits JOIN documents d USING (doc_id)""",
+        "join_matches_source": bm25_matches_cte({"spark": 1})
+        + """
+SELECT d.source AS source, round(sum(hits.score), 4) AS join_score,
+       count(*) AS n_hits, upper(d.source) AS label
+FROM hits JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source""",
+        "searchafter_page2": bm25_scored_tail_sql(),
+        "synonym_topk": _synonym_sql(),
+        "more_like_this": _mlt_sql(),
+        "dedup_exact": """
+WITH g AS (SELECT md5(text) AS h, count(*) AS n_dups FROM documents GROUP BY 1)
+SELECT count(*) AS n_groups, CAST(sum(n_dups) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_dups > 1 THEN n_dups ELSE 0 END) AS BIGINT) AS n_dup_docs FROM g""",
+        "minhash_band_buckets": _minhash_sql(),
+        "simhash_values": _simhash_sql(),
+        "lang_id": _lang_sql(),
+        "quality_score": f"""
+SELECT doc_id,
+       len({TOKLIST}) AS n_tokens,
+       CAST(len({TOKSET}) AS BIGINT) AS n_unique,
+       CAST(len(list_intersect({TOKLIST}, [{STOPLIST_SQL}])) AS BIGINT) AS n_stopword_kinds,
+       round(len({TOKSET}) / greatest(CAST(len({TOKLIST}) AS DOUBLE), 1.0), 4) AS unique_ratio,
+       round(0.4 * least(len({TOKLIST}) / 100.0, 1.0)
+           + 0.4 * (len({TOKSET}) / greatest(CAST(len({TOKLIST}) AS DOUBLE), 1.0))
+           + 0.2 * least((length(text) / greatest(CAST(len({TOKLIST}) AS DOUBLE), 1.0)) / 8.0, 1.0), 4)
+         AS quality
+FROM documents ORDER BY doc_id""",
+        "token_count": f"""
+SELECT doc_id, len({TOKLIST}) AS n_tokens,
+       CAST(coalesce(list_aggregate(list_transform({TOKLIST},
+            t -> CAST(ceil(length(t) / 4.0) AS INT)), 'sum'), 0) AS BIGINT) AS n_subwords
+FROM documents ORDER BY doc_id""",
+        "fingerprint": f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort({TOKSET}), ' ')) AS fingerprint,
+       md5(text) AS exact_hash
+FROM documents ORDER BY doc_id""",
+        "ann_cosine_topk": _ann_sql(),
+        "ann_lsh_buckets": _ann_lsh_sql(),
+        "cosine_neardup": """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+ORDER BY id_a, id_b""",
+        "multimodal_meta": """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS payload_sha256
+FROM documents ORDER BY doc_id""",
+        "percolate": _percolate_sql(),
+        "tpch_join_util": """
+SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+        "events_agg": """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type""",
+    }
+    return sql
+
+
+def bm25_scored_tail_sql() -> str:
+    from lucene_spark.oracle import bm25_scored_cte
+
+    return (
+        bm25_scored_cte({"spark": 1})
+        + """
+SELECT doc_id AS docid, round(score, 4) AS score FROM agg
+ORDER BY score DESC, docid ASC LIMIT 10 OFFSET 10"""
+    )
+
+
+def _synonym_sql() -> str:
+    return (
+        "WITH "
+        + BM25_CTES
+        + """,
+syn AS (SELECT tf.doc_id, sum(tf.tf) AS tf FROM tf
+        WHERE tf.term IN ('join', 'merge') GROUP BY 1),
+dfs AS (SELECT count(*) AS df FROM syn),
+w AS (SELECT ln(1 + (fs.doc_cnt - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+      FROM dfs CROSS JOIN fs)
+SELECT syn.doc_id AS docid,
+       round(w.w - w.w / (1 + CAST(syn.tf AS DOUBLE)
+                              * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))), 4) AS score
+FROM syn JOIN dl ON syn.doc_id = dl.doc_id CROSS JOIN w CROSS JOIN fs
+ORDER BY (w.w - w.w / (1 + CAST(syn.tf AS DOUBLE)
+                           * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl))))) DESC,
+         docid ASC
+LIMIT 10"""
+    )
+
+
+def _mlt_sql() -> str:
+    return (
+        "WITH "
+        + BM25_CTES
+        + f""",
+alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+seed AS (SELECT tf.term, tf.tf FROM tf WHERE tf.doc_id = {MLT_SEED_DOC}),
+mlt AS (SELECT s.term,
+               s.tf * ln(1 + (fs.doc_cnt - a.df + 0.5) / (a.df + 0.5)) AS tfidf
+        FROM seed s JOIN alldf a ON s.term = a.term CROSS JOIN fs
+        ORDER BY tfidf DESC, s.term ASC LIMIT 3),
+qt AS (SELECT term, 1 AS qtf FROM mlt),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+w AS (SELECT q.term,
+             q.qtf * ln(1 + (fs.doc_cnt - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
+      FROM qt q JOIN dfreq ON q.term = dfreq.term CROSS JOIN fs),
+scored AS (
+  SELECT tf.doc_id, w.term,
+         w.w - w.w / (1 + CAST(tf.tf AS DOUBLE)
+                          * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))) AS s
+  FROM tf JOIN w ON tf.term = w.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs),
+agg AS (SELECT doc_id, sum(s) AS score FROM scored GROUP BY 1)
+SELECT doc_id AS docid, round(score, 4) AS score FROM agg
+ORDER BY score DESC, docid ASC LIMIT 10"""
+    )

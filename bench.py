@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: index-build throughput + top-k query latency.
+
+Prints ONE JSON line:
+  {"metric": "index_build_seconds", "value": <build sec>, "unit": "sec",
+   "queries": {<name>: <sec>, ...}, "sf": <sf>,
+   "docs_per_sec": ..., "n_docs": ..., "blocks_decoded_ratio": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir for the query corpus (default sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_DOCS           synthetic source-code corpus size for the build
+                       throughput measurement (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
+
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, search_topk
+    from lucene_spark.search.plan import normalize
+    from lucene_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # --- index-build throughput over the synthetic source-code corpus
+    build_dir = f"/tmp/lucene_spark_bench/build_{cpus}_{n_docs}"
+    shutil.rmtree(build_dir, ignore_errors=True)
+    docs = corpus_spark_df(spark, n_docs, seed=42, num_partitions=cpus)
+    docs.count()  # materialize input outside the timed window
+    cfg = IndexConfig(num_segments=cpus, hot_df_threshold=max(200, n_docs // 20),
+                      merge_bucket_segments=max(2, cpus // 8))
+    t0 = time.perf_counter()
+    build_index(spark, docs, build_dir, cfg)
+    build_sec = time.perf_counter() - t0
+
+    # --- query latency over the sf corpus (documents.parquet)
+    import __spark_entry__ as entry
+
+    idx_docs = entry._index(spark, sf_dir)
+    bench_queries = {
+        "q_term_hot": normalize(should=["spark"]),
+        "q_term_rare": normalize(should=["vector"]),
+        "q_and3": normalize(must=["window", "stream", "hash"]),
+        "q_or3": normalize(should=["join", "merge", "scan"]),
+        "q_free_text": normalize(should=["spark", "join", "window", "table"]),
+        "q_not": normalize(should=["spark"], must_not=["join"]),
+        "q_qtf": normalize(should=["spark", "spark", "join"]),
+    }
+    # warm the JVM/readers once
+    search_topk(idx_docs, bench_queries["q_term_rare"], k=10).collect()
+
+    q_secs = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        search_topk(idx_docs, q, k=10).collect()
+        q_secs[name] = round(time.perf_counter() - t0, 4)
+
+    # block-skip effectiveness on a conjunctive query
+    m = search_topk(idx_docs, normalize(must=["vector", "spark"]), k=10,
+                    with_metrics=True).collect()
+    ratio = None
+    if m:
+        tot = sum({r["blocks_total"] for r in m})
+        dec = sum({r["blocks_decoded"] for r in m})
+        ratio = round(dec / tot, 4) if tot else None
+
+    out = {
+        "metric": "index_build_seconds",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": q_secs,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "cpus": cpus,
+        "blocks_decoded_ratio": ratio,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,12 +17,19 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+    # cast operands to double BEFORE multiplying: float32 products would
+    # diverge from the ANSI-SQL oracle (DOUBLE[] arithmetic) at ~1e-7
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
 
 
 def cosine_topk(df: DataFrame, query_vec, k: int = 10, vec_col: str = "embedding",

@@ -39,7 +39,7 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         F.col("doc_id"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         bpe.cast("long").alias("n_subwords"),
     )
 
@@ -63,7 +63,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         F.col("doc_id"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         n_uniq.cast("long").alias("n_unique"),
         n_stop.cast("long").alias("n_stopword_kinds"),
         F.round(uniq_ratio, 4).alias("unique_ratio"),
@@ -95,7 +95,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         F.col("doc_id"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
-        best["hits"].alias("marker_hits"),
+        best["hits"].cast("long").alias("marker_hits"),
     )
 
 

@@ -41,7 +41,7 @@ def range_facets(index: Index, q: NormalizedQuery, col: str,
     bucket = None
     for lo, hi in zip(edges, edges[1:]):
         cond = (F.col(col) >= lo) & (F.col(col) < hi)
-        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
+        bucket = F.when(cond, F.lit(lo).cast("long")) if bucket is None else bucket.when(cond, F.lit(lo).cast("long"))
     return (
         _matches_with(index, q, [col])
         .withColumn("bucket", bucket)
@@ -67,7 +67,7 @@ def group_topk(index: Index, q: NormalizedQuery, group_col: str, k_per_group: in
             .select(group_col)
         )
         top = top.join(F.broadcast(heads), group_col)
-    return top.select(group_col, "docid", F.round("score", 4).alias("score"), "rnk")
+    return top.select(group_col, "docid", F.round("score", 4).alias("score"), F.col("rnk").cast("long").alias("rnk"))
 
 
 def docvalues_stats(index: Index, q: NormalizedQuery, col: str, **kw) -> DataFrame:

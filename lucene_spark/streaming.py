@@ -35,7 +35,7 @@ def percolate_batch(docs: DataFrame, queries: DataFrame, text_col: str = "text")
     toked = docs.withColumn("__toks__", F.array_distinct(tokens(text_col)))
     j = toked.crossJoin(F.broadcast(queries))
     return (
-        j.withColumn("n_matched", F.size(F.array_intersect("__toks__", "terms")))
+        j.withColumn("n_matched", F.size(F.array_intersect("__toks__", "terms")).cast("long"))
         .filter(F.col("n_matched") >= F.col("min_match"))
         .select("qid", "doc_id", "n_matched")
     )

@@ -1,0 +1,76 @@
+"""Replicates the driver's correctness gate: each __spark_entry__.queries()
+entry vs its oracle_sql() DuckDB result at sf0.01 (row count, schema names,
+order-insensitive values)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_frames_match(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    assert sorted(got.columns) == sorted(want.columns), f"{name}: columns differ"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    g, w = canon(got), canon(want)
+    for c in g.columns:
+        gv, wv = g[c].tolist(), w[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, wv)):
+            if isinstance(a, float) or isinstance(b, float):
+                af, bf = float(a), float(b)
+                ok = (math.isnan(af) and math.isnan(bf)) or af == pytest.approx(bf, abs=1e-9)
+                assert ok, f"{name}.{c}[{i}]: {a!r} != {b!r}"
+            else:
+                assert str(a) == str(b), f"{name}.{c}[{i}]: {a!r} != {b!r}"
+
+
+def _all_names():
+    import __spark_entry__ as entry
+
+    return sorted(entry.queries())
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_query_matches_oracle(spark, duck, name):
+    import __spark_entry__ as entry
+
+    fn = entry.queries()[name]
+    sql = entry.oracle_sql().get(name)
+    assert sql is not None, f"{name} has no oracle"
+    got = fn(spark, SF_DIR).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert_frames_match(got, want, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {"docid", "score", "lang"} <= set(df.columns)
