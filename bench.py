@@ -39,8 +39,14 @@ def main() -> None:
     # --- index-build throughput over the synthetic source-code corpus
     build_dir = f"/tmp/lucene_spark_bench/build_{cpus}_{n_docs}"
     shutil.rmtree(build_dir, ignore_errors=True)
-    docs = corpus_spark_df(spark, n_docs, seed=42, num_partitions=cpus)
-    docs.count()  # materialize input outside the timed window
+    # materialize the input corpus as a parquet table OUTSIDE the timed
+    # window (the real input is an Iceberg/parquet table, not driver RAM)
+    corpus_path = f"/tmp/lucene_spark_bench/corpus_{n_docs}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus_spark_df(spark, n_docs, seed=42, num_partitions=cpus).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
     cfg = IndexConfig(num_segments=cpus, hot_df_threshold=max(200, n_docs // 20),
                       merge_bucket_segments=max(2, cpus // 8))
     t0 = time.perf_counter()

@@ -73,6 +73,45 @@ def make_corpus(n_docs: int, seed: int = 42) -> List[Tuple[str, str, str, str, s
     return rows
 
 
+def corpus_spark_df_dist(spark, n_docs: int, seed: int = 42, num_partitions: int = 64):
+    """Distributed deterministic corpus: numpy-vectorized generation inside
+    mapInPandas (per-partition seeded RNG). For throughput/scaling
+    benchmarks at 10^5..10^7 docs where the driver-side generator is too
+    slow; same schema and similar (Zipf-hot) token mix as make_corpus."""
+    import numpy as np
+    import pandas as pd
+
+    vocab = np.array(KEYWORDS * 8 + VOCAB + ["the", "a", "of", "to", "in"], dtype=object)
+    hot_p = np.ones(len(vocab))
+    hot_p[: len(KEYWORDS) * 8] = 3.0  # Zipf head
+    hot_p /= hot_p.sum()
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(seed * 1_000_003 + int(ids[0]))
+            n = len(ids)
+            counts = rng.integers(20, 200, size=n)
+            flat = rng.choice(vocab, p=hot_p, size=int(counts.sum()))
+            bounds = np.cumsum(counts)[:-1]
+            contents = [" ".join(c) for c in np.split(flat, bounds)]
+            langs = np.array(LANGS, dtype=object)[ids % 4]
+            yield pd.DataFrame(
+                {
+                    "repo": [f"org/repo{i % 8}" for i in ids],
+                    "path": [f"src/dir{i % 13}/file{i}.py" for i in ids],
+                    "commit": [hashlib.sha1(f"commit{i // 100}".encode()).hexdigest()[:12] for i in ids],
+                    "lang": langs,
+                    "content": contents,
+                }
+            )
+
+    return (
+        spark.range(n_docs, numPartitions=num_partitions)
+        .mapInPandas(gen, "repo string, path string, commit string, lang string, content string")
+    )
+
+
 def corpus_spark_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
     """Corpus as a Spark DataFrame (content sha256 computed engine-side)."""
     rows = make_corpus(n_docs, seed)

@@ -50,6 +50,30 @@ from ..analysis import ENGLISH_STOP_WORDS, analyze_batch
 from ..functions.codec import encode_postings
 from ..functions.smallfloat import int_to_byte4
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_coalesce(spark: SparkSession):
+    """Disable AQE partition coalescing for compute-bound pandas stages.
+
+    AQE coalesces shuffle partitions by BYTE size (64 MB advisory), but the
+    segment invert is CPU-bound at ~5 MB/core-s — byte-based coalescing
+    collapses a 32-way invert into ~3 fat tasks (measured 3x slowdown on
+    local[32]). Parallelism, not partition size, is the right target here.
+    """
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = "true"
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 MANIFEST_SCHEMA = (
     "segment_id int, first_docid long, last_docid long, num_docs long, "
     "doc_count long, sum_doclen long, num_terms long, num_postings long, "
@@ -132,7 +156,7 @@ class IndexPaths:
 
 
 def _invert_group(
-    pdf: pd.DataFrame,
+    table,
     segment_id: int,
     docid_base: int,
     paths: IndexPaths,
@@ -140,8 +164,22 @@ def _invert_group(
 ) -> pd.DataFrame:
     """Build one segment: assign docids, analyze, invert, encode, write shards.
 
-    Runs inside applyInPandas. Returns the one-row manifest frame.
+    ``table`` is a pyarrow Table (the worker reads its staged file
+    directly). The analyze+invert chain is Arrow C kernels + numpy — no
+    per-token Python objects (flat_code_tokens). Returns the one-row
+    manifest frame.
     """
+    from ..analysis import flat_code_tokens
+
+    # one task == one core: stop Arrow from spawning its own 32-thread pool
+    # per worker (32 workers x 32 threads otherwise thrash the host)
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
     manifest_path = paths.manifest_file(segment_id)
     if os.path.exists(manifest_path):  # resume: lineage says done
         with open(manifest_path) as f:
@@ -149,61 +187,72 @@ def _invert_group(
         row["resumed"] = True
         return pd.DataFrame([row])
 
+    sort_cols = [cfg.docid_col] if cfg.docid_col else list(cfg.order_cols)
+    table = table.sort_by([(c, "ascending") for c in sort_cols])
+    n_rows = table.num_rows
     if cfg.docid_col:
-        pdf = pdf.sort_values(cfg.docid_col, kind="mergesort").reset_index(drop=True)
-        docids = pdf[cfg.docid_col].to_numpy(dtype=np.int64)
+        docids = table[cfg.docid_col].to_numpy(zero_copy_only=False).astype(np.int64)
     else:
-        pdf = pdf.sort_values(list(cfg.order_cols), kind="mergesort").reset_index(drop=True)
-        docids = docid_base + np.arange(len(pdf), dtype=np.int64)
+        docids = docid_base + np.arange(n_rows, dtype=np.int64)
 
-    tokens = analyze_batch(pdf[cfg.content_col], cfg.stop_words)
-    doclens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
-
-    # --- invert: explode + groupby == TermsHashPerField.add, vectorized
-    counts = np.maximum(doclens, 0)
-    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens]) if len(tokens) else np.array([], dtype=object)
-    flat_docids = np.repeat(docids, counts)
-    tf_frame = (
-        pd.DataFrame({"term": flat_terms, "docid": flat_docids})
-        .groupby(["term", "docid"], sort=True, observed=True)
-        .size()
-        .rename("tf")
-        .reset_index()
-    )
-    dl_by_docid = pd.Series(doclens, index=docids)
-    tf_frame["doclen"] = dl_by_docid.reindex(tf_frame["docid"]).to_numpy(dtype=np.int64)
+    # --- analyze + invert == analyzer chain + TermsHashPerField.add:
+    # Arrow-kernel tokenize/dict-encode, then lexsort (code, doc) + RLE.
+    codes, flat_docix, vocab = flat_code_tokens(table[cfg.content_col], cfg.stop_words)
+    doclens = np.bincount(flat_docix, minlength=n_rows).astype(np.int64)
+    # remap codes so code order == sorted term order (term-sorted output
+    # rows -> parquet min/max row-group pruning on term)
+    if len(vocab):
+        vorder = np.argsort(vocab)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[vorder] = np.arange(len(vocab))
+        codes = rank[codes]
+        uniq_terms = vocab[vorder]
+    else:
+        uniq_terms = vocab
+    order = np.lexsort((flat_docix, codes))
+    s_codes = codes[order]
+    s_docix = flat_docix[order]
+    if len(s_codes):
+        new_run = np.empty(len(s_codes), dtype=bool)
+        new_run[0] = True
+        np.logical_or(s_codes[1:] != s_codes[:-1], s_docix[1:] != s_docix[:-1], out=new_run[1:])
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.concatenate((run_starts[1:], [len(s_codes)]))
+        p_codes = s_codes[run_starts]
+        p_docix = s_docix[run_starts]
+        p_tfs = run_ends - run_starts
+        p_ids = docids[p_docix]
+        p_dls = doclens[p_docix]
+        term_starts = np.flatnonzero(
+            np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
+        )
+        term_ends = np.concatenate((term_starts[1:], [len(p_codes)]))
+    else:
+        p_codes = p_docix = p_tfs = p_ids = p_dls = np.empty(0, dtype=np.int64)
+        term_starts = term_ends = np.empty(0, dtype=np.int64)
 
     # --- per-term block encoding (FreqProxTermsWriter flush analog)
     terms_out: List[dict] = []
-    t_ids = tf_frame["docid"].to_numpy(dtype=np.int64)
-    t_tfs = tf_frame["tf"].to_numpy(dtype=np.int64)
-    t_dls = tf_frame["doclen"].to_numpy(dtype=np.int64)
-    term_vals = tf_frame["term"].to_numpy(dtype=object)
-    # groupby(sort=True) output is sorted by (term, docid): slice runs per term
-    if len(term_vals):
-        change = np.flatnonzero(term_vals[1:] != term_vals[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(term_vals)]))
-        for s, e in zip(starts, ends):
-            ids, tfs, dls = t_ids[s:e], t_tfs[s:e], t_dls[s:e]
-            blocks, firsts, lasts, maxtfs, mindls = encode_postings(ids, tfs, dls)
-            terms_out.append(
-                {
-                    "term": term_vals[s],
-                    "segment_id": segment_id,
-                    "df": e - s,
-                    "ttf": int(tfs.sum()),
-                    "first_docid": int(ids[0]),
-                    "last_docid": int(ids[-1]),
-                    "max_tf": int(tfs.max()),
-                    "min_doclen": int(dls.min()),
-                    "block_first": firsts,
-                    "block_last": lasts,
-                    "block_maxtf": maxtfs,
-                    "block_mindl": mindls,
-                    "block_data": blocks,
-                }
-            )
+    for s, e in zip(term_starts, term_ends):
+        ids, tfs, dls = p_ids[s:e], p_tfs[s:e], p_dls[s:e]
+        blocks, firsts, lasts, maxtfs, mindls = encode_postings(ids, tfs, dls)
+        terms_out.append(
+            {
+                "term": uniq_terms[p_codes[s]],
+                "segment_id": segment_id,
+                "df": int(e - s),
+                "ttf": int(tfs.sum()),
+                "first_docid": int(ids[0]),
+                "last_docid": int(ids[-1]),
+                "max_tf": int(tfs.max()),
+                "min_doclen": int(dls.min()),
+                "block_first": firsts,
+                "block_last": lasts,
+                "block_maxtf": maxtfs,
+                "block_mindl": mindls,
+                "block_data": blocks,
+            }
+        )
 
     # --- write shards (Lucene flush-to-segment-files analog)
     os.makedirs(paths.postings, exist_ok=True)
@@ -211,7 +260,13 @@ def _invert_group(
     os.makedirs(paths.docs, exist_ok=True)
     os.makedirs(paths.segments, exist_ok=True)
     postings_tbl = pa.Table.from_pylist(terms_out, schema=POSTINGS_ARROW_SCHEMA)
-    pq.write_table(postings_tbl, os.path.join(paths.postings, f"segment-{segment_id:05d}.parquet"))
+    # small row groups + term-sorted rows -> parquet min/max stats give the
+    # scan row-group pruning on term filters (the .tip term-index analog)
+    pq.write_table(
+        postings_tbl,
+        os.path.join(paths.postings, f"segment-{segment_id:05d}.parquet"),
+        row_group_size=4096,
+    )
 
     norm_bytes = int_to_byte4(doclens)
     norms_tbl = pa.table(
@@ -224,24 +279,23 @@ def _invert_group(
     )
     pq.write_table(norms_tbl, os.path.join(paths.norms, f"segment-{segment_id:05d}.parquet"))
 
-    doc_cols = {"docid": docids}
-    for c in pdf.columns:
-        if c in ("__pid__", cfg.content_col):
-            continue
-        doc_cols[c] = pdf[c].to_numpy()
-    if cfg.keep_content:
-        doc_cols[cfg.content_col] = pdf[cfg.content_col].to_numpy()
-    pq.write_table(pa.table(doc_cols), os.path.join(paths.docs, f"segment-{segment_id:05d}.parquet"))
+    drop = {"__pid__"} | (set() if cfg.keep_content else {cfg.content_col})
+    docs_tbl = table.select([c for c in table.column_names if c not in drop])
+    docs_tbl = docs_tbl.add_column(0, "docid", pa.array(docids, type=pa.int64()))
+    # strip Spark's row-metadata KV inherited from the staged file: Spark
+    # trusts footer KV over the physical schema and would see stale columns
+    docs_tbl = docs_tbl.replace_schema_metadata(None)
+    pq.write_table(docs_tbl, os.path.join(paths.docs, f"segment-{segment_id:05d}.parquet"))
 
     row = {
         "segment_id": segment_id,
         "first_docid": int(docids[0]) if len(docids) else -1,
         "last_docid": int(docids[-1]) if len(docids) else -1,
-        "num_docs": int(len(pdf)),
+        "num_docs": int(n_rows),
         "doc_count": int((doclens > 0).sum()),  # docs with >=1 token == Terms.getDocCount()
         "sum_doclen": int(doclens.sum()),
         "num_terms": len(terms_out),
-        "num_postings": int(len(tf_frame)),
+        "num_postings": int(len(p_codes)),
         "status": "complete",
         "resumed": False,
     }
@@ -267,34 +321,51 @@ def build_segments(
     staged_dir = paths.staged_gen(generation)
     # --- stage: freeze deterministic range partitioning (docid basis)
     if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
-        n_docs = docs.count()
-        nseg = cfg.num_segments or max(1, math.ceil(n_docs / cfg.target_docs_per_segment))
+        nseg = cfg.num_segments or max(
+            1, math.ceil(docs.count() / cfg.target_docs_per_segment)
+        )
         cols = [cfg.docid_col] if cfg.docid_col else list(cfg.order_cols)
+        # sha256 AFTER the range shuffle: the range partitioner's sampling
+        # pass re-evaluates its child plan, so hashing pre-shuffle would
+        # compute sha twice; post-shuffle it runs once, nseg-way parallel.
         staged = (
-            docs.withColumn("content_sha256", F.sha2(F.col(cfg.content_col), 256))
-            .repartitionByRange(nseg, *[F.col(c) for c in cols])
+            docs.repartitionByRange(nseg, *[F.col(c) for c in cols])
+            .withColumn("content_sha256", F.sha2(F.col(cfg.content_col), 256))
             .withColumn("__pid__", F.spark_partition_id())
         )
         staged.write.mode("overwrite").parquet(staged_dir)
 
-    staged = spark.read.parquet(staged_dir)
+    # Segment tasks are FILE-granular: one staged parquet file == one
+    # docid-range partition == one segment (DWPT analog). Workers read
+    # their file directly with pyarrow — no second full-content shuffle,
+    # no JVM->Python Arrow round trip for the corpus bytes.
+    import glob as _glob
 
-    # --- per-partition doc counts -> docid offsets (column-pruned scan)
-    pid_counts = staged.groupBy("__pid__").count().collect()
-    pid_counts.sort(key=lambda r: r["__pid__"])
+    files = sorted(_glob.glob(os.path.join(staged_dir, "part-*.parquet")))
+
+    def _pid_of(f: str) -> int:
+        return int(os.path.basename(f).split("-")[1])
+
+    # docid offsets from parquet footers (driver-side metadata read, no job)
+    counts = {_pid_of(f): pq.ParquetFile(f).metadata.num_rows for f in files}
     offsets = {}
     acc = docid_base
-    for r in pid_counts:
-        offsets[r["__pid__"]] = acc
-        acc += r["count"]
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
 
     cfg_bc, paths_bc, offsets_bc, sid_base = cfg, paths, offsets, segment_id_base
 
     def seg_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        sid = int(key[0])
-        return _invert_group(pdf, sid + sid_base, offsets_bc.get(sid, 0), paths_bc, cfg_bc)
+        pid = int(key[0])
+        data = pq.read_table(pdf["path"].iloc[0], use_threads=False)
+        return _invert_group(data, pid + sid_base, offsets_bc.get(pid, 0), paths_bc, cfg_bc)
 
-    staged.groupBy("__pid__").applyInPandas(seg_fn, MANIFEST_SCHEMA).collect()
+    meta = spark.createDataFrame(
+        [(_pid_of(f), f) for f in files], "pid int, path string"
+    )
+    with _no_coalesce(spark):
+        meta.groupBy("pid").applyInPandas(seg_fn, MANIFEST_SCHEMA).collect()
 
 
 def read_manifests(paths: IndexPaths) -> List[dict]:
@@ -379,15 +450,16 @@ def finalize_index(spark: SparkSession, paths: IndexPaths, cfg: IndexConfig) -> 
             return pd.DataFrame([out])
 
         nmerge = max(4, spark.sparkContext.defaultParallelism)
-        (
-            with_salt.drop("__hot__")
-            .groupBy("term", "salt")
-            .applyInPandas(merge_fn, merged_schema)
-            .repartition(nmerge, "term")
-            .sortWithinPartitions("term", "salt")
-            .write.mode("overwrite")
-            .parquet(paths.merged)
-        )
+        with _no_coalesce(spark):
+            (
+                with_salt.drop("__hot__")
+                .groupBy("term", "salt")
+                .applyInPandas(merge_fn, merged_schema)
+                .repartition(nmerge, "term")
+                .sortWithinPartitions("term", "salt")
+                .write.mode("overwrite")
+                .parquet(paths.merged)
+            )
 
 
 def build_index(

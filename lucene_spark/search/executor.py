@@ -54,6 +54,7 @@ class Index:
         self.field_stats = FieldStats(
             fs["max_doc"], fs["doc_count"], fs["sum_total_term_freq"], fs["sum_doc_freq"]
         )
+        self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "Index":
@@ -81,11 +82,34 @@ class Index:
 
     def term_stats_for(self, terms: Sequence[str]) -> Dict[str, Tuple[int, int]]:
         """Driver-side lookup of (df, ttf) for a few query terms
-        (TermStates.build analog — global stats before scoring)."""
-        if not terms:
-            return {}
-        rows = self.term_stats.filter(F.col("term").isin(list(terms))).collect()
-        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+        (TermStates.build analog — global stats before scoring).
+
+        Reads the term_stats parquet directly with a pushed-down filter
+        (row-group pruning on the term-sorted files) instead of launching a
+        Spark job — this is the FST term-dictionary *seek*, not a scan.
+        Results are memoized per Index instance."""
+        requested = list(terms)
+        terms = [t for t in requested if t not in self._stats_cache]
+        if terms:
+            try:
+                import glob
+
+                import pyarrow.parquet as pq
+
+                files = sorted(glob.glob(os.path.join(self.paths.term_stats, "*.parquet")))
+                tbl = pq.ParquetDataset(files, filters=[("term", "in", list(terms))]).read()
+                found = dict(
+                    zip(
+                        tbl["term"].to_pylist(),
+                        zip(tbl["df"].to_pylist(), tbl["ttf"].to_pylist()),
+                    )
+                )
+            except Exception:  # fall back to a Spark job
+                rows = self.term_stats.filter(F.col("term").isin(list(terms))).collect()
+                found = {r["term"]: (r["df"], r["ttf"]) for r in rows}
+            for t in terms:
+                self._stats_cache[t] = found.get(t)
+        return {t: self._stats_cache[t] for t in requested if self._stats_cache.get(t)}
 
     def expand_terms(
         self,

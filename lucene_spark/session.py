@@ -9,6 +9,16 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "lucene_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # Python workers inherit this env: keep large numpy/pandas buffers
+    # inside the process between tasks instead of munmap/re-fault cycles —
+    # with 32 concurrent workers the kernel page-zeroing otherwise
+    # dominates (observed 60-80% sys time on the invert stage).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))
+    # each Spark task is one core; BLAS/OpenMP threading inside workers
+    # would oversubscribe (n_workers x n_threads)
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     cores = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
     n = int(cores) if cores.isdigit() else os.cpu_count() or 8
@@ -21,6 +31,10 @@ def get_spark(app: str = "lucene_spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # compute-per-byte here (sha256, tokenize) is high: bin-pack file
+        # scans into small splits so the scan side parallelizes
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.sql.files.openCostInBytes", "2m")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
