@@ -39,7 +39,7 @@ from lucene_spark.search.executor import (
 )
 from lucene_spark.search.plan import normalize
 
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2
 _INDEX_CACHE: dict = {}
 
 K1, B = 1.2, 0.75

@@ -28,7 +28,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
 
-    from lucene_spark.corpus import corpus_spark_df
+
     from lucene_spark.index.builder import IndexConfig, build_index
     from lucene_spark.search.executor import Index, search_topk
     from lucene_spark.search.plan import normalize
@@ -37,13 +37,16 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
     # --- index-build throughput over the synthetic source-code corpus
-    build_dir = f"/tmp/lucene_spark_bench/build_{cpus}_{n_docs}"
+    scratch = os.environ.get("BENCH_SCRATCH", "/dev/shm/lucene_spark_bench")
+    build_dir = f"{scratch}/build_{cpus}_{n_docs}"
     shutil.rmtree(build_dir, ignore_errors=True)
     # materialize the input corpus as a parquet table OUTSIDE the timed
     # window (the real input is an Iceberg/parquet table, not driver RAM)
-    corpus_path = f"/tmp/lucene_spark_bench/corpus_{n_docs}"
+    from lucene_spark.corpus import corpus_spark_df_dist
+
+    corpus_path = f"{scratch}/corpus_{n_docs}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        corpus_spark_df(spark, n_docs, seed=42, num_partitions=cpus).write.mode(
+        corpus_spark_df_dist(spark, n_docs, seed=42, num_partitions=max(cpus, 8)).write.mode(
             "overwrite"
         ).parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)

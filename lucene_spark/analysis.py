@@ -155,9 +155,9 @@ def flat_code_tokens(arr, stop_words: frozenset = ENGLISH_STOP_WORDS):
     clean = pc.if_else(pa.array(is_ascii), arr.fill_null(""), pa.scalar(""))
     lower = pc.ascii_lower(clean)
     lists = pc.split_pattern_regex(lower, pattern=r"[^0-9a-z_.':,]+")
-    lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(lists)
-    docix = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # doc index per flat token via the Arrow kernel (np.repeat is slow)
+    docix = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
     flen = pc.binary_length(flat).to_numpy(zero_copy_only=False)
     keep = flen > 0
     # tokens needing UAX joiner rules / 255-char splitting -> doc fallback

@@ -209,17 +209,18 @@ def _invert_group(
         uniq_terms = vocab[vorder]
     else:
         uniq_terms = vocab
-    order = np.lexsort((flat_docix, codes))
-    s_codes = codes[order]
-    s_docix = flat_docix[order]
-    if len(s_codes):
-        new_run = np.empty(len(s_codes), dtype=bool)
+    if len(codes):
+        # fused sort key (code, doc): one int64 np.sort, no argsort/gather
+        key = codes.astype(np.int64) * np.int64(max(n_rows, 1)) + flat_docix
+        key.sort()
+        new_run = np.empty(len(key), dtype=bool)
         new_run[0] = True
-        np.logical_or(s_codes[1:] != s_codes[:-1], s_docix[1:] != s_docix[:-1], out=new_run[1:])
+        np.not_equal(key[1:], key[:-1], out=new_run[1:])
         run_starts = np.flatnonzero(new_run)
-        run_ends = np.concatenate((run_starts[1:], [len(s_codes)]))
-        p_codes = s_codes[run_starts]
-        p_docix = s_docix[run_starts]
+        run_ends = np.concatenate((run_starts[1:], [len(key)]))
+        first_keys = key[run_starts]
+        p_codes = first_keys // max(n_rows, 1)
+        p_docix = first_keys % max(n_rows, 1)
         p_tfs = run_ends - run_starts
         p_ids = docids[p_docix]
         p_dls = doclens[p_docix]
@@ -318,6 +319,18 @@ def build_segments(
 ) -> None:
     """Stage + per-partition segment build. Appends to the segment set when
     docid_base/segment_id_base are offset (NRT-append analog)."""
+    import sys
+    import time as _time
+
+    profile = os.environ.get("LUCENE_SPARK_PROFILE")
+
+    def _mark(label: str, t0: float) -> float:
+        t = _time.perf_counter()
+        if profile:
+            print(f"[build-profile] {label}: {t - t0:.1f}s", file=sys.stderr)
+        return t
+
+    _t = _time.perf_counter()
     staged_dir = paths.staged_gen(generation)
     # --- stage: freeze deterministic range partitioning (docid basis)
     if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
@@ -334,6 +347,7 @@ def build_segments(
             .withColumn("__pid__", F.spark_partition_id())
         )
         staged.write.mode("overwrite").parquet(staged_dir)
+    _t = _mark("stage-write", _t)
 
     # Segment tasks are FILE-granular: one staged parquet file == one
     # docid-range partition == one segment (DWPT analog). Workers read
@@ -366,6 +380,7 @@ def build_segments(
     )
     with _no_coalesce(spark):
         meta.groupBy("pid").applyInPandas(seg_fn, MANIFEST_SCHEMA).collect()
+    _mark("invert", _t)
 
 
 def read_manifests(paths: IndexPaths) -> List[dict]:
@@ -381,6 +396,11 @@ def read_manifests(paths: IndexPaths) -> List[dict]:
 def finalize_index(spark: SparkSession, paths: IndexPaths, cfg: IndexConfig) -> None:
     """Global artifacts over the full segment set: field stats, term stats,
     salted merged index. Idempotent (skips what exists)."""
+    import sys
+    import time as _time
+
+    profile = os.environ.get("LUCENE_SPARK_PROFILE")
+    _t0 = _time.perf_counter()
     manifest_rows = read_manifests(paths)
 
     # --- global field stats (TermStates/FieldStats analog, SURVEY §2.4)
@@ -460,6 +480,8 @@ def finalize_index(spark: SparkSession, paths: IndexPaths, cfg: IndexConfig) -> 
                 .write.mode("overwrite")
                 .parquet(paths.merged)
             )
+    if profile:
+        print(f"[build-profile] finalize: {_time.perf_counter() - _t0:.1f}s", file=sys.stderr)
 
 
 def build_index(

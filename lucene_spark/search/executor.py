@@ -306,6 +306,13 @@ def make_topk_fn(
         base = min(int(r["first_docid"]) for t in scoring for r in rows[t])
         hi = max(int(r["last_docid"]) for t in scoring for r in rows[t])
         n = hi - base + 1
+        if n > 500_000_000:
+            # dense accumulator assumes segment-local docid ranges (the
+            # builder guarantees them; a sparse user docid_col would not)
+            raise ValueError(
+                f"segment docid range {n} too sparse for the dense accumulator; "
+                "use the engine's docid assignment or densify docid_col"
+            )
         counters = [0, 0]  # blocks_total, blocks_decoded
 
         def decode_term(t, sel=None):

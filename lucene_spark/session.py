@@ -35,6 +35,9 @@ def get_spark(app: str = "lucene_spark", master: str | None = None,
         # scans into small splits so the scan side parallelizes
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.files.openCostInBytes", "2m")
+        # shuffle scratch on the fast storage tier (tmpfs in this sandbox;
+        # NVMe on a real cluster). Override with SPARK_GRAFT_LOCAL_DIR.
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
