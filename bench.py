@@ -26,7 +26,7 @@ import numpy as np
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
 
 
     from lucene_spark.index.builder import IndexConfig, build_index
@@ -50,7 +50,8 @@ def main() -> None:
             "overwrite"
         ).parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
-    cfg = IndexConfig(num_segments=cpus, hot_df_threshold=max(200, n_docs // 20),
+    cfg = IndexConfig(num_segments=max(cpus, n_docs // 25000),
+                      hot_df_threshold=max(200, n_docs // 20),
                       merge_bucket_segments=max(2, cpus // 8))
     t0 = time.perf_counter()
     build_index(spark, docs, build_dir, cfg)
