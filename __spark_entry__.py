@@ -39,7 +39,7 @@ from lucene_spark.search.executor import (
 )
 from lucene_spark.search.plan import normalize
 
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3  # v3: UAX#29 same-type joiner rule; generation-stamped snapshots
 _INDEX_CACHE: dict = {}
 
 K1, B = 1.2, 0.75

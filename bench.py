@@ -79,14 +79,12 @@ def main() -> None:
         search_topk(idx_docs, q, k=10).collect()
         q_secs[name] = round(time.perf_counter() - t0, 4)
 
-    # block-skip effectiveness on a conjunctive query
-    m = search_topk(idx_docs, normalize(must=["vector", "spark"]), k=10,
-                    with_metrics=True).collect()
-    ratio = None
-    if m:
-        tot = sum({r["blocks_total"] for r in m})
-        dec = sum({r["blocks_decoded"] for r in m})
-        ratio = round(dec / tot, 4) if tot else None
+    # block-skip effectiveness on a conjunctive query (exact per-segment
+    # counters summed — one metrics row per segment)
+    from lucene_spark.search.executor import block_skip_metrics
+
+    m = block_skip_metrics(idx_docs, normalize(must=["vector", "spark"]), k=10)
+    ratio = round(m["ratio"], 4) if m["ratio"] is not None else None
 
     out = {
         "metric": "index_build_seconds",

@@ -15,8 +15,12 @@ Behavioral model (from public apache/lucene source, behavior only):
 UAX#29 subset implemented (sufficient for source-code corpora):
   - runs of word characters (Unicode letters/digits/underscore) form tokens
     (underscore is ExtendNumLet -> joins, so ``snake_case`` is ONE token);
-  - MidNumLet ``.``/``'``/U+2019 join two word runs (``example.com``, ``can't``);
-  - MidNum ``,`` joins digit runs (``1,024``); MidLetter ``:`` joins letter runs;
+  - MidNumLet ``.``/``'``/U+2019 join SAME-type runs only (letter-letter:
+    ``example.com``, ``can't``; digit-digit: ``1.5``) — mixed boundaries
+    split (``sha256.update`` -> sha256, update; ``v1.x`` -> v1, x), matching
+    StandardTokenizerImpl.jflex WB6/7 + WB11/12;
+  - MidNum ``,`` joins digit runs (``1,024``); MidLetter ``:`` joins letter
+    runs; ``_`` (ExtendNumLet) never joins across a joiner;
   - CJK ideographs are emitted one-per-character (Lucene IDEOGRAPHIC tokens);
   - tokens longer than 255 chars are split into 255-char chunks.
 
@@ -52,10 +56,20 @@ _WORD_RE = re.compile(
 # U+2019), without the per-char lookahead -> ~4x faster on code corpora.
 _ASCII_WORD_RE = re.compile(r"[0-9A-Za-z_]+(?:[.':,][0-9A-Za-z_]+)*")
 
-# Post-filter for joiners that UAX#29 restricts: ',' only digit-digit,
-# ':' only letter-letter. We split a matched run at illegal joiners.
-_BAD_COMMA = re.compile(r"(?<=\D),|,(?=\D)")
-_BAD_COLON = re.compile(r"(?<=\d):|:(?=\d)")
+# Post-filter for joiners that UAX#29 restricts (StandardTokenizerImpl.jflex
+# WB6/7 = ALetter (MidLetter|MidNumLet) ALetter, WB11/12 = Numeric
+# (MidNum|MidNumLet) Numeric — the joiner only joins SAME-type neighbors):
+#   '.'/'\''/U+2019 (MidNumLet): letter-letter or digit-digit only, so
+#       'sha256.update' -> sha256, update and 'v1.x' -> v1, x;
+#   ':' (MidLetter): letter-letter only;
+#   ',' (MidNum): digit-digit only;
+#   '_' (ExtendNumLet) is neither ALetter nor Numeric -> never joins across.
+# We split a matched run at every illegal joiner (the joiner is dropped).
+_ILLEGAL_JOINER = re.compile(
+    r"(?<=\d)[.'’](?=[^\d])|(?<=[^\d])[.'’](?=\d)|(?<=_)[.'’]|[.'’](?=_)"
+    r"|(?<=[\d_]):|:(?=[\d_])"
+    r"|(?<=\D),|,(?=\D)"
+)
 
 # Per-code-point lowercase exceptions where Python's str.lower() (context
 # sensitive / multi-char) differs from java.lang.Character.toLowerCase.
@@ -84,24 +98,19 @@ def tokenize(text: str) -> List[str]:
     out: List[str] = []
     word_re = _ASCII_WORD_RE if text.isascii() else _WORD_RE
     for run in word_re.findall(text):
-        if "," in run:
-            pieces: Iterable[str] = _BAD_COMMA.split(run)
+        if "." in run or "'" in run or "’" in run or ":" in run or "," in run:
+            pieces: Iterable[str] = _ILLEGAL_JOINER.split(run)
         else:
             pieces = (run,)
-        for p in pieces:
-            if ":" in p:
-                subpieces: Iterable[str] = _BAD_COLON.split(p)
-            else:
-                subpieces = (p,)
-            for sp in subpieces:
-                sp = sp.strip(".'’:,")
-                if not sp:
-                    continue
-                while len(sp) > MAX_TOKEN_LEN:
-                    out.append(sp[:MAX_TOKEN_LEN])
-                    sp = sp[MAX_TOKEN_LEN:]
-                if sp:
-                    out.append(sp)
+        for sp in pieces:
+            sp = sp.strip(".'’:,")
+            if not sp:
+                continue
+            while len(sp) > MAX_TOKEN_LEN:
+                out.append(sp[:MAX_TOKEN_LEN])
+                sp = sp[MAX_TOKEN_LEN:]
+            if sp:
+                out.append(sp)
     return out
 
 

@@ -141,11 +141,23 @@ class IndexPaths:
 
     @property
     def merged(self) -> str:
-        return os.path.join(self.root, "merged")
+        return self.merged_g(0)
 
     @property
     def term_stats(self) -> str:
-        return os.path.join(self.root, "term_stats")
+        return self.term_stats_g(0)
+
+    def merged_g(self, generation: int) -> str:
+        # snapshot-global artifacts are generation-suffixed; field_stats.json
+        # (written LAST, atomic os.replace) records the live generation, so
+        # an append that crashes mid-finalize leaves the previous snapshot
+        # fully readable (same manifest-last commit idea as segments)
+        base = os.path.join(self.root, "merged")
+        return base if generation == 0 else f"{base}-g{generation}"
+
+    def term_stats_g(self, generation: int) -> str:
+        base = os.path.join(self.root, "term_stats")
+        return base if generation == 0 else f"{base}-g{generation}"
 
     @property
     def field_stats(self) -> str:
@@ -360,8 +372,18 @@ def build_segments(
     def _pid_of(f: str) -> int:
         return int(os.path.basename(f).split("-")[1])
 
+    # a partition may stage SEVERAL files (e.g. the user session sets
+    # spark.sql.files.maxRecordsPerFile): group them all per pid — dropping
+    # extras would silently lose docs and shift docid offsets
+    by_pid: dict = {}
+    for f in files:
+        by_pid.setdefault(_pid_of(f), []).append(f)
+
     # docid offsets from parquet footers (driver-side metadata read, no job)
-    counts = {_pid_of(f): pq.ParquetFile(f).metadata.num_rows for f in files}
+    counts = {
+        pid: sum(pq.ParquetFile(f).metadata.num_rows for f in fs)
+        for pid, fs in by_pid.items()
+    }
     offsets = {}
     acc = docid_base
     for pid in sorted(counts):
@@ -372,7 +394,8 @@ def build_segments(
 
     def seg_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
-        data = pq.read_table(pdf["path"].iloc[0], use_threads=False)
+        tables = [pq.read_table(p, use_threads=False) for p in sorted(pdf["path"])]
+        data = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         return _invert_group(data, pid + sid_base, offsets_bc.get(pid, 0), paths_bc, cfg_bc)
 
     meta = spark.createDataFrame(
@@ -393,9 +416,13 @@ def read_manifests(paths: IndexPaths) -> List[dict]:
     return rows
 
 
-def finalize_index(spark: SparkSession, paths: IndexPaths, cfg: IndexConfig) -> None:
-    """Global artifacts over the full segment set: field stats, term stats,
-    salted merged index. Idempotent (skips what exists)."""
+def finalize_index(
+    spark: SparkSession, paths: IndexPaths, cfg: IndexConfig, generation: int = 0
+) -> None:
+    """Global artifacts over the full segment set: term stats, salted merged
+    index, then field stats — written LAST (atomic os.replace) as the
+    snapshot commit marker recording the live generation. Idempotent (skips
+    what exists)."""
     import sys
     import time as _time
 
@@ -403,25 +430,11 @@ def finalize_index(spark: SparkSession, paths: IndexPaths, cfg: IndexConfig) -> 
     _t0 = _time.perf_counter()
     manifest_rows = read_manifests(paths)
 
-    # --- global field stats (TermStates/FieldStats analog, SURVEY §2.4)
-    if not os.path.exists(paths.field_stats):
-        fs = {
-            "max_doc": int(sum(r["num_docs"] for r in manifest_rows)),
-            "doc_count": int(sum(r["doc_count"] for r in manifest_rows)),
-            "sum_total_term_freq": int(sum(r["sum_doclen"] for r in manifest_rows)),
-            "sum_doc_freq": int(sum(r["num_postings"] for r in manifest_rows)),
-            "num_segments": len(manifest_rows),
-        }
-        tmp = paths.field_stats + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(fs, f)
-        os.replace(tmp, paths.field_stats)
-
-    merged_done = os.path.exists(os.path.join(paths.merged, "_SUCCESS"))
+    merged_done = os.path.exists(os.path.join(paths.merged_g(generation), "_SUCCESS"))
     seg_postings = spark.read.parquet(paths.postings)
 
     # --- global term stats (aggregate across segments == TermStates.build)
-    ts_path = paths.term_stats
+    ts_path = paths.term_stats_g(generation)
     if not os.path.exists(os.path.join(ts_path, "_SUCCESS")):
         (
             seg_postings.groupBy("term")
@@ -478,8 +491,24 @@ def finalize_index(spark: SparkSession, paths: IndexPaths, cfg: IndexConfig) -> 
                 .repartition(nmerge, "term")
                 .sortWithinPartitions("term", "salt")
                 .write.mode("overwrite")
-                .parquet(paths.merged)
+                .parquet(paths.merged_g(generation))
             )
+
+    # --- field stats = snapshot commit marker (TermStates/FieldStats analog,
+    # SURVEY §2.4): written last via atomic replace so readers never observe
+    # a half-finalized snapshot
+    fs = {
+        "max_doc": int(sum(r["num_docs"] for r in manifest_rows)),
+        "doc_count": int(sum(r["doc_count"] for r in manifest_rows)),
+        "sum_total_term_freq": int(sum(r["sum_doclen"] for r in manifest_rows)),
+        "sum_doc_freq": int(sum(r["num_postings"] for r in manifest_rows)),
+        "num_segments": len(manifest_rows),
+        "generation": generation,
+    }
+    tmp = paths.field_stats + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(fs, f)
+    os.replace(tmp, paths.field_stats)
     if profile:
         print(f"[build-profile] finalize: {_time.perf_counter() - _t0:.1f}s", file=sys.stderr)
 
@@ -494,13 +523,21 @@ def build_index(
     cfg = cfg or IndexConfig()
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
-    if os.path.exists(paths.field_stats) and os.path.exists(
-        os.path.join(paths.merged, "_SUCCESS")
-    ):
+    gen = live_generation(paths)
+    if gen is not None and os.path.exists(os.path.join(paths.merged_g(gen), "_SUCCESS")):
         return paths  # fully built (resume no-op)
     build_segments(spark, docs, paths, cfg)
     finalize_index(spark, paths, cfg)
     return paths
+
+
+def live_generation(paths: IndexPaths) -> Optional[int]:
+    """Generation recorded by the field_stats commit marker; None if the
+    index has never been finalized."""
+    if not os.path.exists(paths.field_stats):
+        return None
+    with open(paths.field_stats) as f:
+        return int(json.load(f).get("generation", 0))
 
 
 def append_to_index(
@@ -511,7 +548,10 @@ def append_to_index(
 ) -> IndexPaths:
     """NRT-append analog (DirectoryReader.openIfChanged, SURVEY.md §2.9):
     index a new batch as fresh segments (docids continue after the current
-    max), then rebuild the global snapshot artifacts."""
+    max), then rebuild the snapshot-global artifacts into a NEW generation
+    and flip the field_stats commit marker atomically. A crash anywhere
+    before the flip leaves the previous snapshot fully readable (no
+    delete-before-rebuild window)."""
     import shutil
 
     cfg = cfg or IndexConfig()
@@ -521,15 +561,13 @@ def append_to_index(
         return build_index(spark, new_docs, index_dir, cfg)
     docid_base = max(r["last_docid"] for r in existing) + 1
     sid_base = max(r["segment_id"] for r in existing) + 1
+    old_gen = live_generation(paths) or 0
     build_segments(
         spark, new_docs, paths, cfg,
         docid_base=docid_base, segment_id_base=sid_base, generation=sid_base,
     )
-    # invalidate + rebuild snapshot-global artifacts
-    for p in (paths.term_stats, paths.merged):
-        if os.path.exists(p):
-            shutil.rmtree(p)
-    if os.path.exists(paths.field_stats):
-        os.remove(paths.field_stats)
-    finalize_index(spark, paths, cfg)
+    finalize_index(spark, paths, cfg, generation=old_gen + 1)
+    # old generation's artifacts are now unreachable: best-effort GC
+    for p in (paths.term_stats_g(old_gen), paths.merged_g(old_gen)):
+        shutil.rmtree(p, ignore_errors=True)
     return paths

@@ -36,6 +36,7 @@ from .plan import NormalizedQuery
 from .scorer import FieldStats, max_term_score, score_arrays, term_weights
 
 TOPK_SCHEMA = "docid long, score double, blocks_total long, blocks_decoded long"
+METRICS_SCHEMA = "segment_id long, blocks_total long, blocks_decoded long"
 DECODED_SCHEMA = "term string, docid long, tf int, doclen int"
 
 # Pruning safety margin: per-doc sums are re-done in canonical order for the
@@ -54,6 +55,11 @@ class Index:
         self.field_stats = FieldStats(
             fs["max_doc"], fs["doc_count"], fs["sum_total_term_freq"], fs["sum_doc_freq"]
         )
+        # field_stats.json is the snapshot commit marker: it names the live
+        # generation of the snapshot-global artifacts (see finalize_index)
+        self.generation = int(fs.get("generation", 0))
+        self._merged_dir = paths.merged_g(self.generation)
+        self._term_stats_dir = paths.term_stats_g(self.generation)
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
 
     @classmethod
@@ -62,7 +68,7 @@ class Index:
 
     @property
     def merged(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.merged)
+        return self.spark.read.parquet(self._merged_dir)
 
     @property
     def seg_postings(self) -> DataFrame:
@@ -70,7 +76,7 @@ class Index:
 
     @property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.term_stats)
+        return self.spark.read.parquet(self._term_stats_dir)
 
     @property
     def docs(self) -> DataFrame:
@@ -96,7 +102,7 @@ class Index:
 
                 import pyarrow.parquet as pq
 
-                files = sorted(glob.glob(os.path.join(self.paths.term_stats, "*.parquet")))
+                files = sorted(glob.glob(os.path.join(self._term_stats_dir, "*.parquet")))
                 tbl = pq.ParquetDataset(files, filters=[("term", "in", list(terms))]).read()
                 found = dict(
                     zip(
@@ -116,12 +122,18 @@ class Index:
         prefix: Optional[str] = None,
         regex: Optional[str] = None,
         fuzzy: Optional[Tuple[str, int]] = None,
-        max_terms: int = 1024,
+        max_terms: Optional[int] = None,
     ) -> List[str]:
         """Term-dictionary scan: MultiTermQuery rewrite analog
         (PrefixQuery/WildcardQuery/FuzzyQuery -> enumerate matching terms,
         search/ScoringRewrite.java; fuzzy via edit distance like
-        LevenshteinAutomata, maxEdits <= 2 [FuzzyQuery.java:52-64])."""
+        LevenshteinAutomata, maxEdits <= 2 [FuzzyQuery.java:52-64]).
+
+        With ``max_terms=None`` (default) ALL matching terms are enumerated —
+        required for exact counting paths, where a silent cap would
+        undercount (Lucene's ConstantScore rewrite builds a bitset over every
+        matching term). Pass a cap only for top-terms *scoring* rewrites
+        (TopTermsRewrite.java keeps the best ``max_terms``, lowest-df first)."""
         ts = self.term_stats
         if prefix is not None:
             ts = ts.filter(F.col("term").startswith(prefix))
@@ -130,6 +142,9 @@ class Index:
         if fuzzy is not None:
             term, dist = fuzzy
             ts = ts.filter(F.levenshtein(F.col("term"), F.lit(term)) <= dist)
+        if max_terms is None:
+            rows = ts.select("term").collect()
+            return sorted(r["term"] for r in rows)
         # TopTermsRewrite keeps the highest-scoring (lowest-df) terms first
         rows = ts.orderBy(F.col("df").asc(), F.col("term").asc()).limit(max_terms).collect()
         return [r["term"] for r in rows]
@@ -287,7 +302,11 @@ def make_topk_fn(
     excl = sorted(set(excluded))
     scale = PRUNE_SCALE[dtype]
 
-    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    _Z = np.empty(0, np.int64)
+
+    def run(pdf: pd.DataFrame):
+        """Core per-segment scorer -> (docids, scores, counters)."""
+        counters = [0, 0]  # blocks_total, blocks_decoded
         rows = {}
         for _, r in pdf.iterrows():
             rows.setdefault(r["term"], []).append(r)
@@ -295,13 +314,9 @@ def make_topk_fn(
         for t in rows:
             rows[t].sort(key=lambda r: r["first_docid"])
 
-        empty = pd.DataFrame(
-            {"docid": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64"),
-             "blocks_total": pd.Series([], dtype="int64"), "blocks_decoded": pd.Series([], dtype="int64")}
-        )
         scoring = [t for t in sorted(weights) if t in rows]
         if not scoring or any(t not in rows for t in req):
-            return empty
+            return _Z, _Z.astype(np.float64), counters
 
         base = min(int(r["first_docid"]) for t in scoring for r in rows[t])
         hi = max(int(r["last_docid"]) for t in scoring for r in rows[t])
@@ -313,7 +328,6 @@ def make_topk_fn(
                 f"segment docid range {n} too sparse for the dense accumulator; "
                 "use the engine's docid assignment or densify docid_col"
             )
-        counters = [0, 0]  # blocks_total, blocks_decoded
 
         def decode_term(t, sel=None):
             if sel is not None and len(sel) == 0:
@@ -347,7 +361,7 @@ def make_topk_fn(
                 contrib[t][ids - base] = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
                 cand = np.intersect1d(cand, ids, assume_unique=True)
                 if len(cand) == 0:
-                    return empty
+                    return _Z, _Z.astype(np.float64), counters
             opt = [t for t in scoring if t not in req]
             for t in opt:
                 ids, tfs, dls = decode_term(t, sel=cand)  # ReqOptSumScorer probe
@@ -385,7 +399,7 @@ def make_topk_fn(
             matched = np.flatnonzero(seen) + base
 
         if len(matched) == 0:
-            return empty
+            return _Z, _Z.astype(np.float64), counters
         if excl:
             ex_ids = []
             for t in excl:
@@ -394,7 +408,7 @@ def make_topk_fn(
             if ex_ids:
                 matched = np.setdiff1d(matched, np.concatenate(ex_ids), assume_unique=True)
             if len(matched) == 0:
-                return empty
+                return _Z, _Z.astype(np.float64), counters
 
         # canonical final sum: sorted-term order, engine dtype
         final = np.zeros(len(matched), dtype=dtype)
@@ -406,15 +420,32 @@ def make_topk_fn(
         sel_ids = matched[part]
         sel_sc = final[part]
         ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
+        return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
+
+    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, scores, counters = run(pdf)
         return pd.DataFrame(
             {
-                "docid": sel_ids[ordr],
-                "score": sel_sc[ordr].astype(np.float64),
-                "blocks_total": np.full(kk, counters[0], dtype=np.int64),
-                "blocks_decoded": np.full(kk, counters[1], dtype=np.int64),
+                "docid": ids,
+                "score": scores,
+                "blocks_total": np.full(len(ids), counters[0], dtype=np.int64),
+                "blocks_decoded": np.full(len(ids), counters[1], dtype=np.int64),
             }
         )
 
+    def metrics_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact per-segment counters, emitted even when the segment
+        # contributes no hits (fixes the sum({set}) collapse, ADVICE r1)
+        _, _, counters = run(pdf)
+        return pd.DataFrame(
+            {
+                "segment_id": np.array([int(key[0])], dtype=np.int64),
+                "blocks_total": np.array([counters[0]], dtype=np.int64),
+                "blocks_decoded": np.array([counters[1]], dtype=np.int64),
+            }
+        )
+
+    topk_fn.metrics_fn = metrics_fn
     return topk_fn
 
 
@@ -432,19 +463,60 @@ def search_topk(
     empty = spark.createDataFrame([], TOPK_SCHEMA if with_metrics else "docid long, score double")
     if q.is_match_none:
         return empty
-    weights = _weights_for(index, q, boost, dtype)
-    req = [t for t, _ in q.required]
-    if not weights or any(t not in weights for t in req):
+    plan = _topk_plan(index, q, boost, dtype)
+    if plan is None:
         return empty
-
-    all_terms = sorted(set(weights) | set(q.excluded))
-    rows = index.seg_postings.filter(F.col("term").isin(all_terms))
+    weights, req, rows = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()), quantize, dtype
     )
     per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
     out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
     return out if with_metrics else out.select("docid", "score")
+
+
+def _topk_plan(index: Index, q: NormalizedQuery, boost: float, dtype):
+    """Shared setup for the per-segment top-k paths: resolve term weights
+    and the filtered postings rows; None when the query cannot match."""
+    weights = _weights_for(index, q, boost, dtype)
+    req = [t for t, _ in q.required]
+    if not weights or any(t not in weights for t in req):
+        return None
+    all_terms = sorted(set(weights) | set(q.excluded))
+    rows = index.seg_postings.filter(F.col("term").isin(all_terms))
+    return weights, req, rows
+
+
+def block_skip_metrics(
+    index: Index,
+    q: NormalizedQuery,
+    k: int = 10,
+    boost: float = 1.0,
+    quantize: bool = True,
+    dtype=np.float32,
+) -> dict:
+    """Exact block-skip effectiveness of the top-k path: one metrics row per
+    segment (no dedup-by-value collapse, no dependence on which rows survive
+    the global merge), summed driver-side."""
+    if q.is_match_none:
+        return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
+    plan = _topk_plan(index, q, boost, dtype)
+    if plan is None:
+        return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
+    weights, req, rows = plan
+    fn = make_topk_fn(
+        weights, req, list(q.excluded), k, float(index.field_stats.avgdl()), quantize, dtype
+    )
+    per_seg = rows.groupBy("segment_id").applyInPandas(fn.metrics_fn, METRICS_SCHEMA)
+    row = per_seg.agg(
+        F.sum("blocks_total").alias("t"), F.sum("blocks_decoded").alias("d")
+    ).collect()[0]
+    tot, dec = int(row["t"] or 0), int(row["d"] or 0)
+    return {
+        "blocks_total": tot,
+        "blocks_decoded": dec,
+        "ratio": (dec / tot) if tot else None,
+    }
 
 
 def count_hits(index: Index, q: NormalizedQuery) -> int:

@@ -34,6 +34,12 @@ GOLDEN = [
     ("日本語 text", ["日", "本", "語", "text"]),  # CJK one token per ideograph
     ("a,b 1,2", ["b", "1,2"]),  # ',' joins digits only; 'a' is a stopword
     ("key:value 10:30", ["key:value", "10", "30"]),  # ':' joins letters only
+    # MidNumLet '.'/'\'' join SAME-type runs only (jflex WB6/7, WB11/12):
+    # letter-digit boundaries split (ADVICE r1)
+    ("sha256.update called", ["sha256", "update", "called"]),
+    ("needs 3.x or v1.x", ["needs", "3", "x", "v1", "x"]),  # 'or' is a stopword
+    ("x1.5y stays", ["x1.5y", "stays"]),  # digit.digit inside -> joined
+    ("a_.b a_:b x'9", ["a_", "b", "a_", "b", "x", "9"]),  # '_' never joins across
 ]
 
 

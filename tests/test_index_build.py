@@ -138,6 +138,56 @@ def test_resume_skips_completed_segments(spark, tmpdir_index):
     assert fs["sum_total_term_freq"] == sum(r["sum_doclen"] for r in rows)
 
 
+def test_append_swaps_generation_atomically(spark, tmpdir_index):
+    """append_to_index must build the new snapshot artifacts BEFORE flipping
+    the field_stats commit marker: no delete-before-rebuild window (ADVICE
+    r1). After the append, generation advances and the old artifact dirs are
+    garbage-collected."""
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import (
+        IndexConfig, append_to_index, build_index, live_generation,
+    )
+    from lucene_spark.search.executor import Index
+
+    docs = corpus_spark_df(spark, 100, seed=3)
+    cfg = IndexConfig(num_segments=2)
+    paths = build_index(spark, docs, tmpdir_index, cfg)
+    assert live_generation(paths) == 0
+    batch2 = corpus_spark_df(spark, 60, seed=9)
+    append_to_index(spark, batch2, tmpdir_index, cfg)
+    assert live_generation(paths) == 1
+    assert os.path.exists(os.path.join(paths.merged_g(1), "_SUCCESS"))
+    assert not os.path.exists(paths.merged_g(0))  # GC'd
+    assert not os.path.exists(paths.term_stats_g(0))
+    idx = Index(spark, paths)
+    assert idx.generation == 1
+    assert idx.field_stats.max_doc == 160
+
+
+def test_expand_terms_unlimited_for_counts(spark, tmpdir_index):
+    """Counting rewrites must enumerate EVERY matching term — >1024 distinct
+    prefix matches used to be silently truncated (ADVICE r1 / VERDICT #2)."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, decoded_postings
+
+    n_terms = 1300
+    rows = [
+        ("r", f"p{i:03d}", "c", "py",
+         " ".join(f"pfx{j:04d}" for j in range(i * 65, (i + 1) * 65)))
+        for i in range(n_terms // 65)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    paths = build_index(spark, docs, tmpdir_index, IndexConfig(num_segments=2))
+    idx = Index(spark, paths)
+    terms = idx.expand_terms(prefix="pfx")
+    assert len(terms) == n_terms
+    n = decoded_postings(idx, terms).select("docid").distinct().count()
+    assert n == n_terms // 65  # every doc matches
+    assert len(idx.expand_terms(prefix="pfx", max_terms=100)) == 100
+
+
 def test_resumed_flag_set_on_skip(spark, tmpdir_index):
     from lucene_spark.corpus import corpus_spark_df
     from lucene_spark.index.builder import IndexConfig, build_index

@@ -239,13 +239,19 @@ def test_hydrate_returns_stored_fields(built_index):
 
 def test_block_skipping_happens(built_index):
     """Block-max metrics: conjunction with a rare lead must decode fewer
-    blocks than exist (the BlockMaxConjunction skip effect)."""
-    from lucene_spark.search.executor import search_topk
+    blocks than exist (the BlockMaxConjunction skip effect). Uses the exact
+    per-segment metrics path (one row per segment, summed — no value-set
+    dedup collapse)."""
+    from lucene_spark.search.executor import block_skip_metrics, search_topk
 
-    got = search_topk(
-        built_index, normalize(must=["vector", "import"]), k=5, with_metrics=True
-    ).collect()
+    got = search_topk(built_index, normalize(must=["vector", "import"]), k=5).collect()
     assert got, "expected hits"
-    total = sum({r["blocks_total"] for r in got})
-    decoded = sum({r["blocks_decoded"] for r in got})
-    assert decoded <= total
+    m = block_skip_metrics(built_index, normalize(must=["vector", "import"]), k=5)
+    assert m["blocks_total"] > 0
+    assert m["blocks_decoded"] <= m["blocks_total"]
+    # every segment contributes exactly one metrics row: totals must be at
+    # least the number of segments that hold the lead term's postings
+    nseg = built_index.seg_postings.filter("term = 'vector'").select(
+        "segment_id"
+    ).distinct().count()
+    assert m["blocks_total"] >= nseg
