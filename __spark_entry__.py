@@ -28,6 +28,8 @@ from lucene_spark.oracle import (
     TOKS_CTE,
     bm25_matches_cte,
     bm25_topk_sql,
+    phrase_exact_sql,
+    phrase_sloppy_sql,
 )
 from lucene_spark.search.executor import (
     Index,
@@ -39,7 +41,7 @@ from lucene_spark.search.executor import (
 )
 from lucene_spark.search.plan import normalize
 
-INDEX_FORMAT_VERSION = 3  # v3: UAX#29 same-type joiner rule; generation-stamped snapshots
+INDEX_FORMAT_VERSION = 4  # v4: positions stream (DOCS_AND_FREQS_AND_POSITIONS)
 _INDEX_CACHE: dict = {}
 
 K1, B = 1.2, 0.75
@@ -65,6 +67,7 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
         num_segments=max(2, n // 1500),
         hot_df_threshold=150,
         merge_bucket_segments=1,
+        index_positions=True,
     )
     idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
     _INDEX_CACHE[key] = idx
@@ -274,6 +277,47 @@ def q_more_like_this(spark, sf):
     return _topk(idx, should=terms)
 
 
+PHRASE_EXACT = [("table", 0), ("hash", 1)]
+# "sort a scan": 'a' is a stopword -> position hole, offsets (0, 2)
+PHRASE_HOLE = [("sort", 0), ("scan", 2)]
+SLOPPY_TERMS, SLOPPY_SLOP = ("customer", "join"), 3
+
+
+def q_phrase_topk(spark, sf):
+    """Exact PhraseQuery "table hash" (PhraseQuery.java:71,
+    ExactPhraseMatcher.java:149)."""
+    from lucene_spark.search.executor import search_phrase
+
+    res = search_phrase(
+        _index(spark, sf), PHRASE_EXACT, slop=0, k=10, quantize=False, dtype=np.float64
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_phrase_stop_hole_topk(spark, sf):
+    """Exact phrase across a stopword hole: "sort a scan" -> sort@0 scan@2
+    (StopFilter preserves position increments, StopFilter.java:96-97)."""
+    from lucene_spark.search.executor import search_phrase
+
+    res = search_phrase(
+        _index(spark, sf), PHRASE_HOLE, slop=0, k=10, quantize=False, dtype=np.float64
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_sloppy_phrase_topk(spark, sf):
+    """Sloppy PhraseQuery "customer join"~3 (SloppyPhraseMatcher.java:205,
+    sloppyWeight 1/(1+matchLength))."""
+    from lucene_spark.search.executor import search_phrase
+
+    res = search_phrase(
+        _index(spark, sf),
+        [(SLOPPY_TERMS[0], 0), (SLOPPY_TERMS[1], 1)],
+        slop=SLOPPY_SLOP, k=10, quantize=False, dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 # --- training-pipeline ops ---------------------------------------------------
 
 def q_dedup_exact(spark, sf):
@@ -445,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "searchafter_page2": q_searchafter_page2,
         "synonym_topk": q_synonym_topk,
         "more_like_this": q_more_like_this,
+        "phrase_topk": q_phrase_topk,
+        "phrase_stop_hole_topk": q_phrase_stop_hole_topk,
+        "sloppy_phrase_topk": q_sloppy_phrase_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_band_buckets": q_minhash_band_buckets,
         "simhash_values": q_simhash_values,
@@ -629,6 +676,9 @@ SELECT d.source AS source, round(sum(hits.score), 4) AS join_score,
 FROM hits JOIN documents d USING (doc_id)
 GROUP BY d.source ORDER BY d.source""",
         "searchafter_page2": bm25_scored_tail_sql(),
+        "phrase_topk": phrase_exact_sql(PHRASE_EXACT),
+        "phrase_stop_hole_topk": phrase_exact_sql(PHRASE_HOLE),
+        "sloppy_phrase_topk": phrase_sloppy_sql(*SLOPPY_TERMS, SLOPPY_SLOP),
         "synonym_topk": _synonym_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": """

@@ -119,6 +119,22 @@ def analyze(text: str, stop_words: frozenset = ENGLISH_STOP_WORDS) -> List[str]:
     return [t for tok in tokenize(text) if (t := _lower_cp(tok)) not in stop_words]
 
 
+def analyze_with_positions(
+    text: str, stop_words: frozenset = ENGLISH_STOP_WORDS
+) -> List[tuple]:
+    """Like analyze() but yields (term, position) where position is the
+    token's index in the PRE-stop-filter token stream: StopFilter preserves
+    position increments of removed tokens [StopFilter.java:96-97,
+    FilteringTokenFilter.java:29-50], so stopwords consume positions and
+    phrase matching sees the holes."""
+    out: List[tuple] = []
+    for pos, tok in enumerate(tokenize(text)):
+        low = _lower_cp(tok)
+        if low not in stop_words:
+            out.append((low, pos))
+    return out
+
+
 def analyze_batch(texts: pd.Series, stop_words: frozenset = ENGLISH_STOP_WORDS) -> pd.Series:
     """Arrow-batch analyze: pd.Series[str] -> pd.Series[list[str]].
 
@@ -132,13 +148,20 @@ def analyze_batch(texts: pd.Series, stop_words: frozenset = ENGLISH_STOP_WORDS) 
     return pd.Series(out, index=texts.index)
 
 
-def flat_code_tokens(arr, stop_words: frozenset = ENGLISH_STOP_WORDS):
+def flat_code_tokens(
+    arr,
+    stop_words: frozenset = ENGLISH_STOP_WORDS,
+    with_positions: bool = False,
+):
     """Arrow-native analyze for the index build hot path.
 
     Input: pa.Array/ChunkedArray of strings. Output:
-      (codes int64[np], docix int64[np], vocab object[np])
+      (codes int64[np], docix int64[np], vocab object[np][, positions int64[np]])
     where ``vocab[codes[i]]`` is the i-th surviving token of doc
-    ``docix[i]``, tokens in document order within each doc.
+    ``docix[i]``, tokens in document order within each doc. With
+    ``with_positions`` each token also carries its index in the
+    pre-stop-filter token stream (StopFilter position-increment semantics,
+    see analyze_with_positions).
 
     The whole chain (lowercase, segment, empty/stop filter, dictionary
     encode) runs in Arrow C kernels — NO per-token Python objects; only
@@ -154,11 +177,12 @@ def flat_code_tokens(arr, stop_words: frozenset = ENGLISH_STOP_WORDS):
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
-        return (
+        empty = (
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=object),
         )
+        return empty + (np.empty(0, dtype=np.int64),) if with_positions else empty
 
     is_ascii = pc.string_is_ascii(arr.fill_null("")).to_numpy(zero_copy_only=False)
     clean = pc.if_else(pa.array(is_ascii), arr.fill_null(""), pa.scalar(""))
@@ -180,23 +204,36 @@ def flat_code_tokens(arr, stop_words: frozenset = ENGLISH_STOP_WORDS):
         keep &= ~in_bad[docix]
     flat_good = flat.filter(pa.array(keep))
     docix = docix[keep]
+    positions = None
+    if with_positions:
+        # token index within its doc among non-empty tokens == the
+        # pre-stop-filter token-stream position (empties from the regex
+        # split are separators, not tokens; docix is sorted ascending)
+        first_idx = np.searchsorted(docix, docix, side="left")
+        positions = np.arange(len(docix), dtype=np.int64) - first_idx
 
     enc = pc.dictionary_encode(flat_good.combine_chunks() if isinstance(flat_good, pa.ChunkedArray) else flat_good)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab_list = enc.dictionary.to_pylist()
-    # stop filter via vocab mask (vocab-sized work, not token-sized)
+    # stop filter via vocab mask (vocab-sized work, not token-sized);
+    # removed stopwords keep consuming positions (StopFilter semantics)
     if stop_words and vocab_list:
         stop_mask = np.fromiter((v in stop_words for v in vocab_list), dtype=bool, count=len(vocab_list))
         km = ~stop_mask[codes]
         codes, docix = codes[km], docix[km]
+        if positions is not None:
+            positions = positions[km]
 
     if len(fallback_docs):
         vmap = {v: i for i, v in enumerate(vocab_list)}
         extra_codes: List[int] = []
         extra_docix: List[int] = []
+        extra_pos: List[int] = []
         for d in fallback_docs:
             text = arr[int(d)].as_py()
-            for tok in analyze(text if isinstance(text, str) else "", stop_words):
+            for tok, pos in analyze_with_positions(
+                text if isinstance(text, str) else "", stop_words
+            ):
                 c = vmap.get(tok)
                 if c is None:
                     c = len(vocab_list)
@@ -204,11 +241,17 @@ def flat_code_tokens(arr, stop_words: frozenset = ENGLISH_STOP_WORDS):
                     vocab_list.append(tok)
                 extra_codes.append(c)
                 extra_docix.append(int(d))
+                extra_pos.append(pos)
         if extra_codes:
             codes = np.concatenate((codes, np.array(extra_codes, dtype=np.int64)))
             docix = np.concatenate((docix, np.array(extra_docix, dtype=np.int64)))
+            if positions is not None:
+                positions = np.concatenate((positions, np.array(extra_pos, dtype=np.int64)))
 
-    return codes, docix, np.array(vocab_list, dtype=object)
+    vocab = np.array(vocab_list, dtype=object)
+    if with_positions:
+        return codes, docix, vocab, positions
+    return codes, docix, vocab
 
 
 def make_analyze_udf(stop_words: frozenset = ENGLISH_STOP_WORDS):

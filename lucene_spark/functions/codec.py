@@ -111,6 +111,53 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
     return blocks, firsts, lasts, maxtfs, minnorms
 
 
+# --- Positions stream (IndexOptions DOCS_AND_FREQS_AND_POSITIONS,
+# --- lucene/core/src/java/org/apache/lucene/index/IndexOptions.java:30-56;
+# --- Lucene stores position deltas in the .pos stream per posting,
+# --- Lucene104PostingsFormat.java:160-195). One blob per 256-posting block:
+# --- varint stream where each posting's first value is its absolute first
+# --- position and the rest are ascending gaps; the block's tf values give
+# --- the per-posting counts, so no extra framing is needed.
+
+def encode_block_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode concatenated per-posting ascending positions (len == tfs.sum())."""
+    positions = np.asarray(positions, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(positions) == 0:
+        return b""
+    vals = np.empty(len(positions), dtype=np.int64)
+    vals[0] = positions[0]
+    np.subtract(positions[1:], positions[:-1], out=vals[1:])
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    vals[starts] = positions[starts]  # absolute at each posting start
+    return varint_encode(vals)
+
+
+def decode_block_positions(data: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_block_positions -> int64 positions (len == tfs.sum())."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    vals = varint_decode(data)
+    if len(vals) == 0:
+        return vals
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    c = np.cumsum(vals)
+    base = c[starts] - vals[starts]  # segmented cumsum reset per posting
+    return c - np.repeat(base, tfs)
+
+
+def cut_position_blocks(positions: np.ndarray, tfs: np.ndarray) -> list:
+    """Per-block position blobs aligned with encode_postings' BLOCK_SIZE
+    posting cuts (block b holds postings [b*256, (b+1)*256))."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    positions = np.asarray(positions, dtype=np.int64)
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    out = []
+    for s in range(0, len(tfs), BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, len(tfs))
+        out.append(encode_block_positions(positions[bounds[s] : bounds[e]], tfs[s:e]))
+    return out
+
+
 # --- VarInt (LEB128) codec: used for round-trip parity tests and as an
 # --- alternative tail-block encoding, mirroring Lucene's VInt tail.
 

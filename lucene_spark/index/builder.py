@@ -95,6 +95,9 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
         ("block_maxtf", pa.list_(pa.int32())),
         ("block_mindl", pa.list_(pa.int32())),
         ("block_data", pa.list_(pa.binary())),
+        # per-block positions stream (null when index_positions is off);
+        # DOCS_AND_FREQS_AND_POSITIONS analog [index/IndexOptions.java:30-56]
+        ("block_pos", pa.list_(pa.binary())),
     ]
 )
 
@@ -110,6 +113,7 @@ class IndexConfig:
     hot_df_threshold: int = 100_000  # df above this gets salted at merge
     merge_bucket_segments: int = 8  # segments per salt bucket for hot terms
     keep_content: bool = True  # store content in docs table for hydration
+    index_positions: bool = False  # store per-posting positions (phrase queries)
 
 
 @dataclass
@@ -209,7 +213,13 @@ def _invert_group(
 
     # --- analyze + invert == analyzer chain + TermsHashPerField.add:
     # Arrow-kernel tokenize/dict-encode, then lexsort (code, doc) + RLE.
-    codes, flat_docix, vocab = flat_code_tokens(table[cfg.content_col], cfg.stop_words)
+    if cfg.index_positions:
+        codes, flat_docix, vocab, flat_pos = flat_code_tokens(
+            table[cfg.content_col], cfg.stop_words, with_positions=True
+        )
+    else:
+        codes, flat_docix, vocab = flat_code_tokens(table[cfg.content_col], cfg.stop_words)
+        flat_pos = None
     doclens = np.bincount(flat_docix, minlength=n_rows).astype(np.int64)
     # remap codes so code order == sorted term order (term-sorted output
     # rows -> parquet min/max row-group pruning on term)
@@ -221,10 +231,18 @@ def _invert_group(
         uniq_terms = vocab[vorder]
     else:
         uniq_terms = vocab
+    pos_sorted = None
     if len(codes):
         # fused sort key (code, doc): one int64 np.sort, no argsort/gather
         key = codes.astype(np.int64) * np.int64(max(n_rows, 1)) + flat_docix
-        key.sort()
+        if flat_pos is not None:
+            # positions must ride along: stable argsort keeps tokens in doc
+            # order within each (term, doc) run -> positions stay ascending
+            order = np.argsort(key, kind="stable")
+            key = key[order]
+            pos_sorted = flat_pos[order]
+        else:
+            key.sort()
         new_run = np.empty(len(key), dtype=bool)
         new_run[0] = True
         np.not_equal(key[1:], key[:-1], out=new_run[1:])
@@ -243,12 +261,21 @@ def _invert_group(
     else:
         p_codes = p_docix = p_tfs = p_ids = p_dls = np.empty(0, dtype=np.int64)
         term_starts = term_ends = np.empty(0, dtype=np.int64)
+        run_starts = run_ends = np.empty(0, dtype=np.int64)
 
     # --- per-term block encoding (FreqProxTermsWriter flush analog)
+    from ..functions.codec import cut_position_blocks
+
     terms_out: List[dict] = []
     for s, e in zip(term_starts, term_ends):
         ids, tfs, dls = p_ids[s:e], p_tfs[s:e], p_dls[s:e]
         blocks, firsts, lasts, maxtfs, mindls = encode_postings(ids, tfs, dls)
+        pos_blocks = None
+        if pos_sorted is not None:
+            # the term's tokens are contiguous in the sorted token array
+            pos_blocks = cut_position_blocks(
+                pos_sorted[run_starts[s] : run_ends[e - 1]], tfs
+            )
         terms_out.append(
             {
                 "term": uniq_terms[p_codes[s]],
@@ -264,6 +291,7 @@ def _invert_group(
                 "block_maxtf": maxtfs,
                 "block_mindl": mindls,
                 "block_data": blocks,
+                "block_pos": pos_blocks,
             }
         )
 
@@ -458,13 +486,18 @@ def finalize_index(
             "term string, salt int, df long, ttf long, first_docid long, "
             "last_docid long, max_tf int, min_doclen int, "
             "block_first array<long>, block_last array<long>, "
-            "block_maxtf array<int>, block_mindl array<int>, block_data array<binary>"
+            "block_maxtf array<int>, block_mindl array<int>, "
+            "block_data array<binary>, block_pos array<binary>"
         )
 
         def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             # segments hold disjoint ascending docid ranges -> ordered concat
             # == SegmentMerger.mergeTerms docBase remap, already-global docids
             pdf = pdf.sort_values("segment_id", kind="mergesort")
+            first_pos = pdf["block_pos"].iloc[0]
+            has_pos = first_pos is not None and not (
+                isinstance(first_pos, float) and np.isnan(first_pos)
+            )
             out = {
                 "term": pdf["term"].iloc[0],
                 "salt": int(pdf["salt"].iloc[0]),
@@ -479,6 +512,9 @@ def finalize_index(
                 "block_maxtf": [x for bl in pdf["block_maxtf"] for x in bl],
                 "block_mindl": [x for bl in pdf["block_mindl"] for x in bl],
                 "block_data": [x for bl in pdf["block_data"] for x in bl],
+                "block_pos": (
+                    [x for bl in pdf["block_pos"] for x in bl] if has_pos else None
+                ),
             }
             return pd.DataFrame([out])
 

@@ -38,6 +38,103 @@ fs AS (SELECT count(*) AS doc_cnt,
 )
 
 
+# Token positions BEFORE stop filtering (StopFilter preserves position
+# increments, so stopwords consume positions; empty split artifacts do not).
+TPOS_CTE = """
+tpos AS (
+  SELECT doc_id, t AS term,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS BIGINT) AS pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS p
+        FROM documents) u
+  WHERE t <> ''
+)"""
+
+
+def _phrase_score_tail(terms: Sequence[str], k: int) -> str:
+    """Scoring suffix over an ``m(doc_id, freq)`` CTE: weight = Σ idf of the
+    phrase terms (BM25Similarity.idfExplain over TermStats[]), BM25 with the
+    phrase freq as tf."""
+    lst = ", ".join(f"'{t}'" for t in terms)
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+    score = f"w.w - w.w / (1 + CAST(m.freq AS DOUBLE) * {ninv})"
+    return f""",
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({lst}) GROUP BY 1),
+w AS (SELECT sum(ln(1 + (fs.doc_cnt - dfs.df + 0.5) / (dfs.df + 0.5))) AS w
+      FROM dfs CROSS JOIN fs)
+SELECT m.doc_id AS docid, round({score}, 4) AS score
+FROM m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN w CROSS JOIN fs
+ORDER BY ({score}) DESC, docid ASC LIMIT {k}"""
+
+
+def phrase_exact_sql(terms_off: Sequence, k: int = 10) -> str:
+    """Exact PhraseQuery oracle: self-joins on positions with the phrase
+    offsets (ExactPhraseMatcher alignment); terms_off = [(term, offset)]
+    with offset[0] == 0."""
+    terms = [t for t, _ in terms_off]
+    joins = "".join(
+        f"\n      JOIN tpos t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {off} AND t{i}.term = '{t}'"
+        for i, (t, off) in enumerate(terms_off[1:], start=1)
+    )
+    return (
+        "WITH "
+        + BM25_CTES
+        + ", "
+        + TPOS_CTE.strip()
+        + f""",
+m AS (SELECT t0.doc_id, count(*) AS freq
+      FROM tpos t0{joins}
+      WHERE t0.term = '{terms_off[0][0]}' GROUP BY 1)"""
+        + _phrase_score_tail(terms, k)
+    )
+
+
+def phrase_sloppy_sql(term_a: str, term_b: str, slop: int, k: int = 10) -> str:
+    """Sloppy 2-term PhraseQuery oracle. Simulates SloppyPhraseMatcher's
+    greedy pq traversal exactly via its crossing-walk reduction (one
+    recursive-CTE step per side swap): mover = the lesser current position
+    (ties: lower phrase offset); each step takes the last mover position <=
+    the stationary one, emits distance d (a match when d <= slop,
+    sloppyWeight 1/(1+d) [SloppyPhraseMatcher.java:200-236]), then swaps.
+    Validated step-for-step against the reference matcher on randomized
+    position lists (tests/test_phrase.py)."""
+    return (
+        "WITH RECURSIVE "
+        + BM25_CTES
+        + ", "
+        + TPOS_CTE.strip()
+        + f""",
+pl AS (SELECT a.doc_id, a.av, b.bv FROM
+   (SELECT doc_id, list_sort(list(pos)) AS av FROM tpos WHERE term = '{term_a}' GROUP BY 1) a
+   JOIN
+   (SELECT doc_id, list_sort(list(pos - 1)) AS bv FROM tpos WHERE term = '{term_b}' GROUP BY 1) b
+   USING (doc_id)),
+walk(doc_id, av, bv, mover, s, ia, ib, d, done) AS (
+  SELECT doc_id, av, bv,
+         CASE WHEN av[1] <= bv[1] THEN 0 ELSE 1 END,
+         CASE WHEN av[1] <= bv[1] THEN bv[1] ELSE av[1] END,
+         1, 1, CAST(NULL AS BIGINT), FALSE
+  FROM pl
+  UNION ALL
+  SELECT doc_id, av, bv, 1 - mover,
+         CASE WHEN mover = 0 THEN av[j+1] ELSE bv[j+1] END,
+         CASE WHEN mover = 0 THEN j+1 ELSE ia END,
+         CASE WHEN mover = 1 THEN j+1 ELSE ib END,
+         CASE WHEN mover = 0 THEN s - av[j] ELSE s - bv[j] END,
+         CASE WHEN mover = 0 THEN j >= length(av) ELSE j >= length(bv) END
+  FROM (SELECT doc_id, av, bv, mover, s, ia, ib,
+               CASE WHEN mover = 0
+                    THEN ia - 1 + length(list_filter(list_slice(av, ia, length(av)), x -> x <= s))
+                    ELSE ib - 1 + length(list_filter(list_slice(bv, ib, length(bv)), x -> x <= s)) END AS j
+        FROM walk WHERE NOT done) q
+),
+m AS (SELECT doc_id, sum(1.0 / (1.0 + d)) AS freq
+      FROM walk WHERE d IS NOT NULL AND d <= {slop} GROUP BY 1)"""
+        + _phrase_score_tail([term_a, term_b], k)
+    )
+
+
 def _qt_values(qtf: Dict[str, int]) -> str:
     return ", ".join(f"('{t}', {int(w)})" for t, w in sorted(qtf.items()))
 

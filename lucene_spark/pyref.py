@@ -23,7 +23,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .analysis import ENGLISH_STOP_WORDS, analyze
+from .analysis import ENGLISH_STOP_WORDS, analyze, analyze_with_positions
+from .functions.phrase import exact_phrase_freq, sloppy_phrase_freq
 from .functions.smallfloat import LENGTH_TABLE, int_to_byte4
 
 K1 = 1.2
@@ -33,6 +34,7 @@ B = 0.75
 @dataclass
 class RefIndex:
     postings: Dict[str, Dict[int, int]] = field(default_factory=dict)  # term -> {docid: tf}
+    positions: Dict[str, Dict[int, list]] = field(default_factory=dict)  # term -> {docid: [pos]}
     doclen: Dict[int, int] = field(default_factory=dict)  # docid -> token count (>=1 only)
     norm_byte: Dict[int, int] = field(default_factory=dict)
     num_docs: int = 0  # docs indexed (incl. empty)
@@ -54,7 +56,8 @@ def build_ref_index(docs: Sequence[Tuple[int, str]], stop_words=ENGLISH_STOP_WOR
                     quantize: bool = True) -> RefIndex:
     idx = RefIndex()
     for docid, content in docs:
-        toks = analyze(content, stop_words)
+        with_pos = analyze_with_positions(content, stop_words)
+        toks = [t for t, _ in with_pos]
         idx.num_docs += 1
         if not toks:
             continue
@@ -62,6 +65,8 @@ def build_ref_index(docs: Sequence[Tuple[int, str]], stop_words=ENGLISH_STOP_WOR
         idx.norm_byte[docid] = int(int_to_byte4(np.array([len(toks)]))[0]) if quantize else len(toks)
         for term, tf in Counter(toks).items():
             idx.postings.setdefault(term, {})[docid] = tf
+        for term, pos in with_pos:
+            idx.positions.setdefault(term, {}).setdefault(docid, []).append(pos)
     return idx
 
 
@@ -112,6 +117,10 @@ def search(idx: RefIndex, query_terms: Sequence[str], k: int, mode: str = "or",
     qtf = Counter(query_terms)
     terms = sorted(qtf)
     per_term = {t: score_term(idx, t, quantize) for t in terms}
+    return _combine(idx, terms, qtf, per_term, k, mode, must_not)
+
+
+def _combine(idx, terms, qtf, per_term, k, mode, must_not):
     if mode == "and":
         if not terms or any(not per_term[t] for t in terms):
             return []
@@ -128,6 +137,53 @@ def search(idx: RefIndex, query_terms: Sequence[str], k: int, mode: str = "or",
         for t in terms:
             if d in per_term[t]:
                 s = s + np.float32(qtf[t]) * per_term[t][d]
+        scored.append((d, float(s)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def search_phrase(
+    idx: RefIndex,
+    terms_with_offsets: Sequence[Tuple[str, int]],
+    slop: int = 0,
+    k: int = 10,
+    quantize: bool = True,
+    boost: float = 1.0,
+) -> List[Tuple[int, float]]:
+    """Reference PhraseQuery top-k (PhraseQuery.java:455-490,
+    PhraseScorer.java:84-96): candidates = conjunction of the phrase terms;
+    phraseFreq from the exact/sloppy matcher; weight = boost * Σ idf over the
+    terms array (duplicates included, double-accumulated then cast —
+    BM25Similarity.idfExplain(FieldStats, TermStats[]))."""
+    terms = [t for t, _ in terms_with_offsets]
+    offs = [o for _, o in terms_with_offsets]
+    offs = [o - offs[0] for o in offs]  # PhraseQuery.rewrite rebases to 0
+    if any(t not in idx.positions for t in terms):
+        return []
+    docs = set.intersection(*(set(idx.postings[t]) for t in set(terms)))
+    if not docs:
+        return []
+    w = np.float32(
+        np.float32(boost)
+        * np.float32(sum(float(_idf(len(idx.postings[t]), idx.doc_count)) for t in terms))
+    )
+    cache = _norm_inverse_cache(idx, quantize)
+    k1, b, one = np.float32(K1), np.float32(B), np.float32(1)
+    avgdl = idx.avgdl()
+    scored = []
+    for d in sorted(docs):
+        plists = [idx.positions[t][d] for t in terms]
+        if slop == 0:
+            freq = np.float32(exact_phrase_freq(plists, offs))
+        else:
+            freq = sloppy_phrase_freq(plists, offs, slop, dtype=np.float32)
+        if freq <= 0:
+            continue
+        if quantize:
+            ninv = cache[idx.norm_byte[d]]
+        else:
+            ninv = one / (k1 * ((one - b) + b * np.float32(idx.doclen[d]) / avgdl))
+        s = w - w / (one + freq * ninv)
         scored.append((d, float(s)))
     scored.sort(key=lambda x: (-x[1], x[0]))
     return scored[:k]

@@ -519,6 +519,240 @@ def block_skip_metrics(
     }
 
 
+# ---------------------------------------------------------------------------
+# PhraseQuery: two-phase per-segment evaluation (positions required)
+# ---------------------------------------------------------------------------
+
+def _decode_rows_pos(row, sel: Optional[np.ndarray], counters: List[int]):
+    """Like _decode_rows but also decodes the positions stream of the kept
+    blocks (two-phase verify: position decode only touches blocks holding
+    candidates, TwoPhaseIterator.java:31)."""
+    bf = np.asarray(row["block_first"], dtype=np.int64)
+    bl = np.asarray(row["block_last"], dtype=np.int64)
+    data, pdata = row["block_data"], row["block_pos"]
+    if pdata is None or (isinstance(pdata, float) and np.isnan(pdata)):
+        raise ValueError(
+            "index was built without position data; cannot run PhraseQuery "
+            "(rebuild with IndexConfig(index_positions=True))"
+        )
+    counters[0] += len(bf)
+    if sel is not None:
+        lo = np.searchsorted(sel, bf, "left")
+        hi = np.searchsorted(sel, bl, "right")
+        keep = np.flatnonzero(hi > lo)
+    else:
+        keep = np.arange(len(bf))
+    counters[1] += len(keep)
+    z = np.empty(0, np.int64)
+    if len(keep) == 0:
+        return z, z, z, z
+    ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+    for i in keep:
+        ids, tfs, dls = decode_block(bytes(data[i]))
+        from ..functions.codec import decode_block_positions
+
+        pos_l.append(decode_block_positions(bytes(pdata[i]), tfs))
+        ids_l.append(ids)
+        tfs_l.append(tfs)
+        dls_l.append(dls)
+    return (
+        np.concatenate(ids_l),
+        np.concatenate(tfs_l),
+        np.concatenate(dls_l),
+        np.concatenate(pos_l),
+    )
+
+
+def _phrase_offsets(phrase, stop_words) -> List[Tuple[str, int]]:
+    """Normalize a phrase spec to [(term, offset)] with offset[0] == 0
+    (PhraseQuery.rewrite rebases; stopword holes preserved like the
+    QueryParser's position increments)."""
+    from ..analysis import ENGLISH_STOP_WORDS, analyze_with_positions
+
+    if isinstance(phrase, str):
+        pairs = analyze_with_positions(phrase, stop_words or ENGLISH_STOP_WORDS)
+    elif phrase and isinstance(phrase[0], (tuple, list)):
+        pairs = [(t, int(o)) for t, o in phrase]
+    else:
+        pairs = [(t, i) for i, t in enumerate(phrase)]
+    if not pairs:
+        return []
+    base = pairs[0][1]
+    return [(t, o - base) for t, o in pairs]
+
+
+def make_phrase_topk_fn(
+    terms_off: Sequence[Tuple[str, int]],
+    weight: float,
+    k: int,
+    slop: int,
+    avgdl: float,
+    quantize: bool,
+    dtype,
+):
+    """Per-segment phrase scorer: conjunction approximation over docids
+    (positions untouched), then position decode + exact/sloppy matcher on
+    surviving candidates only (PhraseScorer.twoPhaseIterator analog)."""
+    from ..functions.phrase import sloppy_phrase_freq
+
+    distinct = sorted({t for t, _ in terms_off})
+    POS_BASE = np.int64(1) << np.int64(22)  # fused (doc, adjusted-pos) key space
+
+    def run(pdf: pd.DataFrame):
+        counters = [0, 0]
+        z = np.empty(0, np.int64)
+        rows: Dict[str, list] = {}
+        for _, r in pdf.iterrows():
+            rows.setdefault(r["term"], []).append(r)
+        for t in rows:
+            rows[t].sort(key=lambda r: r["first_docid"])
+        if any(t not in rows for t in distinct):
+            return z, z.astype(np.float64), counters
+
+        # --- phase 1: conjunction on docids, rarest term leads
+        order = sorted(distinct, key=lambda t: sum(int(r["df"]) for r in rows[t]))
+        cand = None
+        for t in order:
+            parts = [_decode_rows(r, cand, counters) for r in rows[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            if cand is not None and len(ids):
+                m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
+                ids = ids[m]
+            cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+            if len(cand) == 0:
+                return z, z.astype(np.float64), counters
+
+        # --- phase 2: decode positions for candidate blocks only
+        per_term: Dict[str, tuple] = {}
+        doclens = None
+        for t in distinct:
+            parts = [_decode_rows_pos(r, cand, counters) for r in rows[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            pos = np.concatenate([p[3] for p in parts])
+            m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
+            pos = pos[np.repeat(m, tfs)]
+            ids, tfs, dls = ids[m], tfs[m], dls[m]
+            per_term[t] = (ids, tfs, pos)
+            if doclens is None:
+                doclens = dls  # any term's postings carry the doc's length
+        assert doclens is not None and all(
+            len(per_term[t][0]) == len(cand) for t in distinct
+        )
+
+        # --- matcher: phraseFreq per candidate doc
+        if slop == 0:
+            base = int(cand[0])  # rebase so fused keys fit int64 at any scale
+            keys = None
+            for t, off in terms_off:
+                ids, tfs, pos = per_term[t]
+                if len(pos) and int(pos.max()) + 1 >= int(POS_BASE):
+                    raise ValueError("document positions exceed fused-key space")
+                adj = pos - np.int64(off)
+                kt = (np.repeat(ids, tfs) - base) * POS_BASE + adj
+                kt = kt[adj >= 0]
+                keys = kt if keys is None else np.intersect1d(keys, kt, assume_unique=True)
+                if len(keys) == 0:
+                    return z, z.astype(np.float64), counters
+            docs, cnts = np.unique(keys // POS_BASE, return_counts=True)
+            docs = docs + base
+            sel = np.searchsorted(cand, docs)
+            freqs = cnts.astype(np.float64)
+            dls_m = doclens[sel]
+        else:
+            bounds = {
+                t: np.concatenate(([0], np.cumsum(per_term[t][1])))
+                for t in distinct
+            }
+            offs = [o for _, o in terms_off]
+            docs_l, freqs_l, dls_l = [], [], []
+            for i, d in enumerate(cand):
+                plists = []
+                for t, _ in terms_off:
+                    b = bounds[t]
+                    plists.append(per_term[t][2][b[i] : b[i + 1]])
+                f = sloppy_phrase_freq(plists, offs, slop, dtype=dtype)
+                if f > 0:
+                    docs_l.append(d)
+                    freqs_l.append(float(f))
+                    dls_l.append(doclens[i])
+            if not docs_l:
+                return z, z.astype(np.float64), counters
+            docs = np.array(docs_l, dtype=np.int64)
+            freqs = np.array(freqs_l, dtype=np.float64)
+            dls_m = np.array(dls_l, dtype=np.int64)
+
+        scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
+        kk = min(k, len(docs))
+        part = np.argpartition(-scores.astype(np.float64), kk - 1)[:kk]
+        sel_ids, sel_sc = docs[part], scores[part]
+        ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
+        return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
+
+    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, scores, counters = run(pdf)
+        return pd.DataFrame(
+            {
+                "docid": ids,
+                "score": scores,
+                "blocks_total": np.full(len(ids), counters[0], dtype=np.int64),
+                "blocks_decoded": np.full(len(ids), counters[1], dtype=np.int64),
+            }
+        )
+
+    return topk_fn
+
+
+def search_phrase(
+    index: Index,
+    phrase,
+    slop: int = 0,
+    k: int = 10,
+    boost: float = 1.0,
+    quantize: bool = True,
+    dtype=np.float32,
+    stop_words=None,
+) -> DataFrame:
+    """PhraseQuery top-k (PhraseQuery.java:71,76): exact (slop=0, leapfrog
+    alignment, ExactPhraseMatcher.java:149) or sloppy (greedy pq matcher,
+    SloppyPhraseMatcher.java:205). weight = boost * Σ idf over the phrase's
+    terms (duplicates included, BM25Similarity.idfExplain[TermStats[]]);
+    phraseFreq is the BM25 freq. ``phrase``: a string (analyzed, stopword
+    holes preserved), a term list, or [(term, offset)] pairs."""
+    from .scorer import idf as _idf
+
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, score double")
+    terms_off = _phrase_offsets(phrase, stop_words)
+    if len(terms_off) < 2:
+        return empty
+    if slop > 0 and len({t for t, _ in terms_off}) < len(terms_off):
+        raise NotImplementedError(
+            "sloppy phrases with repeating terms (SloppyPhraseMatcher rptGroups) "
+            "are not supported; exact phrases handle repeats"
+        )
+    distinct = sorted({t for t, _ in terms_off})
+    stats = index.term_stats_for(distinct)
+    if any(t not in stats for t in distinct):
+        return empty  # a missing term can never align
+    n = index.field_stats.doc_count
+    w = float(
+        dtype(boost)
+        * dtype(sum(float(_idf(stats[t][0], n, dtype)) for t, _ in terms_off))
+    )
+    rows = index.seg_postings.filter(F.col("term").isin(distinct))
+    fn = make_phrase_topk_fn(
+        terms_off, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype
+    )
+    per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
+    return (
+        per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .select("docid", "score")
+    )
+
+
 def count_hits(index: Index, q: NormalizedQuery) -> int:
     """TotalHitCountCollector / IndexSearcher.count analog, with the
     single-term df shortcut (Weight#count, IndexSearcher.java:495)."""

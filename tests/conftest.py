@@ -30,7 +30,10 @@ def built_index(spark, tmp_path_factory):
 
     d = str(tmp_path_factory.mktemp("idx") / "index")
     docs = corpus_spark_df(spark, 600, seed=42)
-    cfg = IndexConfig(num_segments=4, hot_df_threshold=100, merge_bucket_segments=2)
+    cfg = IndexConfig(
+        num_segments=4, hot_df_threshold=100, merge_bucket_segments=2,
+        index_positions=True,
+    )
     paths = build_index(spark, docs, d, cfg)
     return Index(spark, paths)
 

@@ -1,0 +1,160 @@
+"""PhraseQuery: positions codec, matcher goldens, engine-vs-pyref
+differentials (TestPhraseQuery-style; reference behavior from
+ExactPhraseMatcher.java / SloppyPhraseMatcher.java)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.codec import (
+    cut_position_blocks,
+    decode_block_positions,
+    encode_block_positions,
+)
+from lucene_spark.functions.phrase import (
+    exact_phrase_freq,
+    sloppy_match_lengths,
+    sloppy_phrase_freq,
+)
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n_post = int(rng.integers(1, 600))
+        tfs = rng.integers(1, 8, size=n_post)
+        parts = [np.sort(rng.choice(100_000, size=tf, replace=False)) for tf in tfs]
+        positions = np.concatenate(parts)
+        blob = encode_block_positions(positions, tfs)
+        assert (decode_block_positions(blob, tfs) == positions).all()
+        # block cutting covers every posting exactly once
+        blobs = cut_position_blocks(positions, tfs)
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        got = []
+        for bi, s in enumerate(range(0, n_post, 256)):
+            e = min(s + 256, n_post)
+            got.append(decode_block_positions(blobs[bi], tfs[s:e]))
+        assert (np.concatenate(got) == positions).all()
+
+
+def test_sloppy_matcher_javadoc_example():
+    # SloppyPhraseMatcher javadoc: "a b"~2 on "x a b a y" matches twice,
+    # distances 0 and 2 -> freq 1 + 1/3
+    mls = sloppy_match_lengths([[1, 3], [2]], [0, 1], 2)
+    assert mls == [0, 2]
+    assert abs(float(sloppy_phrase_freq([[1, 3], [2]], [0, 1], 2)) - 4 / 3) < 1e-6
+
+
+def test_exact_phrase_freq_alignments():
+    assert exact_phrase_freq([[0, 2], [1, 3]], [0, 1]) == 2  # "a b a b"
+    assert exact_phrase_freq([[0], [5]], [0, 1]) == 0
+    # repeated term: "a b a" on "a b a b a"
+    assert exact_phrase_freq([[0, 2, 4], [1, 3], [0, 2, 4]], [0, 1, 2]) == 2
+
+
+def test_sloppy_asymmetry_documented():
+    # javadoc: "a b c b a" scores differently for "a b c"~4 vs "c b a"~4
+    abc = sloppy_match_lengths([[0, 4], [1, 3], [2]], [0, 1, 2], 4)
+    cba = sloppy_match_lengths([[2], [1, 3], [0, 4]], [0, 1, 2], 4)
+    assert abc != cba
+
+
+def _crossing_walk(A, B, slop):
+    """Independent 2-term reduction used by the SQL oracle (one step per
+    side swap); must agree with the greedy pq matcher."""
+    if not A or not B:
+        return []
+    lists, idx = [A, B], [0, 0]
+    mover = 0 if A[0] <= B[0] else 1
+    s = B[0] if mover == 0 else A[0]
+    out = []
+    while True:
+        M = lists[mover]
+        j = idx[mover]
+        while j + 1 < len(M) and M[j + 1] <= s:
+            j += 1
+        d = s - M[j]
+        if d <= slop:
+            out.append(d)
+        if j + 1 >= len(M):
+            return out
+        idx[mover] = j + 1
+        s, mover = M[j + 1], 1 - mover
+
+
+def test_sloppy_two_term_crossing_walk_equivalence():
+    rng = np.random.default_rng(7)
+    for _ in range(3000):
+        A = sorted(rng.choice(50, size=int(rng.integers(1, 9)), replace=False).tolist())
+        B = sorted(rng.choice(50, size=int(rng.integers(1, 9)), replace=False).tolist())
+        slop = int(rng.integers(0, 8))
+        assert sorted(sloppy_match_lengths([A, B], [0, 0], slop)) == sorted(
+            _crossing_walk(A, B, slop)
+        ), (A, B, slop)
+
+
+PHRASES = [
+    (["import", "return"], 0),
+    (["def", "public"], 0),
+    (["import", "return"], 1),
+    (["return", "import"], 2),
+    (["import", "def", "return"], 2),
+    (["hash", "digest"], 0),  # no co-occurrence -> empty
+]
+
+
+def test_engine_phrase_matches_pyref(built_index, ref_index):
+    """Rank + float32-score identity vs the pure-Python reference matcher
+    (CheckHits style) across exact and sloppy shapes."""
+    from lucene_spark.pyref import search_phrase as ref_phrase
+    from lucene_spark.search.executor import search_phrase
+
+    for phrase, slop in PHRASES:
+        got = [
+            (r["docid"], r["score"])
+            for r in search_phrase(built_index, phrase, slop=slop, k=10).collect()
+        ]
+        want = ref_phrase(
+            ref_index, [(t, i) for i, t in enumerate(phrase)], slop=slop, k=10
+        )
+        assert got == want, (phrase, slop)
+
+
+def test_phrase_with_stopword_hole(built_index, ref_index):
+    """'import the return'-style phrases keep the stopword's position slot:
+    offsets (0, 2), never (0, 1)."""
+    from lucene_spark.pyref import search_phrase as ref_phrase
+    from lucene_spark.search.executor import search_phrase
+
+    got = [
+        (r["docid"], r["score"])
+        for r in search_phrase(built_index, "import the return", k=10).collect()
+    ]
+    want = ref_phrase(ref_index, [("import", 0), ("return", 2)], slop=0, k=10)
+    assert got == want
+    # and it differs from the adjacent-offsets phrase
+    adj = [
+        (r["docid"], r["score"])
+        for r in search_phrase(built_index, ["import", "return"], k=10).collect()
+    ]
+    assert got != adj
+
+
+def test_phrase_requires_positions(spark, tmpdir_index):
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, search_phrase
+
+    docs = corpus_spark_df(spark, 60, seed=5)
+    paths = build_index(
+        spark, docs, tmpdir_index, IndexConfig(num_segments=2, index_positions=False)
+    )
+    idx = Index(spark, paths)
+    with pytest.raises(Exception, match="without position data"):
+        search_phrase(idx, ["import", "return"], k=5).collect()
+
+
+def test_sloppy_repeats_unsupported(built_index):
+    from lucene_spark.search.executor import search_phrase
+
+    with pytest.raises(NotImplementedError):
+        search_phrase(built_index, ["import", "return", "import"], slop=2, k=5)
