@@ -277,6 +277,36 @@ def q_more_like_this(spark, sf):
     return _topk(idx, should=terms)
 
 
+PARSED_QUERY = "(hash AND table) OR (scan AND -filter)"
+BOOST_QUERY = "window^2.5 merge"
+
+
+def q_parsed_query_topk(spark, sf):
+    """Nested boolean through the real parser (QueryParser.jj subset,
+    recursive descent) + tree execution: score = sum of matching clause
+    scores (BooleanQuery.java:40)."""
+    from lucene_spark.search.executor import search_query
+    from lucene_spark.search.plan import parse
+
+    res = search_query(
+        _index(spark, sf), parse(PARSED_QUERY), k=10, quantize=False, dtype=np.float64
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_boost_query_topk(spark, sf):
+    """Parsed boosts: W = boost * idf (BoostQuery propagates into the leaf
+    weight; BM25 score is linear in W, so oracle expresses it as a float
+    qtf)."""
+    from lucene_spark.search.executor import search_query
+    from lucene_spark.search.plan import parse
+
+    res = search_query(
+        _index(spark, sf), parse(BOOST_QUERY), k=10, quantize=False, dtype=np.float64
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 PHRASE_EXACT = [("table", 0), ("hash", 1)]
 # "sort a scan": 'a' is a stopword -> position hole, offsets (0, 2)
 PHRASE_HOLE = [("sort", 0), ("scan", 2)]
@@ -492,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_stop_hole_topk": q_phrase_stop_hole_topk,
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
+        "parsed_query_topk": q_parsed_query_topk,
+        "boost_query_topk": q_boost_query_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_band_buckets": q_minhash_band_buckets,
         "simhash_values": q_simhash_values,
@@ -679,6 +711,8 @@ GROUP BY d.source ORDER BY d.source""",
         "phrase_topk": phrase_exact_sql(PHRASE_EXACT),
         "phrase_stop_hole_topk": phrase_exact_sql(PHRASE_HOLE),
         "sloppy_phrase_topk": phrase_sloppy_sql(*SLOPPY_TERMS, SLOPPY_SLOP),
+        "parsed_query_topk": _parsed_query_sql(),
+        "boost_query_topk": bm25_topk_sql({"window": 2.5, "merge": 1}),
         "synonym_topk": _synonym_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": """
@@ -737,6 +771,26 @@ SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type""",
     }
     return sql
+
+
+def _parsed_query_sql() -> str:
+    """(hash AND table) OR (scan AND -filter): per-clause score sums, full
+    outer union — mirrors the tree evaluator exactly."""
+    from lucene_spark.oracle import bm25_scored_cte
+
+    return (
+        bm25_scored_cte({"hash": 1, "table": 1, "scan": 1})
+        + """,
+g1 AS (SELECT h.doc_id, h.s + t.s AS sc
+       FROM (SELECT doc_id, s FROM scored WHERE term = 'hash') h
+       JOIN (SELECT doc_id, s FROM scored WHERE term = 'table') t USING (doc_id)),
+g2 AS (SELECT doc_id, s AS sc FROM scored WHERE term = 'scan'
+       AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'filter')),
+m AS (SELECT doc_id, coalesce(g1.sc, 0) + coalesce(g2.sc, 0) AS score
+      FROM g1 FULL OUTER JOIN g2 USING (doc_id))
+SELECT doc_id AS docid, round(score, 4) AS score FROM m
+ORDER BY score DESC, docid ASC LIMIT 10"""
+    )
 
 
 def bm25_scored_tail_sql() -> str:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -32,7 +33,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.codec import decode_block
 from ..index.builder import IndexPaths
-from .plan import NormalizedQuery
+from .plan import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    NormalizedQuery,
+    QBool,
+    QFuzzy,
+    QPhrase,
+    QPrefix,
+    QRange,
+    QTerm,
+    QWildcard,
+)
 from .scorer import FieldStats, max_term_score, score_arrays, term_weights
 
 TOPK_SCHEMA = "docid long, score double, blocks_total long, blocks_decoded long"
@@ -684,7 +697,7 @@ def make_phrase_topk_fn(
             dls_m = np.array(dls_l, dtype=np.int64)
 
         scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
-        kk = min(k, len(docs))
+        kk = len(docs) if k is None else min(k, len(docs))
         part = np.argpartition(-scores.astype(np.float64), kk - 1)[:kk]
         sel_ids, sel_sc = docs[part], scores[part]
         ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
@@ -722,11 +735,39 @@ def search_phrase(
     holes preserved), a term list, or [(term, offset)] pairs."""
     from .scorer import idf as _idf
 
-    spark = index.spark
-    empty = spark.createDataFrame([], "docid long, score double")
+    per_seg = _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words)
+    if per_seg is None:
+        return index.spark.createDataFrame([], "docid long, score double")
+    return (
+        per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .select("docid", "score")
+    )
+
+
+def phrase_scores(
+    index: Index,
+    phrase,
+    slop: int = 0,
+    boost: float = 1.0,
+    quantize: bool = False,
+    dtype=np.float64,
+    stop_words=None,
+) -> DataFrame:
+    """ALL (docid, score) phrase matches, uncut — the tree-evaluation
+    building block for PhraseQuery clauses inside nested booleans."""
+    per_seg = _phrase_per_seg(index, phrase, slop, None, boost, quantize, dtype, stop_words)
+    if per_seg is None:
+        return index.spark.createDataFrame([], "docid long, score double")
+    return per_seg.select("docid", "score")
+
+
+def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words):
+    from .scorer import idf as _idf
+
     terms_off = _phrase_offsets(phrase, stop_words)
     if len(terms_off) < 2:
-        return empty
+        return None
     if slop > 0 and len({t for t, _ in terms_off}) < len(terms_off):
         raise NotImplementedError(
             "sloppy phrases with repeating terms (SloppyPhraseMatcher rptGroups) "
@@ -735,7 +776,7 @@ def search_phrase(
     distinct = sorted({t for t, _ in terms_off})
     stats = index.term_stats_for(distinct)
     if any(t not in stats for t in distinct):
-        return empty  # a missing term can never align
+        return None  # a missing term can never align
     n = index.field_stats.doc_count
     w = float(
         dtype(boost)
@@ -745,12 +786,7 @@ def search_phrase(
     fn = make_phrase_topk_fn(
         terms_off, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype
     )
-    per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
-    return (
-        per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
-        .limit(k)
-        .select("docid", "score")
-    )
+    return rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
 
 
 def count_hits(index: Index, q: NormalizedQuery) -> int:
@@ -772,6 +808,144 @@ def hydrate(index: Index, topk: DataFrame) -> DataFrame:
     return index.docs.join(F.broadcast(topk), "docid").orderBy(
         F.col("score").desc(), F.col("docid").asc()
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-tree execution: nested booleans from the parser (exhaustive path)
+# ---------------------------------------------------------------------------
+
+def _eval_node(index: Index, node, quantize: bool, dtype) -> Optional[DataFrame]:
+    """Evaluate a query-tree node to a full (docid, score) DataFrame, or
+    None when the node can match nothing. Score semantics follow
+    BooleanQuery: a doc's score is the sum of its matching scoring clauses,
+    each clause scaled by its boost [BooleanQuery.java:40, BoostQuery]."""
+    if node is None:
+        return None
+    if isinstance(node, QTerm):
+        if node.field not in (None, "content"):
+            raise ValueError(
+                f"unknown field {node.field!r} (single text field; see MultiFieldIndex)"
+            )
+        q = NormalizedQuery(optional=((node.term, 1),))
+        df = search_exhaustive(index, q, k=None, boost=node.boost, quantize=quantize, dtype=dtype)
+        return df
+    if isinstance(node, QPhrase):
+        return phrase_scores(
+            index, list(node.terms_off), slop=node.slop, boost=node.boost,
+            quantize=quantize, dtype=dtype,
+        )
+    if isinstance(node, (QFuzzy, QPrefix, QWildcard)):
+        # top-terms scoring rewrite: OR of the matching terms, each scored
+        # with its own idf (ScoringRewrite / TopTermsRewrite, cap 1024)
+        if isinstance(node, QFuzzy):
+            terms = index.expand_terms(fuzzy=(node.term, node.max_edits), max_terms=1024)
+        elif isinstance(node, QPrefix):
+            terms = index.expand_terms(prefix=node.prefix, max_terms=1024)
+        else:
+            regex = "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in node.pattern
+            ) + "$"
+            terms = index.expand_terms(regex=regex, max_terms=1024)
+        if not terms:
+            return None
+        q = NormalizedQuery(optional=tuple((t, 1) for t in sorted(terms)))
+        return search_exhaustive(index, q, k=None, boost=node.boost, quantize=quantize, dtype=dtype)
+    if isinstance(node, QRange):
+        if node.field in (None, "content"):
+            # TermRangeQuery -> constant-score over docs holding any term in
+            # the lexicographic range (MultiTermQueryConstantScoreWrapper)
+            ts = index.term_stats.filter(
+                (F.col("term") >= node.lo) & (F.col("term") <= node.hi)
+            )
+            terms = [r["term"] for r in ts.select("term").collect()]
+            if not terms:
+                return None
+            ids = decoded_postings(index, terms).select("docid").distinct()
+        else:
+            # numeric/docvalues range: pushdown filter on the docs table
+            # (PointRangeQuery analog — parquet min/max pruning replaces BKD)
+            ids = index.docs.filter(
+                (F.col(node.field) >= node.lo) & (F.col(node.field) <= node.hi)
+            ).select("docid")
+        return ids.withColumn("score", F.lit(float(node.boost)))
+    if isinstance(node, QBool):
+        return _eval_bool(index, node, quantize, dtype)
+    raise TypeError(f"unknown query node {type(node).__name__}")
+
+
+def _eval_bool(index: Index, node: QBool, quantize: bool, dtype) -> Optional[DataFrame]:
+    must, should, mnot = [], [], []
+    for occ, child in node.clauses:
+        df = _eval_node(index, child, quantize, dtype)
+        if occ == MUST:
+            if df is None:
+                return None  # a MUST clause that matches nothing kills the query
+            must.append(df)
+        elif occ == SHOULD:
+            if df is not None:
+                should.append(df)
+        else:
+            if df is not None:
+                mnot.append(df)
+    if not must and not should:
+        return None  # empty / pure-negative boolean (BooleanQuery.java:269-276)
+    if must:
+        scored = must[0].select("docid", F.col("score").alias("s0"))
+        for i, m in enumerate(must[1:], 1):
+            scored = scored.join(
+                m.select("docid", F.col("score").alias(f"s{i}")), "docid"
+            )
+        total = F.col("s0")
+        for i in range(1, len(must)):
+            total = total + F.col(f"s{i}")
+        scored = scored.select("docid", total.alias("score"))
+        if should:
+            opt = should[0]
+            for s in should[1:]:
+                opt = opt.unionAll(s)
+            opt = opt.groupBy("docid").agg(F.sum("score").alias("__opt__"))
+            scored = scored.join(opt, "docid", "left").select(
+                "docid",
+                (F.col("score") + F.coalesce(F.col("__opt__"), F.lit(0.0))).alias("score"),
+            )
+    else:
+        allsh = should[0]
+        for s in should[1:]:
+            allsh = allsh.unionAll(s)
+        scored = allsh.groupBy("docid").agg(F.sum("score").alias("score"))
+    if mnot:
+        ex = mnot[0].select("docid")
+        for m in mnot[1:]:
+            ex = ex.unionAll(m.select("docid"))
+        scored = scored.join(ex.distinct(), "docid", "left_anti")
+    if node.boost != 1.0:
+        scored = scored.select("docid", (F.col("score") * F.lit(float(node.boost))).alias("score"))
+    return scored
+
+
+def search_tree(
+    index: Index,
+    node,
+    k: Optional[int] = 10,
+    quantize: bool = False,
+    dtype=np.float64,
+) -> DataFrame:
+    """Execute a parsed query tree (nested booleans, phrases, multi-term,
+    ranges, boosts) on the exhaustive DataFrame path."""
+    df = _eval_node(index, node, quantize, dtype)
+    if df is None:
+        return index.spark.createDataFrame([], "docid long, score double")
+    df = df.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return df.limit(k) if k else df
+
+
+def search_query(index: Index, q, k: int = 10, **kw) -> DataFrame:
+    """Dispatch parse() output: NormalizedQuery -> pruned per-segment top-k
+    path; query tree -> exhaustive tree evaluation."""
+    if isinstance(q, NormalizedQuery):
+        return search_topk(index, q, k=k, **kw)
+    return search_tree(index, q, k=k, **kw)
 
 
 def search_after(

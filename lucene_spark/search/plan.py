@@ -20,11 +20,12 @@ normalized with the same analyzer chain [StandardAnalyzer.java:100].
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from dataclasses import dataclass, field
 from typing import Dict, List, Sequence, Tuple
 
-from ..analysis import ENGLISH_STOP_WORDS, analyze
+from ..analysis import ENGLISH_STOP_WORDS, analyze, analyze_with_positions
 
 
 @dataclass(frozen=True)
@@ -112,39 +113,330 @@ def normalize(
     )
 
 
-def parse(query: str, stop_words=ENGLISH_STOP_WORDS) -> NormalizedQuery:
-    """Tiny QueryParser: ``a AND b``, ``a OR b``, ``NOT c`` / ``-c``,
-    ``+required``, free text = implicit SHOULD. No nesting (parity scope
-    per SURVEY.md §3.3 note)."""
-    must: List[str] = []
-    should: List[str] = []
-    must_not: List[str] = []
-    tokens = query.replace("(", " ").replace(")", " ").split()
-    i = 0
-    pending_not = False
-    saw_and = "AND" in tokens
-    words: List[Tuple[str, str]] = []  # (op, word)
-    while i < len(tokens):
-        w = tokens[i]
-        if w == "NOT":
-            pending_not = True
-        elif w in ("AND", "OR"):
-            pass
-        elif w.startswith("-") and len(w) > 1:
-            words.append(("not", w[1:]))
-        elif w.startswith("+") and len(w) > 1:
-            words.append(("must", w[1:]))
+# ---------------------------------------------------------------------------
+# Query tree IR + recursive-descent parser (QueryParser.jj subset)
+# ---------------------------------------------------------------------------
+
+MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class QTerm:
+    term: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class QPhrase:
+    terms_off: Tuple[Tuple[str, int], ...]  # (term, offset), offset[0] == 0
+    slop: int = 0
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class QFuzzy:
+    term: str
+    max_edits: int = 2  # FuzzyQuery.defaultMaxEdits [FuzzyQuery.java:52-64]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class QPrefix:
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class QWildcard:
+    pattern: str  # with * and ?
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class QRange:
+    field: str | None  # None -> term range on the indexed text field
+    lo: str
+    hi: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class QBool:
+    clauses: Tuple[Tuple[str, object], ...]  # (occur, node)
+    boost: float = 1.0
+
+
+class ParseError(ValueError):
+    pass
+
+
+_TOKEN_SPECIALS = set('()"')
+
+
+def _lex(s: str) -> List[str]:
+    """Tokens: ( ) "..."  and whitespace-separated words (which may carry
+    +/-/field:/~/^/*/? decorations, handled by the parser)."""
+    out: List[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise ParseError(f"unterminated phrase at {i}: {s!r}")
+            # keep the trailing ~slop / ^boost attached to the phrase token
+            k = j + 1
+            while k < n and not s[k].isspace() and s[k] not in _TOKEN_SPECIALS:
+                k += 1
+            out.append(s[i:k])
+            i = k
+        elif c == "[":
+            j = s.find("]", i + 1)
+            if j < 0:
+                raise ParseError(f"unterminated range at {i}: {s!r}")
+            k = j + 1
+            while k < n and not s[k].isspace() and s[k] not in _TOKEN_SPECIALS:
+                k += 1
+            out.append(s[i:k])
+            i = k
         else:
-            words.append(("not" if pending_not else "word", w))
-            pending_not = False
-        i += 1
-    for op, w in words:
-        if op == "not":
-            must_not.append(w)
-        elif op == "must":
-            must.append(w)
-        elif saw_and:
-            must.append(w)  # conjunctive context: bare words are MUST
-        else:
-            should.append(w)
-    return normalize(must, should, must_not, stop_words)
+            j = i
+            while j < n and not s[j].isspace() and s[j] not in _TOKEN_SPECIALS:
+                # a field prefix may be glued to a phrase or range start
+                if s[j] in '"[' :
+                    break
+                j += 1
+            if j < n and s[j] in '"[':
+                # field:"phrase" / field:[a TO b] — recurse for the tail
+                rest = _lex(s[j:])
+                out.append(s[i:j] + rest[0])
+                out.extend(rest[1:])
+                return out
+            out.append(s[i:j])
+            i = j
+    return out
+
+
+class _Parser:
+    """Recursive descent over the classic-QueryParser subset
+    [lucene/queryparser/.../classic/QueryParser.jj:256, QueryParserBase.java:62]:
+
+      query   := conj (OR conj)*          OR = SHOULD clauses
+      conj    := mod (AND mod)*           AND = MUST clauses
+      mod     := [+ | - | NOT] atom [^boost]
+      atom    := '(' query ')' | '"' phrase '"' [~slop] | range | word
+
+    with word decorations: field:, trailing ~[edits] (fuzzy), * / ?
+    (prefix / wildcard), ^boost; terms are analyzer-normalized
+    [StandardAnalyzer.java:100]. Precedence: NOT > AND > OR (so
+    ``a OR b AND c`` is ``a OR (b AND c)``).
+    """
+
+    def __init__(self, tokens: List[str], stop_words):
+        self.toks = tokens
+        self.i = 0
+        self.stop = stop_words
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.query()
+        if self.peek() is not None:
+            raise ParseError(f"trailing input at token {self.i}: {self.peek()!r}")
+        return node
+
+    def query(self):
+        clauses = [self.conj()]
+        while True:
+            t = self.peek()
+            if t == "OR" or t == "||":
+                self.take()
+                clauses.append(self.conj())
+            elif t is not None and t != ")":
+                # juxtaposed clauses = implicit OR (default operator,
+                # QueryParserBase.Operator.OR)
+                clauses.append(self.conj())
+            else:
+                break
+        clauses = [c for c in clauses if c is not None]
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            return clauses[0]
+        out = []
+        for c in clauses:
+            # a bare negative clause keeps its MUST_NOT occur at this level
+            if isinstance(c, tuple):
+                out.append(c)
+            else:
+                out.append((SHOULD, c))
+        return QBool(tuple(out))
+
+    def conj(self):
+        clauses = [self.mod()]
+        while self.peek() == "AND" or self.peek() == "&&":
+            self.take()
+            clauses.append(self.mod())
+        clauses = [c for c in clauses if c is not None]
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            return clauses[0]
+        out = []
+        for c in clauses:
+            if isinstance(c, tuple):  # (occur, node) from +/-/NOT
+                out.append(c)
+            else:
+                out.append((MUST, c))
+        return QBool(tuple(out))
+
+    def mod(self):
+        t = self.peek()
+        if t is None:
+            return None
+        occur = None
+        if t == "NOT" or t == "!":
+            self.take()
+            occur = MUST_NOT
+            t = self.peek()
+            if t is None:
+                raise ParseError("dangling NOT")
+        elif t.startswith("+") and len(t) > 1:
+            occur = MUST
+            self.toks[self.i] = t[1:]
+        elif t.startswith("-") and len(t) > 1:
+            occur = MUST_NOT
+            self.toks[self.i] = t[1:]
+        node = self.atom()
+        if node is None:
+            return None
+        if occur is None:
+            return node
+        return (occur, node)
+
+    def atom(self):
+        t = self.peek()
+        if t == "(":
+            self.take()
+            node = self.query()
+            if self.peek() != ")":
+                raise ParseError("missing closing paren")
+            self.take()
+            boost = self._trailing_boost()
+            if boost != 1.0 and node is not None:
+                node = _with_boost(node, boost)
+            return node
+        if t == ")":
+            raise ParseError("unexpected )")
+        return self.word(self.take())
+
+    def _trailing_boost(self) -> float:
+        t = self.peek()
+        if t and t.startswith("^"):
+            self.take()
+            return float(t[1:])
+        return 1.0
+
+    def _analyze_one(self, text: str) -> str | None:
+        toks = analyze(text, self.stop)
+        if not toks:
+            return None  # stopword / empty -> clause dropped (QueryParserBase)
+        if len(toks) > 1:
+            raise ParseError(f"term {text!r} analyzes to multiple tokens; quote it")
+        return toks[0]
+
+    def word(self, t: str):
+        boost = 1.0
+        m = re.search(r"\^(\d+(?:\.\d+)?)$", t)
+        if m:
+            boost = float(m.group(1))
+            t = t[: m.start()]
+        field = None
+        fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", t)
+        if fm:
+            field, t = fm.group(1), fm.group(2)
+        if t.startswith('"'):
+            sm = re.match(r'^"(.*)"(?:~(\d+))?$', t, re.DOTALL)
+            if not sm:
+                raise ParseError(f"bad phrase token {t!r}")
+            pairs = analyze_with_positions(sm.group(1), self.stop)
+            if not pairs:
+                return None
+            base = pairs[0][1]
+            terms_off = tuple((w, p - base) for w, p in pairs)
+            if len(terms_off) == 1:
+                return QTerm(terms_off[0][0], field, boost)
+            return QPhrase(terms_off, int(sm.group(2) or 0), field, boost)
+        if t.startswith("["):
+            rm = re.match(r"^\[([^\s\]]+) TO ([^\s\]]+)\]$", t)
+            if not rm:
+                raise ParseError(f"bad range token {t!r}")
+            return QRange(field, rm.group(1), rm.group(2), boost)
+        fz = re.search(r"~(\d*)$", t)
+        if fz:
+            base = t[: fz.start()]
+            term = self._analyze_one(base)
+            if term is None:
+                return None
+            edits = int(fz.group(1)) if fz.group(1) else 2
+            return QFuzzy(term, edits, boost)
+        if "*" in t or "?" in t:
+            low = t.lower()
+            if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                return QPrefix(low[:-1], boost)
+            return QWildcard(low, boost)
+        term = self._analyze_one(t)
+        if term is None:
+            return None
+        return QTerm(term, field, boost)
+
+
+def _with_boost(node, boost: float):
+    from dataclasses import replace
+
+    return replace(node, boost=node.boost * boost)
+
+
+def parse_tree(query: str, stop_words=ENGLISH_STOP_WORDS):
+    """Full parser -> query tree IR (None = all clauses dropped)."""
+    node = _Parser(_lex(query), stop_words).parse()
+    return node
+
+
+def flatten(node) -> NormalizedQuery | None:
+    """Compile a FLAT boolean tree (one level of plain unboosted terms) to
+    the NormalizedQuery fast path; None when the tree needs search_tree."""
+    if node is None:
+        return NormalizedQuery()
+    if isinstance(node, QTerm) and node.boost == 1.0 and node.field is None:
+        return normalize(should=[node.term], pre_analyzed=True)
+    if not isinstance(node, QBool) or node.boost != 1.0:
+        return None
+    must, should, must_not = [], [], []
+    for occ, child in node.clauses:
+        if not isinstance(child, QTerm) or child.boost != 1.0 or child.field is not None:
+            return None
+        (must if occ == MUST else should if occ == SHOULD else must_not).append(child.term)
+    return normalize(must, should, must_not, pre_analyzed=True)
+
+
+def parse(query: str, stop_words=ENGLISH_STOP_WORDS):
+    """Parse a query string. Returns the NormalizedQuery fast-path form for
+    flat term booleans (WAND/top-k pruning path), else the query tree IR
+    (executor.search_tree / search_query handle both)."""
+    tree = parse_tree(query, stop_words)
+    flat = flatten(tree)
+    return flat if flat is not None else tree

@@ -1,0 +1,146 @@
+"""Recursive-descent QueryParser subset: goldens + tree-execution checks
+(grammar per lucene/queryparser/.../classic/QueryParser.jj:256)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search.plan import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    NormalizedQuery,
+    ParseError,
+    QBool,
+    QFuzzy,
+    QPhrase,
+    QPrefix,
+    QRange,
+    QTerm,
+    QWildcard,
+    normalize,
+    parse,
+    parse_tree,
+)
+
+NOSTOP = frozenset()
+
+
+def test_or_of_nested_and_precedence():
+    """The round-1 parser misparsed a OR (b AND c) as all-MUST (VERDICT #1)."""
+    t = parse_tree("a OR (b AND c)", NOSTOP)
+    assert t == QBool(
+        (
+            (SHOULD, QTerm("a")),
+            (SHOULD, QBool(((MUST, QTerm("b")), (MUST, QTerm("c"))))),
+        )
+    )
+    # same without parens: AND binds tighter than OR
+    assert parse_tree("a OR b AND c", NOSTOP) == QBool(
+        (
+            (SHOULD, QTerm("a")),
+            (SHOULD, QBool(((MUST, QTerm("b")), (MUST, QTerm("c"))))),
+        )
+    )
+
+
+def test_flat_queries_stay_on_fast_path():
+    assert parse("spark join window") == normalize(should=["spark", "join", "window"])
+    assert parse("spark AND join") == normalize(must=["spark", "join"])
+    assert parse("spark -join +window") == normalize(
+        must=["window"], should=["spark"], must_not=["join"]
+    )
+    assert isinstance(parse("a OR (b AND c)", NOSTOP), QBool)
+
+
+def test_field_phrase_fuzzy_prefix_wildcard_range_boost():
+    t = parse_tree('lang:py "table hash"~2 sparc~1 pre* wi?d n_chars:[100 TO 300] big^2', NOSTOP)
+    kinds = [type(c) for _, c in t.clauses]
+    assert kinds == [QTerm, QPhrase, QFuzzy, QPrefix, QWildcard, QRange, QTerm]
+    clauses = dict()
+    (f1, c1), (_, ph), (_, fz), (_, pr), (_, wc), (_, rg), (_, bo) = t.clauses
+    assert c1 == QTerm("py", field="lang")
+    assert ph.terms_off == (("table", 0), ("hash", 1)) and ph.slop == 2
+    assert fz == QFuzzy("sparc", 1)
+    assert pr == QPrefix("pre")
+    assert wc == QWildcard("wi?d")
+    assert rg == QRange("n_chars", "100", "300")
+    assert bo == QTerm("big", boost=2.0)
+
+
+def test_fuzzy_default_edits_and_not():
+    t = parse_tree("NOT spark OR join~", NOSTOP)
+    assert t.clauses[0] == (MUST_NOT, QTerm("spark"))
+    assert t.clauses[1] == (SHOULD, QFuzzy("join", 2))
+
+
+def test_stopword_clauses_dropped():
+    assert parse_tree("the of and") is None
+    assert parse("the of and") == NormalizedQuery()
+    # stopword inside a phrase leaves a position hole
+    ph = parse_tree('"sort a scan"')
+    assert ph.terms_off == (("sort", 0), ("scan", 2))
+
+
+def test_parse_errors():
+    with pytest.raises(ParseError):
+        parse_tree("(a OR b", NOSTOP)
+    with pytest.raises(ParseError):
+        parse_tree('"unterminated', NOSTOP)
+    with pytest.raises(ParseError):
+        parse_tree("a )", NOSTOP)
+
+
+def test_boost_on_group_propagates():
+    t = parse_tree("(a b)^3", NOSTOP)
+    assert t.boost == 3.0
+
+
+def test_tree_flat_equals_exhaustive(built_index):
+    from lucene_spark.search.executor import search_exhaustive, search_tree
+
+    t = parse_tree("import AND return", NOSTOP)
+    a = [(r["docid"], round(r["score"], 9)) for r in search_tree(built_index, t, k=10).collect()]
+    b = [
+        (r["docid"], round(r["score"], 9))
+        for r in search_exhaustive(built_index, normalize(must=["import", "return"]), k=10).collect()
+    ]
+    assert a == b
+
+
+def test_nested_boolean_composes_clause_scores(built_index):
+    """a OR (b AND c): expected scores assembled by hand from the exhaustive
+    per-clause results."""
+    from lucene_spark.search.executor import search_exhaustive, search_tree
+
+    t = parse_tree("vector OR (import AND return)", NOSTOP)
+    got = {r["docid"]: r["score"] for r in search_tree(built_index, t, k=None).collect()}
+    ca = {r["docid"]: r["score"]
+          for r in search_exhaustive(built_index, normalize(should=["vector"]), k=None).collect()}
+    cb = {r["docid"]: r["score"]
+          for r in search_exhaustive(built_index, normalize(must=["import", "return"]), k=None).collect()}
+    want = {d: ca.get(d, 0.0) + cb.get(d, 0.0) for d in set(ca) | set(cb)}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_boost_scales_weight_inside_saturation(built_index):
+    """BM25 score is linear in W, so term^2 == 2x the term's score."""
+    from lucene_spark.search.executor import search_tree
+
+    t1 = {r["docid"]: r["score"]
+          for r in search_tree(built_index, parse_tree("vector", NOSTOP), k=None).collect()}
+    t2 = {r["docid"]: r["score"]
+          for r in search_tree(built_index, parse_tree("vector^2", NOSTOP), k=None).collect()}
+    assert set(t1) == set(t2)
+    for d in t1:
+        assert abs(t2[d] - 2 * t1[d]) < 1e-9
+
+
+def test_range_query_on_docs_column(built_index):
+    from lucene_spark.search.executor import search_tree
+
+    t = parse_tree("lang:[go TO go]", NOSTOP)
+    got = search_tree(built_index, t, k=None).count()
+    want = built_index.docs.filter("lang = 'go'").count()
+    assert got == want
