@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..analysis import ENGLISH_STOP_WORDS, analyze_batch
 from ..functions.codec import encode_postings
 from ..functions.smallfloat import int_to_byte4
+from . import fsio
 
 from contextlib import contextmanager
 
@@ -118,7 +119,30 @@ class IndexConfig:
 
 @dataclass
 class IndexPaths:
+    """Index layout. ``root`` may be a plain local path or any
+    pyarrow-supported URI (``file://``, ``s3://``, ``hdfs://``): path
+    properties stay in root form (what Spark reads/writes), while the
+    pyarrow side-channel IO goes through ``.fs`` / ``.fs_path`` (the
+    FSDirectory seam, store/FSDirectory.java:89)."""
+
     root: str
+
+    @property
+    def fs(self):
+        fs = getattr(self, "_fs", None)
+        if fs is None:
+            fs, base = fsio.resolve(self.root)
+            self._fs, self._base = fs, base
+        return fs
+
+    def fs_path(self, p: str) -> str:
+        """root-form path -> filesystem-native path for pyarrow ops."""
+        _ = self.fs
+        root = self.root.rstrip("/")
+        if p == self.root or p == root:
+            return self._base
+        assert p.startswith(root + "/"), p
+        return self._base.rstrip("/") + "/" + p[len(root) + 1 :]
 
     @property
     def staged(self) -> str:
@@ -153,7 +177,7 @@ class IndexPaths:
 
     def merged_g(self, generation: int) -> str:
         # snapshot-global artifacts are generation-suffixed; field_stats.json
-        # (written LAST, atomic os.replace) records the live generation, so
+        # (written LAST, atomic rename via the FS seam) records the live generation:
         # an append that crashes mid-finalize leaves the previous snapshot
         # fully readable (same manifest-last commit idea as segments)
         base = os.path.join(self.root, "merged")
@@ -196,10 +220,10 @@ def _invert_group(
     except Exception:
         pass
 
-    manifest_path = paths.manifest_file(segment_id)
-    if os.path.exists(manifest_path):  # resume: lineage says done
-        with open(manifest_path) as f:
-            row = json.load(f)
+    fs = paths.fs
+    manifest_path = paths.fs_path(paths.manifest_file(segment_id))
+    if fsio.exists(fs, manifest_path):  # resume: lineage says done
+        row = fsio.read_json(fs, manifest_path)
         row["resumed"] = True
         return pd.DataFrame([row])
 
@@ -295,18 +319,18 @@ def _invert_group(
             }
         )
 
-    # --- write shards (Lucene flush-to-segment-files analog)
-    os.makedirs(paths.postings, exist_ok=True)
-    os.makedirs(paths.norms, exist_ok=True)
-    os.makedirs(paths.docs, exist_ok=True)
-    os.makedirs(paths.segments, exist_ok=True)
+    # --- write shards (Lucene flush-to-segment-files analog) through the
+    # FS seam: works on local paths, file:// and object stores alike
+    for d in (paths.postings, paths.norms, paths.docs, paths.segments):
+        fsio.mkdirs(fs, paths.fs_path(d))
     postings_tbl = pa.Table.from_pylist(terms_out, schema=POSTINGS_ARROW_SCHEMA)
     # small row groups + term-sorted rows -> parquet min/max stats give the
     # scan row-group pruning on term filters (the .tip term-index analog)
     pq.write_table(
         postings_tbl,
-        os.path.join(paths.postings, f"segment-{segment_id:05d}.parquet"),
+        paths.fs_path(os.path.join(paths.postings, f"segment-{segment_id:05d}.parquet")),
         row_group_size=4096,
+        filesystem=fs,
     )
 
     norm_bytes = int_to_byte4(doclens)
@@ -318,7 +342,11 @@ def _invert_group(
             "segment_id": np.full(len(docids), segment_id, dtype=np.int32),
         }
     )
-    pq.write_table(norms_tbl, os.path.join(paths.norms, f"segment-{segment_id:05d}.parquet"))
+    pq.write_table(
+        norms_tbl,
+        paths.fs_path(os.path.join(paths.norms, f"segment-{segment_id:05d}.parquet")),
+        filesystem=fs,
+    )
 
     drop = {"__pid__"} | (set() if cfg.keep_content else {cfg.content_col})
     docs_tbl = table.select([c for c in table.column_names if c not in drop])
@@ -326,7 +354,11 @@ def _invert_group(
     # strip Spark's row-metadata KV inherited from the staged file: Spark
     # trusts footer KV over the physical schema and would see stale columns
     docs_tbl = docs_tbl.replace_schema_metadata(None)
-    pq.write_table(docs_tbl, os.path.join(paths.docs, f"segment-{segment_id:05d}.parquet"))
+    pq.write_table(
+        docs_tbl,
+        paths.fs_path(os.path.join(paths.docs, f"segment-{segment_id:05d}.parquet")),
+        filesystem=fs,
+    )
 
     row = {
         "segment_id": segment_id,
@@ -341,10 +373,7 @@ def _invert_group(
         "resumed": False,
     }
     # manifest written LAST -> atomic completion marker (commit analog)
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(row, f)
-    os.replace(tmp, manifest_path)
+    fsio.write_json_atomic(fs, manifest_path, row)
     return pd.DataFrame([row])
 
 
@@ -373,7 +402,7 @@ def build_segments(
     _t = _time.perf_counter()
     staged_dir = paths.staged_gen(generation)
     # --- stage: freeze deterministic range partitioning (docid basis)
-    if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+    if not fsio.exists(paths.fs, paths.fs_path(os.path.join(staged_dir, "_SUCCESS"))):
         nseg = cfg.num_segments or max(
             1, math.ceil(docs.count() / cfg.target_docs_per_segment)
         )
@@ -391,11 +420,11 @@ def build_segments(
 
     # Segment tasks are FILE-granular: one staged parquet file == one
     # docid-range partition == one segment (DWPT analog). Workers read
-    # their file directly with pyarrow — no second full-content shuffle,
-    # no JVM->Python Arrow round trip for the corpus bytes.
-    import glob as _glob
-
-    files = sorted(_glob.glob(os.path.join(staged_dir, "part-*.parquet")))
+    # their file directly with pyarrow (through the FS seam) — no second
+    # full-content shuffle, no JVM->Python Arrow round trip for the bytes.
+    files = fsio.list_files(
+        paths.fs, paths.fs_path(staged_dir), prefix="part-", suffix=".parquet"
+    )
 
     def _pid_of(f: str) -> int:
         return int(os.path.basename(f).split("-")[1])
@@ -409,8 +438,10 @@ def build_segments(
 
     # docid offsets from parquet footers (driver-side metadata read, no job)
     counts = {
-        pid: sum(pq.ParquetFile(f).metadata.num_rows for f in fs)
-        for pid, fs in by_pid.items()
+        pid: sum(
+            pq.ParquetFile(paths.fs.open_input_file(f)).metadata.num_rows for f in fl
+        )
+        for pid, fl in by_pid.items()
     }
     offsets = {}
     acc = docid_base
@@ -422,7 +453,11 @@ def build_segments(
 
     def seg_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
-        tables = [pq.read_table(p, use_threads=False) for p in sorted(pdf["path"])]
+        wfs = paths_bc.fs
+        tables = [
+            pq.read_table(p, use_threads=False, filesystem=wfs)
+            for p in sorted(pdf["path"])
+        ]
         data = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         return _invert_group(data, pid + sid_base, offsets_bc.get(pid, 0), paths_bc, cfg_bc)
 
@@ -435,20 +470,17 @@ def build_segments(
 
 
 def read_manifests(paths: IndexPaths) -> List[dict]:
-    import glob
-
-    rows = []
-    for m in sorted(glob.glob(os.path.join(paths.segments, "segment-*.json"))):
-        with open(m) as f:
-            rows.append(json.load(f))
-    return rows
+    files = fsio.list_files(
+        paths.fs, paths.fs_path(paths.segments), prefix="segment-", suffix=".json"
+    )
+    return [fsio.read_json(paths.fs, m) for m in files]
 
 
 def finalize_index(
     spark: SparkSession, paths: IndexPaths, cfg: IndexConfig, generation: int = 0
 ) -> None:
     """Global artifacts over the full segment set: term stats, salted merged
-    index, then field stats — written LAST (atomic os.replace) as the
+    index, then field stats — written LAST (atomic rename via fsio) as the
     snapshot commit marker recording the live generation. Idempotent (skips
     what exists)."""
     import sys
@@ -458,12 +490,14 @@ def finalize_index(
     _t0 = _time.perf_counter()
     manifest_rows = read_manifests(paths)
 
-    merged_done = os.path.exists(os.path.join(paths.merged_g(generation), "_SUCCESS"))
+    merged_done = fsio.exists(
+        paths.fs, paths.fs_path(os.path.join(paths.merged_g(generation), "_SUCCESS"))
+    )
     seg_postings = spark.read.parquet(paths.postings)
 
     # --- global term stats (aggregate across segments == TermStates.build)
     ts_path = paths.term_stats_g(generation)
-    if not os.path.exists(os.path.join(ts_path, "_SUCCESS")):
+    if not fsio.exists(paths.fs, paths.fs_path(os.path.join(ts_path, "_SUCCESS"))):
         (
             seg_postings.groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
@@ -541,10 +575,7 @@ def finalize_index(
         "num_segments": len(manifest_rows),
         "generation": generation,
     }
-    tmp = paths.field_stats + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(fs, f)
-    os.replace(tmp, paths.field_stats)
+    fsio.write_json_atomic(paths.fs, paths.fs_path(paths.field_stats), fs)
     if profile:
         print(f"[build-profile] finalize: {_time.perf_counter() - _t0:.1f}s", file=sys.stderr)
 
@@ -558,9 +589,11 @@ def build_index(
     """Full build: stage -> segments -> global stats -> salted merge."""
     cfg = cfg or IndexConfig()
     paths = IndexPaths(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.mkdirs(paths.fs, paths.fs_path(index_dir))
     gen = live_generation(paths)
-    if gen is not None and os.path.exists(os.path.join(paths.merged_g(gen), "_SUCCESS")):
+    if gen is not None and fsio.exists(
+        paths.fs, paths.fs_path(os.path.join(paths.merged_g(gen), "_SUCCESS"))
+    ):
         return paths  # fully built (resume no-op)
     build_segments(spark, docs, paths, cfg)
     finalize_index(spark, paths, cfg)
@@ -570,10 +603,10 @@ def build_index(
 def live_generation(paths: IndexPaths) -> Optional[int]:
     """Generation recorded by the field_stats commit marker; None if the
     index has never been finalized."""
-    if not os.path.exists(paths.field_stats):
+    fs_path = paths.fs_path(paths.field_stats)
+    if not fsio.exists(paths.fs, fs_path):
         return None
-    with open(paths.field_stats) as f:
-        return int(json.load(f).get("generation", 0))
+    return int(fsio.read_json(paths.fs, fs_path).get("generation", 0))
 
 
 def append_to_index(
@@ -588,8 +621,6 @@ def append_to_index(
     and flip the field_stats commit marker atomically. A crash anywhere
     before the flip leaves the previous snapshot fully readable (no
     delete-before-rebuild window)."""
-    import shutil
-
     cfg = cfg or IndexConfig()
     paths = IndexPaths(index_dir)
     existing = read_manifests(paths)
@@ -605,5 +636,8 @@ def append_to_index(
     finalize_index(spark, paths, cfg, generation=old_gen + 1)
     # old generation's artifacts are now unreachable: best-effort GC
     for p in (paths.term_stats_g(old_gen), paths.merged_g(old_gen)):
-        shutil.rmtree(p, ignore_errors=True)
+        try:
+            fsio.delete(paths.fs, paths.fs_path(p))
+        except OSError:
+            pass
     return paths

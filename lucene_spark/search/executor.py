@@ -61,10 +61,11 @@ class Index:
     """Opened index: stats + lazy DataFrames (DirectoryReader analog)."""
 
     def __init__(self, spark: SparkSession, paths: IndexPaths):
+        from ..index import fsio
+
         self.spark = spark
         self.paths = paths
-        with open(paths.field_stats) as f:
-            fs = json.load(f)
+        fs = fsio.read_json(paths.fs, paths.fs_path(paths.field_stats))
         self.field_stats = FieldStats(
             fs["max_doc"], fs["doc_count"], fs["sum_total_term_freq"], fs["sum_doc_freq"]
         )
@@ -111,12 +112,16 @@ class Index:
         terms = [t for t in requested if t not in self._stats_cache]
         if terms:
             try:
-                import glob
-
                 import pyarrow.parquet as pq
 
-                files = sorted(glob.glob(os.path.join(self._term_stats_dir, "*.parquet")))
-                tbl = pq.ParquetDataset(files, filters=[("term", "in", list(terms))]).read()
+                from ..index import fsio
+
+                files = fsio.list_files(
+                    self.paths.fs, self.paths.fs_path(self._term_stats_dir), suffix=".parquet"
+                )
+                tbl = pq.ParquetDataset(
+                    files, filesystem=self.paths.fs, filters=[("term", "in", list(terms))]
+                ).read()
                 found = dict(
                     zip(
                         tbl["term"].to_pylist(),

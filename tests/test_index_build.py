@@ -188,6 +188,39 @@ def test_expand_terms_unlimited_for_counts(spark, tmpdir_index):
     assert len(idx.expand_terms(prefix="pfx", max_terms=100)) == 100
 
 
+def test_build_through_file_uri_root(spark, tmpdir_index):
+    """The builder's side-channel IO goes through pyarrow.fs (FSDirectory
+    seam): a file:// URI root must behave identically to a plain path —
+    build, resume no-op, search, stats."""
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, build_index, live_generation
+    from lucene_spark.search.executor import Index, search_topk
+    from lucene_spark.search.plan import normalize
+
+    root = "file://" + tmpdir_index + "/idx"
+    docs = corpus_spark_df(spark, 200, seed=11)
+    cfg = IndexConfig(num_segments=3, hot_df_threshold=50, index_positions=True)
+    paths = build_index(spark, docs, root, cfg)
+    assert live_generation(paths) == 0
+    idx = Index(spark, paths)
+    got = [
+        (r["docid"], r["score"])
+        for r in search_topk(idx, normalize(must=["import", "return"]), k=5).collect()
+    ]
+    assert len(got) == 5
+    # plain-path build over the same docs gives identical results
+    paths2 = build_index(spark, docs, tmpdir_index + "/idx2", cfg)
+    idx2 = Index(spark, paths2)
+    got2 = [
+        (r["docid"], r["score"])
+        for r in search_topk(idx2, normalize(must=["import", "return"]), k=5).collect()
+    ]
+    assert got == got2
+    # resume is a no-op through the URI too
+    assert build_index(spark, docs, root, cfg).root == paths.root
+    assert idx.term_stats_for(["import"])["import"] == idx2.term_stats_for(["import"])["import"]
+
+
 def test_resumed_flag_set_on_skip(spark, tmpdir_index):
     from lucene_spark.corpus import corpus_spark_df
     from lucene_spark.index.builder import IndexConfig, build_index
