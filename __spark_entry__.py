@@ -27,6 +27,7 @@ from lucene_spark.oracle import (
     STOPLIST_SQL,
     TOKS_CTE,
     bm25_matches_cte,
+    bm25_scored_cte,
     bm25_topk_sql,
     phrase_exact_sql,
     phrase_sloppy_sql,
@@ -277,6 +278,50 @@ def q_more_like_this(spark, sf):
     return _topk(idx, should=terms)
 
 
+DELETE_MOD = 7  # docs with doc_id % 7 == 3 get tombstoned
+
+
+def _index_deleted(spark: SparkSession, sf_dir: str) -> Index:
+    """Independent index copy with tombstones applied (deletes must not
+    leak into the shared entry index)."""
+    key = os.path.abspath(sf_dir) + "#del"
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    base = _index(spark, sf_dir)  # ensures corpus read path works
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_del"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("text", "content")
+    )
+    from lucene_spark.index.builder import build_index as _bi
+
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+    )
+    idx = Index(spark, _bi(spark, docs, idx_dir, cfg))
+    if len(idx.deleted) == 0:
+        ids = [
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % DELETE_MOD == 3).select("doc_id").collect()
+        ]
+        idx.delete_docs(ids)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_delete_then_search(spark, sf):
+    """Tombstoned docs stop matching immediately; collection stats keep
+    counting them until purge (PendingDeletes.java:31, IndexWriter.java:1911)."""
+    from lucene_spark.search.executor import search_topk as _st
+
+    idx = _index_deleted(spark, sf)
+    res = _st(idx, normalize(should=["spark"]), k=10, quantize=False, dtype=np.float64)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 PARSED_QUERY = "(hash AND table) OR (scan AND -filter)"
 BOOST_QUERY = "window^2.5 merge"
 
@@ -524,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
         "parsed_query_topk": q_parsed_query_topk,
         "boost_query_topk": q_boost_query_topk,
+        "delete_then_search": q_delete_then_search,
         "dedup_exact": q_dedup_exact,
         "minhash_band_buckets": q_minhash_band_buckets,
         "simhash_values": q_simhash_values,
@@ -713,6 +759,13 @@ GROUP BY d.source ORDER BY d.source""",
         "sloppy_phrase_topk": phrase_sloppy_sql(*SLOPPY_TERMS, SLOPPY_SLOP),
         "parsed_query_topk": _parsed_query_sql(),
         "boost_query_topk": bm25_topk_sql({"window": 2.5, "merge": 1}),
+        # deletes filter MATCHES only; stats still include tombstoned docs
+        # (Lucene keeps deleted docs in docFreq until merge)
+        "delete_then_search": bm25_scored_cte({"spark": 1})
+        + f"""
+SELECT doc_id AS docid, round(score, 4) AS score FROM agg
+WHERE doc_id % {DELETE_MOD} <> 3
+ORDER BY score DESC, docid ASC LIMIT 10""",
         "synonym_topk": _synonym_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": """

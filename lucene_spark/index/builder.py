@@ -191,6 +191,10 @@ class IndexPaths:
     def field_stats(self) -> str:
         return os.path.join(self.root, "field_stats.json")
 
+    @property
+    def tombstones(self) -> str:
+        return os.path.join(self.root, "tombstones")
+
     def manifest_file(self, segment_id: int) -> str:
         return os.path.join(self.segments, f"segment-{segment_id:05d}.json")
 
@@ -598,6 +602,122 @@ def build_index(
     build_segments(spark, docs, paths, cfg)
     finalize_index(spark, paths, cfg)
     return paths
+
+
+def purge_deletes(
+    spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None
+) -> int:
+    """Merge-time purge of tombstoned docs (SegmentMerger +
+    SoftDeletesRetentionMergePolicy analog): rewrite every segment's
+    postings/norms/docs shards without the deleted docids (docids are NOT
+    renumbered), recompute manifests, refinalize the snapshot-global
+    artifacts into a new generation, then clear the tombstones. After the
+    purge, collection statistics (df, doclen sums, avgdl) shrink — exactly
+    what a Lucene merge does to deleted docs. Returns #docs purged."""
+    from ..functions.codec import cut_position_blocks, decode_block, decode_block_positions
+
+    cfg = cfg or IndexConfig()
+    paths = IndexPaths(index_dir)
+    tfiles = fsio.list_files(paths.fs, paths.fs_path(paths.tombstones), suffix=".json")
+    deleted_ids: List[int] = []
+    for f in tfiles:
+        deleted_ids.extend(fsio.read_json(paths.fs, f)["docids"])
+    deleted = np.unique(np.array(deleted_ids, dtype=np.int64))
+    if len(deleted) == 0:
+        return 0
+    manifests = read_manifests(paths)
+    old_gen = live_generation(paths) or 0
+    paths_bc, deleted_bc = paths, deleted
+
+    def purge_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        fs = paths_bc.fs
+
+        def shard(d):
+            return paths_bc.fs_path(os.path.join(d, f"segment-{sid:05d}.parquet"))
+
+        def is_deleted(ids: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(deleted_bc, ids).clip(max=len(deleted_bc) - 1)
+            return deleted_bc[pos] == ids
+
+        # --- postings: decode, drop deleted postings, re-encode
+        ptbl = pq.read_table(shard(paths_bc.postings), use_threads=False, filesystem=fs)
+        rows_out: List[dict] = []
+        for r in ptbl.to_pylist():
+            parts = [decode_block(bytes(b)) for b in r["block_data"]]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            dead = is_deleted(ids)
+            if not dead.any():
+                rows_out.append(r)
+                continue
+            keep = ~dead
+            if not keep.any():
+                continue  # term vanishes from this segment
+            positions = None
+            if r["block_pos"] is not None:
+                pos_parts = [
+                    decode_block_positions(bytes(b), p[1])
+                    for b, p in zip(r["block_pos"], parts)
+                ]
+                positions = np.concatenate(pos_parts)[np.repeat(keep, tfs)]
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            blocks, firsts, lasts, maxtfs, mindls = encode_postings(ids, tfs, dls)
+            r.update(
+                df=int(len(ids)), ttf=int(tfs.sum()),
+                first_docid=int(ids[0]), last_docid=int(ids[-1]),
+                max_tf=int(tfs.max()), min_doclen=int(dls.min()),
+                block_first=firsts, block_last=lasts, block_maxtf=maxtfs,
+                block_mindl=mindls, block_data=blocks,
+                block_pos=cut_position_blocks(positions, tfs) if positions is not None else None,
+            )
+            rows_out.append(r)
+        pq.write_table(
+            pa.Table.from_pylist(rows_out, schema=POSTINGS_ARROW_SCHEMA),
+            shard(paths_bc.postings), row_group_size=4096, filesystem=fs,
+        )
+
+        # --- norms + docs: drop deleted rows
+        ntbl = pq.read_table(shard(paths_bc.norms), use_threads=False, filesystem=fs)
+        n_ids = ntbl["docid"].to_numpy(zero_copy_only=False)
+        nkeep = ~is_deleted(n_ids)
+        ntbl = ntbl.filter(pa.array(nkeep))
+        pq.write_table(ntbl, shard(paths_bc.norms), filesystem=fs)
+        dtbl = pq.read_table(shard(paths_bc.docs), use_threads=False, filesystem=fs)
+        dkeep = ~is_deleted(dtbl["docid"].to_numpy(zero_copy_only=False))
+        pq.write_table(dtbl.filter(pa.array(dkeep)), shard(paths_bc.docs), filesystem=fs)
+
+        # --- manifest: recomputed lineage, rewritten atomically
+        doclens = ntbl["doclen"].to_numpy(zero_copy_only=False)
+        docids = ntbl["docid"].to_numpy(zero_copy_only=False)
+        row = {
+            "segment_id": sid,
+            "first_docid": int(docids.min()) if len(docids) else -1,
+            "last_docid": int(docids.max()) if len(docids) else -1,
+            "num_docs": int(len(docids)),
+            "doc_count": int((doclens > 0).sum()),
+            "sum_doclen": int(doclens.sum()),
+            "num_terms": len(rows_out),
+            "num_postings": int(sum(r["df"] for r in rows_out)),
+            "status": "complete",
+            "resumed": False,
+        }
+        fsio.write_json_atomic(fs, paths_bc.fs_path(paths_bc.manifest_file(sid)), row)
+        return pd.DataFrame([row])
+
+    meta = spark.createDataFrame([(int(m["segment_id"]),) for m in manifests], "sid int")
+    with _no_coalesce(spark):
+        meta.groupBy("sid").applyInPandas(purge_seg, MANIFEST_SCHEMA).collect()
+
+    finalize_index(spark, paths, cfg, generation=old_gen + 1)
+    for p in (paths.term_stats_g(old_gen), paths.merged_g(old_gen)):
+        try:
+            fsio.delete(paths.fs, paths.fs_path(p))
+        except OSError:
+            pass
+    fsio.delete(paths.fs, paths.fs_path(paths.tombstones))
+    return int(len(deleted))
 
 
 def live_generation(paths: IndexPaths) -> Optional[int]:

@@ -75,6 +75,49 @@ class Index:
         self._merged_dir = paths.merged_g(self.generation)
         self._term_stats_dir = paths.term_stats_g(self.generation)
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
+        self._deleted: Optional[np.ndarray] = None
+
+    # --- deletes (tombstones == live-docs bitset, PendingDeletes.java:31-34;
+    # like Lucene, deleted docs stop MATCHING immediately but collection
+    # statistics keep counting them until segments are purged/merged)
+
+    @property
+    def deleted(self) -> np.ndarray:
+        """Sorted int64 docids of all tombstoned docs (possibly empty)."""
+        if self._deleted is None:
+            from ..index import fsio
+
+            files = fsio.list_files(
+                self.paths.fs, self.paths.fs_path(self.paths.tombstones), suffix=".json"
+            )
+            ids: List[int] = []
+            for f in files:
+                ids.extend(fsio.read_json(self.paths.fs, f)["docids"])
+            self._deleted = np.unique(np.array(ids, dtype=np.int64))
+        return self._deleted
+
+    def delete_docs(self, docids: Sequence[int]) -> None:
+        """Tombstone docids (IndexWriter.deleteDocuments analog,
+        IndexWriter.java:1911). Appends a numbered tombstone file; readers
+        union all of them."""
+        from ..index import fsio
+
+        tdir = self.paths.fs_path(self.paths.tombstones)
+        fsio.mkdirs(self.paths.fs, tdir)
+        n = len(fsio.list_files(self.paths.fs, tdir, suffix=".json"))
+        fsio.write_json_atomic(
+            self.paths.fs,
+            f"{tdir}/delete-{n:05d}.json",
+            {"docids": [int(d) for d in docids]},
+        )
+        self._deleted = None
+
+    def delete_by_term(self, term: str) -> int:
+        """delete-by-term: resolve matching docids now, tombstone them."""
+        ids = [r["docid"] for r in decoded_postings(self, [term]).select("docid").distinct().collect()]
+        if ids:
+            self.delete_docs(ids)
+        return len(ids)
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "Index":
@@ -179,13 +222,24 @@ def _weights_for(index: Index, q: NormalizedQuery, boost: float, dtype) -> Dict[
 # Decoded-postings DataFrame (shared by exhaustive path / counts / facets)
 # ---------------------------------------------------------------------------
 
+def _live_mask(ids: np.ndarray, deleted: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    """Boolean mask selecting ids NOT in the sorted ``deleted`` array;
+    None when everything is live (liveDocs bitset analog)."""
+    if deleted is None or len(deleted) == 0 or len(ids) == 0:
+        return None
+    pos = np.searchsorted(deleted, ids).clip(max=len(deleted) - 1)
+    return deleted[pos] != ids
+
+
 def decoded_postings(index: Index, terms: Sequence[str], use_segments: bool = False) -> DataFrame:
-    """(term, docid, tf, doclen) rows for the given terms, decoded from
-    block binaries in mapInPandas (Arrow batches, numpy decode)."""
+    """(term, docid, tf, doclen) LIVE rows for the given terms, decoded from
+    block binaries in mapInPandas (Arrow batches, numpy decode); tombstoned
+    docs are filtered right after decode."""
     src = index.seg_postings if use_segments else index.merged
     rows = src.filter(F.col("term").isin(list(terms))).select(
         "term", "block_data"
     )
+    deleted = index.deleted if len(index.deleted) else None
 
     def decode_map(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -195,13 +249,20 @@ def decoded_postings(index: Index, terms: Sequence[str], use_segments: bool = Fa
                     continue
                 ids, tfs, dls = zip(*(decode_block(bytes(b)) for b in blocks))
                 ids = np.concatenate(ids)
+                tfs = np.concatenate(tfs)
+                dls = np.concatenate(dls)
+                live = _live_mask(ids, deleted)
+                if live is not None:
+                    ids, tfs, dls = ids[live], tfs[live], dls[live]
+                if len(ids) == 0:
+                    continue
                 outs.append(
                     pd.DataFrame(
                         {
                             "term": np.full(len(ids), term, dtype=object),
                             "docid": ids,
-                            "tf": np.concatenate(tfs).astype(np.int32),
-                            "doclen": np.concatenate(dls).astype(np.int32),
+                            "tf": tfs.astype(np.int32),
+                            "doclen": dls.astype(np.int32),
                         }
                     )
                 )
@@ -301,6 +362,7 @@ def make_topk_fn(
     avgdl: float,
     quantize: bool,
     dtype,
+    deleted: Optional[np.ndarray] = None,
 ):
     """Build the per-segment applyInPandas function.
 
@@ -358,6 +420,9 @@ def make_topk_fn(
             if sel is not None and len(ids):
                 m = sel[np.searchsorted(sel, ids).clip(max=len(sel) - 1)] == ids
                 ids, tfs, dls = ids[m], tfs[m], dls[m]
+            live = _live_mask(ids, deleted)  # tombstoned docs never score
+            if live is not None:
+                ids, tfs, dls = ids[live], tfs[live], dls[live]
             return ids, tfs, dls
 
         contrib = {t: np.zeros(n, dtype=dtype) for t in scoring}
@@ -486,7 +551,8 @@ def search_topk(
         return empty
     weights, req, rows = plan
     fn = make_topk_fn(
-        weights, req, list(q.excluded), k, float(index.field_stats.avgdl()), quantize, dtype
+        weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
+        quantize, dtype, deleted=index.deleted if len(index.deleted) else None,
     )
     per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
     out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
@@ -523,7 +589,8 @@ def block_skip_metrics(
         return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
     weights, req, rows = plan
     fn = make_topk_fn(
-        weights, req, list(q.excluded), k, float(index.field_stats.avgdl()), quantize, dtype
+        weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
+        quantize, dtype, deleted=index.deleted if len(index.deleted) else None,
     )
     per_seg = rows.groupBy("segment_id").applyInPandas(fn.metrics_fn, METRICS_SCHEMA)
     row = per_seg.agg(
@@ -607,6 +674,7 @@ def make_phrase_topk_fn(
     avgdl: float,
     quantize: bool,
     dtype,
+    deleted: Optional[np.ndarray] = None,
 ):
     """Per-segment phrase scorer: conjunction approximation over docids
     (positions untouched), then position decode + exact/sloppy matcher on
@@ -639,6 +707,11 @@ def make_phrase_topk_fn(
             cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
             if len(cand) == 0:
                 return z, z.astype(np.float64), counters
+        live = _live_mask(cand, deleted)
+        if live is not None:
+            cand = cand[live]
+        if len(cand) == 0:
+            return z, z.astype(np.float64), counters
 
         # --- phase 2: decode positions for candidate blocks only
         per_term: Dict[str, tuple] = {}
@@ -789,7 +862,8 @@ def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words):
     )
     rows = index.seg_postings.filter(F.col("term").isin(distinct))
     fn = make_phrase_topk_fn(
-        terms_off, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype
+        terms_off, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype,
+        deleted=index.deleted if len(index.deleted) else None,
     )
     return rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
 
@@ -800,7 +874,9 @@ def count_hits(index: Index, q: NormalizedQuery) -> int:
     if q.is_match_none:
         return 0
     terms = list(q.scoring_terms)
-    if len(terms) == 1 and not q.excluded:
+    # the df shortcut is only valid with no deletes (Weight#count returns -1
+    # when liveDocs exist and Lucene falls back to counting)
+    if len(terms) == 1 and not q.excluded and len(index.deleted) == 0:
         stats = index.term_stats_for(terms)
         return stats.get(terms[0], (0, 0))[0]
     df = search_exhaustive(index, q, k=None)
@@ -873,6 +949,8 @@ def _eval_node(index: Index, node, quantize: bool, dtype) -> Optional[DataFrame]
             ids = index.docs.filter(
                 (F.col(node.field) >= node.lo) & (F.col(node.field) <= node.hi)
             ).select("docid")
+        if len(index.deleted):
+            ids = ids.filter(~F.col("docid").isin([int(x) for x in index.deleted]))
         return ids.withColumn("score", F.lit(float(node.boost)))
     if isinstance(node, QBool):
         return _eval_bool(index, node, quantize, dtype)

@@ -1,0 +1,106 @@
+"""Deletes: tombstones (liveDocs analog) + merge-time purge.
+
+Reference semantics: deleted docs stop matching immediately but collection
+statistics keep counting them until segments merge
+(index/PendingDeletes.java:31-34, IndexWriter.java:1911); the purge mirrors
+what SegmentMerger does to deleted docs."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search.plan import normalize
+
+
+@pytest.fixture()
+def deletable_index(spark, tmpdir_index):
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index
+
+    docs = corpus_spark_df(spark, 300, seed=21)
+    cfg = IndexConfig(num_segments=3, hot_df_threshold=60, index_positions=True)
+    return Index(spark, build_index(spark, docs, tmpdir_index, cfg)), cfg
+
+
+def test_deleted_docs_stop_matching_everywhere(deletable_index):
+    from lucene_spark.search.executor import (
+        count_hits, search_exhaustive, search_phrase, search_topk,
+    )
+
+    idx, _ = deletable_index
+    q = normalize(should=["import"])
+    before = [r["docid"] for r in search_topk(idx, q, k=5).collect()]
+    n_before = count_hits(idx, q)
+    idx.delete_docs(before[:2])
+    assert set(idx.deleted) == set(before[:2])
+
+    after = [r["docid"] for r in search_topk(idx, q, k=5).collect()]
+    assert not set(after) & set(before[:2])
+    after_ex = [r["docid"] for r in search_exhaustive(idx, q, k=5).collect()]
+    assert not set(after_ex) & set(before[:2])
+    assert count_hits(idx, q) == n_before - 2
+    ph = [r["docid"] for r in search_phrase(idx, ["import", "return"], k=50).collect()]
+    assert not set(ph) & set(before[:2])
+
+
+def test_delete_keeps_stats_until_purge(deletable_index):
+    """Scores of surviving docs must be UNCHANGED by a delete (idf/doclen
+    still count tombstoned docs) — only the hit set shrinks."""
+    from lucene_spark.search.executor import search_topk
+
+    idx, _ = deletable_index
+    q = normalize(should=["vector"])
+    before = {r["docid"]: r["score"] for r in search_topk(idx, q, k=20).collect()}
+    victim = sorted(before)[0]
+    idx.delete_docs([victim])
+    after = {r["docid"]: r["score"] for r in search_topk(idx, q, k=20).collect()}
+    assert victim not in after
+    for d, s in after.items():
+        if d in before:
+            assert s == before[d]
+
+
+def test_delete_by_term(deletable_index):
+    from lucene_spark.search.executor import count_hits
+
+    idx, _ = deletable_index
+    n = count_hits(idx, normalize(should=["vector"]))
+    ndel = idx.delete_by_term("vector")
+    assert ndel == n
+    assert count_hits(idx, normalize(should=["vector"])) == 0
+
+
+def test_purge_rewrites_segments(spark, deletable_index):
+    """After purge: tombstones gone, stats shrink, and results equal a fresh
+    index built over the live docs with the same docids."""
+    from lucene_spark.index.builder import IndexConfig, build_index, purge_deletes
+    from lucene_spark.search.executor import Index, search_topk
+
+    idx, cfg = deletable_index
+    q = normalize(should=["import", "return"])
+    victims = [r["docid"] for r in search_topk(idx, q, k=4).collect()][:3]
+    idx.delete_docs(victims)
+    # snapshot the live docs BEFORE the in-place purge rewrites the shards
+    live_path = idx.paths.root + "_live"
+    docs = idx.docs
+    docs.filter(~docs.docid.isin([int(v) for v in victims])).write.parquet(live_path)
+    n_purged = purge_deletes(spark, idx.paths.root, cfg)
+    assert n_purged == 3
+
+    idx2 = Index(spark, idx.paths)  # reopen: new generation
+    assert idx2.generation == idx.generation + 1
+    assert len(idx2.deleted) == 0
+    assert idx2.field_stats.max_doc == idx.field_stats.max_doc - 3
+
+    # reference: fresh build over the live docs, docids preserved
+    ref_cfg = IndexConfig(
+        docid_col="docid", order_cols=("docid",), num_segments=3,
+        hot_df_threshold=60, index_positions=True,
+    )
+    ref_paths = build_index(
+        spark, spark.read.parquet(live_path), idx.paths.root + "_ref", ref_cfg
+    )
+    ref = Index(spark, ref_paths)
+    got = [(r["docid"], r["score"]) for r in search_topk(idx2, q, k=10).collect()]
+    want = [(r["docid"], r["score"]) for r in search_topk(ref, q, k=10).collect()]
+    assert got == want
