@@ -278,6 +278,62 @@ def q_more_like_this(spark, sf):
     return _topk(idx, should=terms)
 
 
+TITLE_TOKENS = 8  # derived title field = first 8 raw tokens of text
+BM25F_WEIGHTS = {"title": 2.0, "body": 1.0}
+
+
+def _index_mf(spark: SparkSession, sf_dir: str):
+    """Two-field index (title = first 8 tokens, body = full text) — per-field
+    postings/norms/stats (FieldInfos.java:44)."""
+    from lucene_spark.index.multifield import MultiFieldIndex
+
+    key = os.path.abspath(sf_dir) + "#mf"
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    root = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_mf"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, TITLE_TOKENS), " ").alias("title"),
+            F.col("text").alias("body"),
+        )
+    )
+    try:
+        mfi = MultiFieldIndex.open(spark, root)
+    except Exception:
+        mfi = MultiFieldIndex.build(
+            spark, docs, root, ["title", "body"], "doc_id",
+            IndexConfig(num_segments=3, hot_df_threshold=150, merge_bucket_segments=1),
+        )
+    _INDEX_CACHE[key] = mfi
+    return mfi
+
+
+def q_field_topk(spark, sf):
+    """field:term routing — BM25 within the title field's own postings and
+    statistics only."""
+    mfi = _index_mf(spark, sf)
+    res = mfi.search_field(
+        "title", normalize(should=["spark"]), k=10, quantize=False, dtype=np.float64
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_combined_field_topk(spark, sf):
+    """BM25F (CombinedFieldQuery.java:79): freq = sum of weighted per-field
+    tfs, norm = weighted length sum, df = max over fields."""
+    from lucene_spark.index.multifield import combined_field_topk
+
+    mfi = _index_mf(spark, sf)
+    res = combined_field_topk(
+        mfi, ["spark"], BM25F_WEIGHTS, k=10, quantize=False, dtype=np.float64
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 DELETE_MOD = 7  # docs with doc_id % 7 == 3 get tombstoned
 
 
@@ -570,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query_topk": q_parsed_query_topk,
         "boost_query_topk": q_boost_query_topk,
         "delete_then_search": q_delete_then_search,
+        "field_topk": q_field_topk,
+        "combined_field_topk": q_combined_field_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_band_buckets": q_minhash_band_buckets,
         "simhash_values": q_simhash_values,
@@ -766,6 +824,8 @@ GROUP BY d.source ORDER BY d.source""",
 SELECT doc_id AS docid, round(score, 4) AS score FROM agg
 WHERE doc_id % {DELETE_MOD} <> 3
 ORDER BY score DESC, docid ASC LIMIT 10""",
+        "field_topk": _field_topk_sql(),
+        "combined_field_topk": _combined_field_sql(),
         "synonym_topk": _synonym_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": """
@@ -824,6 +884,68 @@ SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type""",
     }
     return sql
+
+
+def _field_topk_sql() -> str:
+    """BM25 over the derived title field only (its own df/dl/avgdl)."""
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * tdl.doclen / tfs.avgdl)))"
+    score = f"w.w - w.w / (1 + CAST(tf.tf AS DOUBLE) * {ninv})"
+    return f"""
+WITH ttoks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, {TITLE_TOKENS})) AS t
+    FROM documents) u
+  WHERE t <> '' AND t NOT IN ({STOPLIST_SQL})),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY 1, 2),
+tdl AS (SELECT doc_id, count(*) AS doclen FROM ttoks GROUP BY 1),
+tfs AS (SELECT count(*) AS doc_cnt,
+               sum(doclen) / CAST(count(*) AS DOUBLE) AS avgdl FROM tdl),
+dfq AS (SELECT count(*) AS df FROM tf WHERE term = 'spark'),
+w AS (SELECT ln(1 + (tfs.doc_cnt - dfq.df + 0.5) / (dfq.df + 0.5)) AS w
+      FROM dfq CROSS JOIN tfs)
+SELECT tf.doc_id AS docid, round({score}, 4) AS score
+FROM tf JOIN tdl ON tf.doc_id = tdl.doc_id CROSS JOIN w CROSS JOIN tfs
+WHERE tf.term = 'spark'
+ORDER BY ({score}) DESC, docid ASC LIMIT 10"""
+
+
+def _combined_field_sql() -> str:
+    """BM25F pseudo-field: freq = 2*tf_title + tf_body, normlen = 2*dl_t +
+    dl_b, df = max(df_t, df_b), docCount = max, avgdl = (2*Σdl_t + Σdl_b) /
+    docCount (CombinedFieldQuery.java:309-347)."""
+    wt, wb = BM25F_WEIGHTS["title"], BM25F_WEIGHTS["body"]
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * n.normlen / st.avgdl)))"
+    score = f"w.w - w.w / (1 + m.freq * {ninv})"
+    return f"""
+WITH btoks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+  WHERE t <> '' AND t NOT IN ({STOPLIST_SQL})),
+ttoks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, {TITLE_TOKENS})) AS t
+    FROM documents) u
+  WHERE t <> '' AND t NOT IN ({STOPLIST_SQL})),
+btf AS (SELECT doc_id, count(*) AS tf FROM btoks WHERE term = 'spark' GROUP BY 1),
+ttf AS (SELECT doc_id, count(*) AS tf FROM ttoks WHERE term = 'spark' GROUP BY 1),
+bdl AS (SELECT doc_id, count(*) AS doclen FROM btoks GROUP BY 1),
+tdl AS (SELECT doc_id, count(*) AS doclen FROM ttoks GROUP BY 1),
+st AS (SELECT greatest((SELECT count(*) FROM bdl), (SELECT count(*) FROM tdl)) AS doc_cnt,
+              ({wt} * (SELECT sum(doclen) FROM tdl) + {wb} * (SELECT sum(doclen) FROM bdl))
+              / CAST(greatest((SELECT count(*) FROM bdl), (SELECT count(*) FROM tdl)) AS DOUBLE)
+                AS avgdl),
+dfq AS (SELECT greatest((SELECT count(*) FROM btf), (SELECT count(*) FROM ttf)) AS df),
+w AS (SELECT ln(1 + (st.doc_cnt - dfq.df + 0.5) / (dfq.df + 0.5)) AS w
+      FROM dfq CROSS JOIN st),
+m AS (SELECT coalesce(ttf.doc_id, btf.doc_id) AS doc_id,
+             {wt} * coalesce(ttf.tf, 0) + {wb} * coalesce(btf.tf, 0) AS freq
+      FROM ttf FULL OUTER JOIN btf ON ttf.doc_id = btf.doc_id),
+n AS (SELECT coalesce(tdl.doc_id, bdl.doc_id) AS doc_id,
+             {wt} * coalesce(tdl.doclen, 0) + {wb} * coalesce(bdl.doclen, 0) AS normlen
+      FROM tdl FULL OUTER JOIN bdl ON tdl.doc_id = bdl.doc_id)
+SELECT m.doc_id AS docid, round({score}, 4) AS score
+FROM m JOIN n ON m.doc_id = n.doc_id CROSS JOIN w CROSS JOIN st
+ORDER BY ({score}) DESC, docid ASC LIMIT 10"""
 
 
 def _parsed_query_sql() -> str:
