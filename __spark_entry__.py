@@ -233,7 +233,9 @@ def q_searchafter_page2(spark, sf):
     if len(page1) < 10:
         return spark.createDataFrame([], "docid long, score double")
     cur = page1[-1]
-    res = search_after(idx, q, 10, cur["score"], cur["docid"])
+    res = search_after(
+        idx, q, 10, cur["score"], cur["docid"], quantize=False, dtype=np.float64
+    )
     return res.select("docid", F.round("score", 4).alias("score"))
 
 

@@ -77,14 +77,39 @@ def corpus_spark_df_dist(spark, n_docs: int, seed: int = 42, num_partitions: int
     """Distributed deterministic corpus: numpy-vectorized generation inside
     mapInPandas (per-partition seeded RNG). For throughput/scaling
     benchmarks at 10^5..10^7 docs where the driver-side generator is too
-    slow; same schema and similar (Zipf-hot) token mix as make_corpus."""
+    slow; same schema and token mix shape as make_corpus — a Zipf head of
+    hot keywords plus a LONG TAIL of ~n_docs/10 rare identifiers (real code
+    vocabulary), so rare-lead conjunctions and MAXSCORE restriction have
+    blocks to skip."""
     import numpy as np
     import pandas as pd
 
-    vocab = np.array(KEYWORDS * 8 + VOCAB + ["the", "a", "of", "to", "in"], dtype=object)
-    hot_p = np.ones(len(vocab))
-    hot_p[: len(KEYWORDS) * 8] = 3.0  # Zipf head
-    hot_p /= hot_p.sum()
+    common = np.array(KEYWORDS * 8 + VOCAB + ["the", "a", "of", "to", "in"], dtype=object)
+    n_idents = max(200, n_docs // 10)
+    id_rng = np.random.default_rng(seed)
+    idents = np.array(
+        [
+            f"{a}_{b}_{n}"
+            for a, b, n in zip(
+                id_rng.choice(VOCAB, size=n_idents),
+                id_rng.choice(VOCAB, size=n_idents),
+                id_rng.integers(0, 10_000, size=n_idents),
+            )
+        ],
+        dtype=object,
+    )
+    vocab = np.concatenate((common, idents))
+    # token-mass split: 35% hot keywords, 25% mid-frequency words, 40% the
+    # identifier long tail, itself Zipf(1/rank) so identifier df spans from
+    # thousands of docs down to a handful — like real code vocabulary
+    n_hot = len(KEYWORDS) * 8
+    n_mid = len(common) - n_hot
+    tail_w = 1.0 / np.arange(1, n_idents + 1)
+    p = np.empty(len(vocab))
+    p[:n_hot] = 0.35 / n_hot
+    p[n_hot : len(common)] = 0.25 / n_mid
+    p[len(common) :] = 0.40 * tail_w / tail_w.sum()
+    p /= p.sum()
 
     def gen(batches):
         for pdf in batches:
@@ -92,7 +117,7 @@ def corpus_spark_df_dist(spark, n_docs: int, seed: int = 42, num_partitions: int
             rng = np.random.default_rng(seed * 1_000_003 + int(ids[0]))
             n = len(ids)
             counts = rng.integers(20, 200, size=n)
-            flat = rng.choice(vocab, p=hot_p, size=int(counts.sum()))
+            flat = rng.choice(vocab, p=p, size=int(counts.sum()))
             bounds = np.cumsum(counts)[:-1]
             contents = [" ".join(c) for c in np.split(flat, bounds)]
             langs = np.array(LANGS, dtype=object)[ids % 4]

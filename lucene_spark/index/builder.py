@@ -480,6 +480,11 @@ def read_manifests(paths: IndexPaths) -> List[dict]:
     return [fsio.read_json(paths.fs, m) for m in files]
 
 
+def _flatten_field(col_name: str):
+    """segment-ordered concat of one per-segment block-list field."""
+    return F.flatten(F.transform("__o__", lambda x: x[col_name])).alias(col_name)
+
+
 def finalize_index(
     spark: SparkSession, paths: IndexPaths, cfg: IndexConfig, generation: int = 0
 ) -> None:
@@ -520,53 +525,47 @@ def finalize_index(
             F.broadcast(hot.withColumn("__hot__", F.lit(True))), "term", "left"
         ).withColumn("salt", F.when(F.col("__hot__").isNotNull(), bucket).otherwise(F.lit(0)))
 
-        merged_schema = (
-            "term string, salt int, df long, ttf long, first_docid long, "
-            "last_docid long, max_tf int, min_doclen int, "
-            "block_first array<long>, block_last array<long>, "
-            "block_maxtf array<int>, block_mindl array<int>, "
-            "block_data array<binary>, block_pos array<binary>"
+        # segments hold disjoint ascending docid ranges -> the global posting
+        # list is the segment_id-ordered concat of per-segment block lists
+        # (SegmentMerger.mergeTerms docBase remap; docids already global).
+        # Pure JVM aggregation: collect_list of structs, array_sort on the
+        # leading segment_id, flatten — NO Python in the merge (per-group
+        # pandas UDFs cost ~0.2 ms/group, which dominates at real-vocabulary
+        # scale with millions of terms).
+        blk_cols = [
+            "block_first", "block_last", "block_maxtf", "block_mindl",
+            "block_data", "block_pos",
+        ]
+        ordered = F.array_sort(
+            F.collect_list(F.struct("segment_id", *blk_cols))
         )
-
-        def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            # segments hold disjoint ascending docid ranges -> ordered concat
-            # == SegmentMerger.mergeTerms docBase remap, already-global docids
-            pdf = pdf.sort_values("segment_id", kind="mergesort")
-            first_pos = pdf["block_pos"].iloc[0]
-            has_pos = first_pos is not None and not (
-                isinstance(first_pos, float) and np.isnan(first_pos)
+        merged = (
+            with_salt.drop("__hot__")
+            .groupBy("term", "salt")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("ttf").alias("ttf"),
+                F.min("first_docid").alias("first_docid"),
+                F.max("last_docid").alias("last_docid"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_doclen").alias("min_doclen"),
+                ordered.alias("__o__"),
             )
-            out = {
-                "term": pdf["term"].iloc[0],
-                "salt": int(pdf["salt"].iloc[0]),
-                "df": int(pdf["df"].sum()),
-                "ttf": int(pdf["ttf"].sum()),
-                "first_docid": int(pdf["first_docid"].iloc[0]),
-                "last_docid": int(pdf["last_docid"].iloc[-1]),
-                "max_tf": int(pdf["max_tf"].max()),
-                "min_doclen": int(pdf["min_doclen"].min()),
-                "block_first": [x for bl in pdf["block_first"] for x in bl],
-                "block_last": [x for bl in pdf["block_last"] for x in bl],
-                "block_maxtf": [x for bl in pdf["block_maxtf"] for x in bl],
-                "block_mindl": [x for bl in pdf["block_mindl"] for x in bl],
-                "block_data": [x for bl in pdf["block_data"] for x in bl],
-                "block_pos": (
-                    [x for bl in pdf["block_pos"] for x in bl] if has_pos else None
-                ),
-            }
-            return pd.DataFrame([out])
-
+            .select(
+                "term", "salt", "df", "ttf", "first_docid", "last_docid",
+                "max_tf", "min_doclen",
+                # flatten returns NULL when any element is null, so a
+                # positions-off index keeps block_pos = NULL after merge
+                *[_flatten_field(c) for c in blk_cols],
+            )
+        )
         nmerge = max(4, spark.sparkContext.defaultParallelism)
-        with _no_coalesce(spark):
-            (
-                with_salt.drop("__hot__")
-                .groupBy("term", "salt")
-                .applyInPandas(merge_fn, merged_schema)
-                .repartition(nmerge, "term")
-                .sortWithinPartitions("term", "salt")
-                .write.mode("overwrite")
-                .parquet(paths.merged_g(generation))
-            )
+        (
+            merged.repartition(nmerge, "term")
+            .sortWithinPartitions("term", "salt")
+            .write.mode("overwrite")
+            .parquet(paths.merged_g(generation))
+        )
 
     # --- field stats = snapshot commit marker (TermStates/FieldStats analog,
     # SURVEY §2.4): written last via atomic replace so readers never observe

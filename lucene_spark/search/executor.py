@@ -363,6 +363,7 @@ def make_topk_fn(
     quantize: bool,
     dtype,
     deleted: Optional[np.ndarray] = None,
+    cursor: Optional[Tuple[float, int]] = None,
 ):
     """Build the per-segment applyInPandas function.
 
@@ -458,10 +459,21 @@ def make_topk_fn(
             acc = np.zeros(n, dtype=np.float64)
             seen = np.zeros(n, dtype=bool)
             theta = -np.inf
+            # cursor mode (pruned searchAfter): scores only grow as terms
+            # accumulate, so a candidate whose partial sum already exceeds
+            # the cursor score can never re-enter the page and is dropped
+            # from decoding; theta may only be raised from candidates
+            # GUARANTEED to stay at/below the cursor (acc + max-remaining
+            # <= after_score), keeping block skipping sound.
+            after_bound = float(cursor[0]) if cursor is not None else None
+            slack = 2.0 - scale  # tiny upward slack for float re-association
             for i, t in enumerate(order):
                 restricted = theta > 0 and suffix[i] < theta * scale
                 if restricted:
-                    cand_idx = np.flatnonzero(seen & (acc + suffix[i] >= theta * scale))
+                    mask = seen & (acc + suffix[i] >= theta * scale)
+                    if after_bound is not None:
+                        mask &= acc <= after_bound * slack
+                    cand_idx = np.flatnonzero(mask)
                     if len(cand_idx) == 0:
                         counters[0] += sum(len(r["block_first"]) for r in rows[t])
                         continue
@@ -475,10 +487,15 @@ def make_topk_fn(
                 contrib[t][ids - base] = s
                 acc[ids - base] += s.astype(np.float64)
                 seen[ids - base] = True
-                nseen = int(seen.sum())
-                if nseen >= k:
-                    vals = acc[seen]
-                    theta = float(np.partition(vals, len(vals) - k)[len(vals) - k])
+                if after_bound is None:
+                    if int(seen.sum()) >= k:
+                        vals = acc[seen]
+                        theta = float(np.partition(vals, len(vals) - k)[len(vals) - k])
+                else:
+                    guaranteed = seen & (acc + suffix[i + 1] <= after_bound)
+                    vals = acc[guaranteed]
+                    if len(vals) >= k:
+                        theta = float(np.partition(vals, len(vals) - k)[len(vals) - k])
             matched = np.flatnonzero(seen) + base
 
         if len(matched) == 0:
@@ -498,6 +515,14 @@ def make_topk_fn(
         idx = matched - base
         for t in sorted(scoring):
             final = final + contrib[t][idx]
+        if cursor is not None:
+            # keep hits strictly after the (score desc, docid asc) cursor
+            fin64 = final.astype(np.float64)
+            a_s, a_d = float(cursor[0]), int(cursor[1])
+            ok = (fin64 < a_s) | ((fin64 == a_s) & (matched > a_d))
+            matched, final = matched[ok], final[ok]
+            if len(matched) == 0:
+                return _Z, _Z.astype(np.float64), counters
         kk = min(k, len(matched))
         part = np.argpartition(-final.astype(np.float64), kk - 1)[:kk]
         sel_ids = matched[part]
@@ -1040,8 +1065,43 @@ def search_after(
     **kw,
 ) -> DataFrame:
     """Cursor pagination (IndexSearcher.searchAfter, IndexSearcher.java:587-602):
-    keep hits strictly after (score desc, docid asc) cursor. Correctness
-    over pruning: fetch (k + enough) via exhaustive filter."""
+    hits strictly after the (score desc, docid asc) cursor via the PRUNED
+    per-segment path — theta seeds from cursor-guaranteed candidates and
+    partial sums already past the cursor stop being decoded, so deep paging
+    on a hot term does not re-decode the full posting list."""
+    quantize = kw.pop("quantize", True)
+    dtype = kw.pop("dtype", np.float32)
+    boost = kw.pop("boost", 1.0)
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, score double")
+    if q.is_match_none:
+        return empty
+    plan = _topk_plan(index, q, boost, dtype)
+    if plan is None:
+        return empty
+    weights, req, rows = plan
+    fn = make_topk_fn(
+        weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
+        quantize, dtype, deleted=index.deleted if len(index.deleted) else None,
+        cursor=(float(after_score), int(after_docid)),
+    )
+    per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
+    return (
+        per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .select("docid", "score")
+    )
+
+
+def search_after_exhaustive(
+    index: Index,
+    q: NormalizedQuery,
+    k: int,
+    after_score: float,
+    after_docid: int,
+    **kw,
+) -> DataFrame:
+    """Exhaustive cursor pagination (differential oracle for search_after)."""
     full = search_exhaustive(index, q, k=None, **kw)
     cond = (F.col("score") < after_score) | (
         (F.col("score") == after_score) & (F.col("docid") > after_docid)

@@ -216,6 +216,8 @@ def test_bm25_monotonicity_axioms():
 
 
 def test_count_and_searchafter(built_index, ref_index):
+    import numpy as np
+
     from lucene_spark.search.executor import count_hits, search_after, search_exhaustive
 
     q = normalize(should=["import"])
@@ -224,8 +226,41 @@ def test_count_and_searchafter(built_index, ref_index):
     full = search_exhaustive(built_index, q, k=20).collect()
     page1 = full[:10]
     cursor = page1[-1]
-    page2 = search_after(built_index, q, 10, cursor["score"], cursor["docid"]).collect()
+    page2 = search_after(
+        built_index, q, 10, cursor["score"], cursor["docid"],
+        quantize=False, dtype=np.float64,
+    ).collect()
     assert [r["docid"] for r in page2] == [r["docid"] for r in full[10:20]]
+
+
+def test_searchafter_pruned_matches_reference_deep_paging(built_index, ref_index):
+    """The cursor-aware pruned path must page identically (docids AND
+    float32 scores) to the pure-Python reference ranking across consecutive
+    pages — hot-term disjunctions exercise the theta-seeding machinery."""
+    from lucene_spark.pyref import search as ref_search
+    from lucene_spark.search.executor import search_after
+
+    cases = [
+        (["import"], "or", []),  # hot single term
+        (["import", "vector", "return"], "or", []),
+        (["import", "return"], "and", []),
+        (["import"], "or", ["vector"]),
+    ]
+    for terms, mode, must_not in cases:
+        if mode == "and":
+            q = normalize(must=terms, must_not=must_not)
+        else:
+            q = normalize(should=terms, must_not=must_not)
+        full = ref_search(ref_index, terms, k=10**6, mode=mode, must_not=must_not)
+        for p in range(1, 5):  # pages 2..5
+            if len(full) < p * 10 + 1:
+                break
+            cur_d, cur_s = full[p * 10 - 1]
+            got = [
+                (r["docid"], r["score"])
+                for r in search_after(built_index, q, 10, cur_s, cur_d).collect()
+            ]
+            assert got == full[p * 10 : (p + 1) * 10], (terms, mode, p)
 
 
 def test_hydrate_returns_stored_fields(built_index):
