@@ -557,11 +557,12 @@ def q_cosine_neardup(spark, sf):
 
 
 def q_multimodal_meta(spark, sf):
-    from lucene_spark.pipeline.multimodal import attach_payload
+    """Real media decode: synthesize valid PNG/WAV/MP4 payloads, then PARSE
+    their actual container headers; the oracle recomputes the expected dims
+    from the generation contract, so a wrong parse hash-mismatches."""
+    from lucene_spark.pipeline.multimodal import attach_payload, decode_meta
 
-    return attach_payload(_docs(spark, sf)).select(
-        "doc_id", "media_type", "byte_len", "payload_sha256"
-    ).orderBy("doc_id")
+    return decode_meta(attach_payload(_docs(spark, sf))).orderBy("doc_id")
 
 
 PERCOLATE_QUERIES = [
@@ -873,8 +874,18 @@ ORDER BY id_a, id_b""",
 SELECT doc_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
          AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       sha256(text) AS payload_sha256
+       CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 16 + doc_id % 64
+            WHEN 1 THEN 0
+            ELSE 160 + (doc_id % 16) * 8 END AS INT) AS width,
+       CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 16 + (doc_id // 3) % 48
+            WHEN 1 THEN 0
+            ELSE 120 + (doc_id % 12) * 8 END AS INT) AS height,
+       CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 0
+            WHEN 1 THEN (4000 + (doc_id % 50) * 400) * 1000 // 16000
+            ELSE 1000 + (doc_id % 30) * 500 END AS BIGINT) AS duration_ms
 FROM documents ORDER BY doc_id""",
         "percolate": _percolate_sql(),
         "tpch_join_util": """

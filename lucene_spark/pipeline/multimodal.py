@@ -1,17 +1,26 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + REAL header decode.
 
-Images/audio/video ride as ``binary`` columns with metadata structs; the
-Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. The actual media decode is STUBBED —
-the decode libraries are not in this container — behind
-``decode_stub``: it deterministically fakes a decode (shape inferred from
-payload bytes) and raises ``NotImplementedError`` when ``strict=True``.
+Images/audio/video ride through Spark as ``binary`` columns with typed
+metadata. The container has no media libraries, so payload synthesis and
+decode are pure-stdlib implementations of the real container formats:
+
+  - PNG: signature + IHDR/IDAT/IEND chunks with correct CRC32s and a real
+    zlib-compressed image body — any PNG reader opens these files, and
+    ``parse_png`` reads width/height from IHDR of ANY real PNG.
+  - WAV: RIFF/WAVE with fmt+data chunks; ``parse_wav`` walks the chunks of
+    any real PCM WAV and derives sample rate / duration.
+  - MP4: ISO-BMFF ftyp+moov(mvhd, trak/tkhd) boxes; ``parse_mp4`` walks the
+    box tree of any real MP4 for duration and track dimensions.
+
+The Spark-side plumbing is Arrow-batched mapInPandas end to end; a real
+model/codec call slots into ``extract_features`` unchanged.
 """
 
 from __future__ import annotations
 
-import hashlib
-from typing import Iterable, Iterator
+import struct
+import zlib
+from typing import Iterable, Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -21,54 +30,240 @@ from pyspark.sql import DataFrame, functions as F
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, payload binary, byte_len long, payload_sha256 string"
 )
-FEATURE_SCHEMA = "doc_id long, media_type string, width int, height int, n_frames int, feature array<float>"
+META_SCHEMA = "doc_id long, media_type string, width int, height int, duration_ms long"
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, duration_ms long, "
+    "feature array<float>"
+)
 
 
-def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Synthesize a deterministic binary payload column (UTF-8 bytes of the
-    text stand in for media bytes) + typed metadata. Pure built-ins."""
-    payload = F.encode(F.col(text_col), "UTF-8")
-    return df.select(
-        "doc_id",
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("media_type"),
-        payload.alias("payload"),
-        F.octet_length(payload).cast("long").alias("byte_len"),
-        F.sha2(payload, 256).alias("payload_sha256"),
+# --------------------------------------------------------------------------
+# encoders (deterministic synthetic media — REAL container formats)
+# --------------------------------------------------------------------------
+
+def make_png(width: int, height: int, shade: int = 0) -> bytes:
+    """Minimal but fully valid grayscale PNG."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes([shade % 256]) * width) * height  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
     )
 
 
-def decode_stub(payload: bytes, media_type: str, strict: bool = False):
-    """STUB decode: real implementation would call PIL/av/soundfile.
-    Deterministic fake: dimensions derived from the payload digest."""
-    if strict:
-        raise NotImplementedError(
-            "media decode requires PIL/pyav which are not in this container"
-        )
-    d = hashlib.sha256(payload).digest()
-    width = 16 + d[0] % 64
-    height = 16 + d[1] % 64
-    n_frames = 1 if media_type == "image" else 1 + d[2] % 32
-    return width, height, n_frames
+def make_wav(n_samples: int, sample_rate: int = 16000) -> bytes:
+    """Valid 16-bit mono PCM WAV of silence."""
+    data = b"\x00\x00" * n_samples
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def extract_features(df: DataFrame, dim: int = 8, batch_size_hint: int = 1024) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads: Arrow batches
-    in, (metadata + fixed-dim float feature) out. The feature is a
-    deterministic byte-histogram projection (the real model call slots in
-    here)."""
+def make_mp4(duration_ms: int, width: int, height: int, timescale: int = 1000) -> bytes:
+    """Minimal ISO-BMFF skeleton: ftyp + moov(mvhd + trak(tkhd))."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IH2x8x36x24x", 0x00010000, 0x0100)
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", dur)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+# --------------------------------------------------------------------------
+# decoders (header parsers that work on any real file of the format)
+# --------------------------------------------------------------------------
+
+def parse_png(data: bytes) -> Tuple[int, int]:
+    """(width, height) from the IHDR chunk of a real PNG."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    if data[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h = struct.unpack(">II", data[16:24])
+    return int(w), int(h)
+
+
+def parse_wav(data: bytes) -> Tuple[int, int, int]:
+    """(sample_rate, n_samples, duration_ms) by walking RIFF chunks."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, block_align, n_samples = 12, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if tag == b"fmt ":
+            _, _, rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+        elif tag == b"data" and block_align:
+            n_samples = size // block_align
+        pos += 8 + size + (size & 1)
+    if rate is None or n_samples is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    return int(rate), int(n_samples), int(n_samples * 1000 // rate)
+
+
+def parse_mp4(data: bytes) -> Tuple[int, int, int]:
+    """(width, height, duration_ms) by walking ISO-BMFF boxes."""
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = struct.unpack(">I", buf[pos : pos + 4])[0]
+            tag = buf[pos + 4 : pos + 8]
+            if size < 8:
+                break
+            yield tag, pos + 8, pos + size
+            pos += size
+
+    width = height = duration_ms = None
+    for tag, s, e in walk(data, 0, len(data)):
+        if tag != b"moov":
+            continue
+        for t2, s2, e2 in walk(data, s, e):
+            if t2 == b"mvhd":
+                timescale, dur = struct.unpack(">II", data[s2 + 12 : s2 + 20])
+                duration_ms = dur * 1000 // timescale
+            elif t2 == b"trak":
+                for t3, s3, e3 in walk(data, s2, e2):
+                    if t3 == b"tkhd":
+                        w16, h16 = struct.unpack(">II", data[e3 - 8 : e3])
+                        width, height = w16 >> 16, h16 >> 16
+    if duration_ms is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return int(width or 0), int(height or 0), int(duration_ms)
+
+
+def decode_media(payload: bytes, media_type: str) -> Tuple[int, int, int]:
+    """(width, height, duration_ms); 0 where the modality has no such axis."""
+    if media_type == "image":
+        w, h = parse_png(payload)
+        return w, h, 0
+    if media_type == "audio":
+        _, _, ms = parse_wav(payload)
+        return 0, 0, ms
+    if media_type == "video":
+        return parse_mp4(payload)
+    raise ValueError(f"unknown media type {media_type!r}")
+
+
+# --------------------------------------------------------------------------
+# dataset-shape helpers (deterministic dims so oracles can verify the parse)
+# --------------------------------------------------------------------------
+
+def media_dims_for(doc_id: int) -> Tuple[str, int, int, int]:
+    """Deterministic (media_type, width, height, duration_ms) per doc —
+    the generation contract shared with the SQL oracle."""
+    m = doc_id % 3
+    if m == 0:
+        return "image", 16 + doc_id % 64, 16 + (doc_id // 3) % 48, 0
+    if m == 1:
+        n = 4000 + (doc_id % 50) * 400
+        return "audio", 0, 0, n * 1000 // 16000
+    return "video", 160 + (doc_id % 16) * 8, 120 + (doc_id % 12) * 8, 1000 + (doc_id % 30) * 500
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic REAL media payload per doc (PNG/WAV/MP4 by
+    doc_id % 3) + typed metadata, Arrow-batched."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            types, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                mt, w, h, ms = media_dims_for(int(doc_id))
+                if mt == "image":
+                    p = make_png(w, h, shade=int(doc_id) % 256)
+                elif mt == "audio":
+                    p = make_wav(4000 + (int(doc_id) % 50) * 400, 16000)
+                else:
+                    p = make_mp4(ms, w, h)
+                types.append(mt)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": types,
+                    "payload": payloads,
+                    "byte_len": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "payload_sha256": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_meta(media: DataFrame) -> DataFrame:
+    """Parse every payload's REAL container header -> typed metadata."""
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w, h, nf, feats = [], [], [], []
+            w, h, ms = [], [], []
             for payload, mt in zip(pdf["payload"], pdf["media_type"]):
-                b = bytes(payload)
-                ww, hh, nn = decode_stub(b, mt)
+                ww, hh, mms = decode_media(bytes(payload), mt)
                 w.append(ww)
                 h.append(hh)
-                nf.append(nn)
+                ms.append(mms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "duration_ms": pd.Series(ms, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(fn, META_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: decode the real
+    header + a deterministic byte-histogram feature (the real model call
+    slots in here)."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, ms, feats = [], [], [], []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                b = bytes(payload)
+                ww, hh, mms = decode_media(b, mt)
+                w.append(ww)
+                h.append(hh)
+                ms.append(mms)
                 hist = np.bincount(
                     np.frombuffer(b, dtype=np.uint8) % dim, minlength=dim
                 ).astype(np.float32)
@@ -80,7 +275,7 @@ def extract_features(df: DataFrame, dim: int = 8, batch_size_hint: int = 1024) -
                     "media_type": pdf["media_type"],
                     "width": pd.Series(w, dtype="int32"),
                     "height": pd.Series(h, dtype="int32"),
-                    "n_frames": pd.Series(nf, dtype="int32"),
+                    "duration_ms": pd.Series(ms, dtype="int64"),
                     "feature": feats,
                 }
             )

@@ -133,21 +133,42 @@ def test_cosine_neardup_pairs(embeddings):
     assert (0, 8) not in got
 
 
-def test_multimodal_plumbing(docs):
-    from lucene_spark.pipeline.multimodal import attach_payload, decode_stub, extract_features
+def test_multimodal_real_decode(docs):
+    """Payloads are REAL containers (PNG/WAV/MP4) and decode parses their
+    actual headers — dims match the generation contract per doc."""
+    from lucene_spark.pipeline.multimodal import (
+        attach_payload, decode_meta, extract_features, media_dims_for, parse_png,
+    )
 
     media = attach_payload(docs)
     rows = {r["doc_id"]: r for r in media.collect()}
-    assert rows[0]["byte_len"] == len("spark join window table".encode())
-    assert rows[0]["payload_sha256"] == hashlib.sha256(b"spark join window table").hexdigest()
+    # doc 0 is an image: the payload is a genuine PNG
+    p0 = bytes(rows[0]["payload"])
+    assert p0[:8] == b"\x89PNG\r\n\x1a\n"
+    assert rows[0]["byte_len"] == len(p0)
+    assert rows[0]["payload_sha256"] == hashlib.sha256(p0).hexdigest()
+    mt, w, h, ms = media_dims_for(0)
+    assert parse_png(p0) == (w, h)
+    meta = {r["doc_id"]: r for r in decode_meta(media).collect()}
+    for d, r in meta.items():
+        mt, w, h, ms = media_dims_for(int(d))
+        assert (r["media_type"], r["width"], r["height"], r["duration_ms"]) == (mt, w, h, ms)
     feats = {r["doc_id"]: r for r in extract_features(media).collect()}
     assert len(feats[0]["feature"]) == 8
     assert abs(sum(feats[0]["feature"]) - 1.0) < 1e-3
-    # deterministic stub dims
-    w, h, n = decode_stub(b"spark join window table", "image")
-    assert (feats[0]["width"], feats[0]["height"]) == (w, h)
-    with pytest.raises(NotImplementedError):
-        decode_stub(b"x", "image", strict=True)
+    assert feats[0]["width"] == meta[0]["width"]
+    assert feats[0]["duration_ms"] == meta[0]["duration_ms"]
+
+
+def test_media_parsers_reject_garbage():
+    from lucene_spark.pipeline.multimodal import parse_mp4, parse_png, parse_wav
+
+    with pytest.raises(ValueError):
+        parse_png(b"not a png at all....")
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08free")
 
 
 def test_percolator_batch_and_stream(spark, docs):
