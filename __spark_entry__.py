@@ -451,6 +451,52 @@ def q_sloppy_phrase_topk(spark, sf):
     return res.select("docid", F.round("score", 4).alias("score"))
 
 
+DRILL_FILTERS = {"lang": "en", "source": "src3"}
+
+
+def q_drill_sideways(spark, sf):
+    """DrillSideways: per-dimension counts with that dimension's own filter
+    removed (facet/DrillSideways.java:71)."""
+    from lucene_spark.search.aggregates import drill_sideways
+
+    return drill_sideways(_index(spark, sf), normalize(should=["spark"]), DRILL_FILTERS)
+
+
+def q_block_join_topk(spark, sf):
+    """Parent/child block join, ScoreMode.Max (ToParentBlockJoinQuery.java:68):
+    child BM25 hits aggregate to their parent over a nested children array."""
+    from lucene_spark.search.aggregates import block_join_parents
+
+    return block_join_parents(
+        _index(spark, sf), normalize(should=["spark"]), "source", "max", k=5,
+        quantize=False, dtype=np.float64,
+    )
+
+
+def q_rescore_topk(spark, sf):
+    """QueryRescorer: top-50 of 'spark join' re-ranked by 1*first + 2*second
+    ('window') (search/QueryRescorer.java:31)."""
+    from lucene_spark.search.aggregates import rescore
+
+    r = rescore(
+        _index(spark, sf),
+        normalize(should=["spark", "join"]), normalize(should=["window"]),
+        n=50, k=10, w_first=1.0, w_second=2.0, quantize=False, dtype=np.float64,
+    )
+    return r.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_common_terms_topk(spark, sf):
+    """CommonTermsQuery: df-threshold split — rare terms MUST, common terms
+    SHOULD (queries/CommonTermsQuery.java:55)."""
+    from lucene_spark.search.aggregates import common_terms_query
+
+    idx = _index(spark, sf)
+    q = common_terms_query(idx, ["dup", "spark"], max_df_fraction=0.5)
+    return _topk(idx, **{"must": [t for t, _ in q.required],
+                         "should": [t for t, _ in q.optional]})
+
+
 # --- training-pipeline ops ---------------------------------------------------
 
 def q_dedup_exact(spark, sf):
@@ -631,6 +677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_then_search": q_delete_then_search,
         "field_topk": q_field_topk,
         "combined_field_topk": q_combined_field_topk,
+        "drill_sideways": q_drill_sideways,
+        "block_join_topk": q_block_join_topk,
+        "rescore_topk": q_rescore_topk,
+        "common_terms_topk": q_common_terms_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_band_buckets": q_minhash_band_buckets,
         "simhash_values": q_simhash_values,
@@ -829,6 +879,26 @@ WHERE doc_id % {DELETE_MOD} <> 3
 ORDER BY score DESC, docid ASC LIMIT 10""",
         "field_topk": _field_topk_sql(),
         "combined_field_topk": _combined_field_sql(),
+        "drill_sideways": bm25_matches_cte({"spark": 1})
+        + f"""
+SELECT dim, value, n FROM (
+  SELECT 'lang' AS dim, d.lang AS value, count(*) AS n
+  FROM hits JOIN documents d USING (doc_id)
+  WHERE d.source = '{DRILL_FILTERS["source"]}' GROUP BY d.lang
+  UNION ALL
+  SELECT 'source' AS dim, d.source AS value, count(*) AS n
+  FROM hits JOIN documents d USING (doc_id)
+  WHERE d.lang = '{DRILL_FILTERS["lang"]}' GROUP BY d.source)
+ORDER BY dim, value""",
+        "block_join_topk": bm25_matches_cte({"spark": 1})
+        + """
+SELECT d.source AS parent, round(max(hits.score), 4) AS score,
+       count(*) AS n_children
+FROM hits JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY max(hits.score) DESC, parent ASC LIMIT 5""",
+        "rescore_topk": _rescore_sql(),
+        "common_terms_topk": bm25_topk_sql({"dup": 1, "spark": 1}, required=["dup"]),
         "synonym_topk": _synonym_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": """
@@ -959,6 +1029,30 @@ n AS (SELECT coalesce(tdl.doc_id, bdl.doc_id) AS doc_id,
 SELECT m.doc_id AS docid, round({score}, 4) AS score
 FROM m JOIN n ON m.doc_id = n.doc_id CROSS JOIN w CROSS JOIN st
 ORDER BY ({score}) DESC, docid ASC LIMIT 10"""
+
+
+def _rescore_sql() -> str:
+    """first pass top-50 of {spark, join}; combined = 1*first + 2*second
+    ('window'); re-ranked top-10."""
+    from lucene_spark.oracle import bm25_scored_cte
+
+    return (
+        bm25_scored_cte({"spark": 1, "join": 1})
+        + """,
+firstp AS (SELECT doc_id, score AS s1 FROM agg
+           ORDER BY score DESC, doc_id ASC LIMIT 50),
+w2 AS (SELECT ln(1 + (fs.doc_cnt - d2.df + 0.5) / (d2.df + 0.5)) AS w
+       FROM (SELECT count(*) AS df FROM tf WHERE term = 'window') d2 CROSS JOIN fs),
+sec AS (SELECT tf.doc_id,
+               w2.w - w2.w / (1 + CAST(tf.tf AS DOUBLE)
+                              * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))) AS s2
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN w2 CROSS JOIN fs
+        WHERE tf.term = 'window'),
+comb AS (SELECT f.doc_id, 1.0 * f.s1 + 2.0 * coalesce(sec.s2, 0) AS score
+         FROM firstp f LEFT JOIN sec ON f.doc_id = sec.doc_id)
+SELECT doc_id AS docid, round(score, 4) AS score FROM comb
+ORDER BY score DESC, docid ASC LIMIT 10"""
+    )
 
 
 def _parsed_query_sql() -> str:

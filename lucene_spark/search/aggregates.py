@@ -96,6 +96,121 @@ def diversified_topk(index: Index, q: NormalizedQuery, key_col: str, k: int,
     )
 
 
+def drill_sideways(
+    index: Index,
+    q: NormalizedQuery,
+    filters: dict,
+    **kw,
+) -> DataFrame:
+    """DrillSideways (facet/DrillSideways.java:71): per-dimension facet
+    counts computed with THAT dimension's own drill-down filter removed and
+    every other dimension's filter applied — the grouping-sets-style
+    fan-out that lets the UI show sibling values of each selected facet.
+
+    ``filters``: {dim_column: selected_value}. Returns (dim, value, n)."""
+    dims = sorted(filters)
+    m = _matches_with(index, q, dims, **kw)
+    out = None
+    for dim in dims:
+        sub = m
+        for other in dims:
+            if other != dim:
+                sub = sub.filter(F.col(other) == filters[other])
+        counts = (
+            sub.groupBy(F.col(dim).cast("string").alias("value"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(dim).alias("dim"), "value", "n")
+        )
+        out = counts if out is None else out.unionAll(counts)
+    return out.orderBy("dim", "value")
+
+
+def block_join_parents(
+    index: Index,
+    q: NormalizedQuery,
+    parent_col: str,
+    score_mode: str = "max",
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """ToParentBlockJoinQuery analog (join/ToParentBlockJoinQuery.java:68):
+    children (docs) are co-located with their parent as a nested
+    array<struct> block; the child query's scores aggregate to the parent
+    by ScoreMode Max/Total/Avg/None, and parents rank by that score.
+
+    The nested block shape is real: children are collected into an array
+    per parent and the aggregation runs JVM-side over the array
+    (F.aggregate / F.size), exactly how nested parent/child docs would be
+    stored in one parquet row at scale."""
+    matches = search_exhaustive(index, q, k=None, **kw)
+    kids = matches.join(index.docs.select("docid", parent_col), "docid")
+    blocks = kids.groupBy(parent_col).agg(
+        F.collect_list(F.struct("docid", "score")).alias("children")
+    )
+    agg_expr = {
+        "max": F.array_max("children.score"),
+        "total": F.aggregate("children", F.lit(0.0), lambda a, x: a + x["score"]),
+        "avg": F.aggregate("children", F.lit(0.0), lambda a, x: a + x["score"])
+        / F.size("children"),
+        "none": F.lit(1.0),
+    }[score_mode]
+    return (
+        blocks.select(
+            F.col(parent_col).alias("parent"),
+            agg_expr.alias("__raw__"),
+            F.size("children").cast("long").alias("n_children"),
+        )
+        .orderBy(F.col("__raw__").desc(), F.col("parent").asc())
+        .limit(k)
+        .select("parent", F.round("__raw__", 4).alias("score"), "n_children")
+    )
+
+
+def rescore(
+    index: Index,
+    first_q: NormalizedQuery,
+    second_q: NormalizedQuery,
+    n: int = 50,
+    k: int = 10,
+    w_first: float = 1.0,
+    w_second: float = 1.0,
+    **kw,
+) -> DataFrame:
+    """QueryRescorer (search/QueryRescorer.java:31): re-rank the first
+    pass's top-N with a costlier second query; combined score =
+    w1*first + w2*second (0 when the second query misses the doc)."""
+    first = search_exhaustive(index, first_q, k=n, **kw).select(
+        "docid", F.col("score").alias("s1")
+    )
+    second = search_exhaustive(index, second_q, k=None, **kw).select(
+        "docid", F.col("score").alias("s2")
+    )
+    combined = (
+        F.lit(float(w_first)) * F.col("s1")
+        + F.lit(float(w_second)) * F.coalesce(F.col("s2"), F.lit(0.0))
+    )
+    return (
+        first.join(second, "docid", "left")
+        .select("docid", combined.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def common_terms_query(index: Index, terms: Sequence[str],
+                       max_df_fraction: float = 0.5) -> NormalizedQuery:
+    """CommonTermsQuery (queries/CommonTermsQuery.java:55): split the query
+    terms by document frequency — rare terms become MUST, terms above
+    maxTermFrequency * docCount become low-impact SHOULD clauses."""
+    stats = index.term_stats_for(list(terms))
+    cutoff = max_df_fraction * index.field_stats.doc_count
+    must = [t for t in terms if t in stats and stats[t][0] <= cutoff]
+    should = [t for t in terms if t in stats and stats[t][0] > cutoff]
+    from .plan import normalize
+
+    return normalize(must=must, should=should, pre_analyzed=True)
+
+
 def join_matches(index: Index, q: NormalizedQuery, dim_df: DataFrame, on: str,
                  score_mode: str = "total", **kw) -> DataFrame:
     """Query-time join (JoinUtil.java:56): matching docs joined to a

@@ -119,3 +119,71 @@ def test_percolate_stream(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, 1), (2, 2)}
+
+
+def test_drill_sideways_removes_own_dim_filter(built_index):
+    """Each dimension's sideways counts ignore its own filter but apply the
+    others (DrillSideways.java:71)."""
+    from lucene_spark.search.aggregates import drill_sideways, facet_counts
+    from lucene_spark.search.executor import search_exhaustive
+
+    import hashlib
+
+    commit1 = hashlib.sha1(b"commit1").hexdigest()[:12]
+    q = normalize(should=["import"])
+    got = drill_sideways(built_index, q, {"lang": "py", "commit": commit1}).collect()
+    by_dim = {}
+    for r in got:
+        by_dim.setdefault(r["dim"], {})[r["value"]] = r["n"]
+    # manual check for the 'lang' dimension: matches filtered to commit1 only
+    m = search_exhaustive(built_index, q, k=None).join(
+        built_index.docs.select("docid", "lang", "commit"), "docid"
+    )
+    want = {
+        r["lang"]: r["n"]
+        for r in m.filter(F.col("commit") == commit1).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dim["lang"] == want
+    # sideways counts include sibling values beyond the selected one
+    assert len(by_dim["lang"]) > 1 and len(by_dim["commit"]) > 1
+
+
+def test_block_join_score_modes(built_index):
+    from lucene_spark.search.aggregates import block_join_parents
+
+    q = normalize(should=["import"])
+    mx = {r["parent"]: r["score"] for r in block_join_parents(built_index, q, "lang", "max", k=10).collect()}
+    tot = {r["parent"]: r["score"] for r in block_join_parents(built_index, q, "lang", "total", k=10).collect()}
+    avg = {r["parent"]: r["score"] for r in block_join_parents(built_index, q, "lang", "avg", k=10).collect()}
+    non = {r["parent"]: r["score"] for r in block_join_parents(built_index, q, "lang", "none", k=10).collect()}
+    assert set(mx) == set(tot) == set(avg) == set(non)
+    for p in mx:
+        assert tot[p] >= mx[p] >= avg[p] > 0
+        assert non[p] == 1.0
+
+
+def test_rescore_reorders_by_combined_score(built_index):
+    from lucene_spark.search.aggregates import rescore
+    from lucene_spark.search.executor import search_exhaustive
+
+    q1 = normalize(should=["import", "return"])
+    q2 = normalize(should=["vector"])
+    got = {r["docid"]: r["score"]
+           for r in rescore(built_index, q1, q2, n=30, k=30, w_first=1.0, w_second=3.0).collect()}
+    s1 = {r["docid"]: r["score"] for r in search_exhaustive(built_index, q1, k=30).collect()}
+    s2 = {r["docid"]: r["score"] for r in search_exhaustive(built_index, q2, k=None).collect()}
+    assert set(got) == set(s1)  # rescoring never changes the candidate set
+    for d in got:
+        assert got[d] == pytest.approx(s1[d] + 3.0 * s2.get(d, 0.0), rel=1e-9)
+
+
+def test_common_terms_split(built_index):
+    """'import' is hot (salted at df>=100), idents are rare: the split must
+    send hot terms to SHOULD and rare ones to MUST."""
+    from lucene_spark.search.aggregates import common_terms_query
+
+    stats = built_index.term_stats_for(["import"])
+    rare_term = built_index.term_stats.filter("df < 20").limit(1).collect()[0]["term"]
+    q = common_terms_query(built_index, ["import", rare_term], max_df_fraction=0.3)
+    assert dict(q.required).keys() == {rare_term}
+    assert dict(q.optional).keys() == {"import"}
