@@ -619,10 +619,12 @@ PERCOLATE_QUERIES = [
 
 
 def q_percolate(spark, sf):
-    from lucene_spark.streaming import percolate_batch
+    """Term-partitioned percolation (Monitor query-index pre-filter): the
+    plan is one equi-join on term + one aggregation, no cross product."""
+    from lucene_spark.streaming import percolate_prefiltered
 
     qdf = spark.createDataFrame(PERCOLATE_QUERIES, "qid int, terms array<string>, min_match int")
-    return percolate_batch(_docs(spark, sf), qdf).orderBy("qid", "doc_id")
+    return percolate_prefiltered(_docs(spark, sf), qdf).orderBy("qid", "doc_id")
 
 
 def q_tpch_join_util(spark, sf):

@@ -117,6 +117,29 @@ def main() -> None:
         ratios["or_rare_hot"] = round(m["ratio"], 4) if m["ratio"] is not None else None
     ratio = ratios.get("and_rare_hot")
 
+    # --- percolator at 10k stored queries: the term-partitioned pre-filter
+    # (one equi-join + one agg) vs broadcast cross-evaluation
+    from lucene_spark.streaming import percolate_batch, percolate_prefiltered
+
+    words = ["spark", "join", "window", "table", "hash", "scan", "merge",
+             "filter", "sort", "group", "stream", "batch", "query", "value",
+             "order", "column", "line", "key", "agg", "part"]
+    nq = int(os.environ.get("BENCH_PERCOLATE_QUERIES", "10000"))
+    V = len(words)
+    qrows = [
+        (i, [words[i % V], words[(i * 7 + 1) % V], words[(i * 13 + 2) % V]], 2)
+        for i in range(nq)
+    ]
+    qdf = spark.createDataFrame(qrows, "qid int, terms array<string>, min_match int")
+    doc_df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    n_pref = percolate_prefiltered(doc_df, qdf).count()
+    q_secs["percolate_10k_prefiltered"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    n_bc = percolate_batch(doc_df, qdf).count()
+    q_secs["percolate_10k_broadcast"] = round(time.perf_counter() - t0, 4)
+    assert n_pref == n_bc, (n_pref, n_bc)
+
     out = {
         "metric": "index_build_seconds",
         "value": round(build_sec, 3),

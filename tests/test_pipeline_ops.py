@@ -185,3 +185,25 @@ def test_percolator_batch_and_stream(spark, docs):
     assert by_q[1] == {0, 1, 2, 7}
     assert by_q[2] == {4}
     assert 3 not in by_q
+
+
+def test_percolate_prefiltered_matches_broadcast(spark, docs):
+    """The term-partitioned pre-filter plan must return exactly the
+    broadcast evaluator's matches (Monitor.java:42 candidate semantics)."""
+    from lucene_spark.streaming import percolate_batch, percolate_prefiltered
+
+    queries = spark.createDataFrame(
+        [
+            (1, ["spark", "join"], 2),
+            (2, ["window", "hash", "table"], 2),
+            (3, ["qqqzzz"], 1),          # absent term -> no matches
+            (4, ["spark"], 1),
+            (5, ["spark", "join", "window", "table"], 4),  # strict AND
+        ],
+        "qid int, terms array<string>, min_match int",
+    )
+    a = {(r["qid"], r["doc_id"], r["n_matched"])
+         for r in percolate_batch(docs, queries).collect()}
+    b = {(r["qid"], r["doc_id"], r["n_matched"])
+         for r in percolate_prefiltered(docs, queries).collect()}
+    assert a == b and a
