@@ -451,6 +451,53 @@ def q_sloppy_phrase_topk(spark, sf):
     return res.select("docid", F.round("score", 4).alias("score"))
 
 
+MULTI_PHRASE_SLOTS = [(0, ["table", "part"]), (1, ["hash", "filter"])]
+BLENDED_TERMS = ["spark", "vector"]
+FUNC_SCORE_EXPR = "score * (1.0 + n_chars / 1000.0)"
+COUNT_LB_THRESHOLD = 100
+
+
+def q_multi_phrase_topk(spark, sf):
+    """MultiPhraseQuery: per-slot alternatives, exact alignment over the
+    position unions (MultiPhraseQuery.java:54, UnionPostingsEnum)."""
+    from lucene_spark.search.executor import search_multi_phrase
+
+    res = search_multi_phrase(
+        _index(spark, sf), MULTI_PHRASE_SLOTS, slop=0, k=10,
+        quantize=False, dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_blended_term_topk(spark, sf):
+    """BlendedTermQuery: blended df (max) + DisjunctionMax tie 0.01
+    (BlendedTermQuery.java:47, 281-282)."""
+    from lucene_spark.search.executor import blended_term_topk
+
+    res = blended_term_topk(_index(spark, sf), BLENDED_TERMS, k=10)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_function_score_topk(spark, sf):
+    """FunctionScoreQuery: score = SQL expression over doc columns + the
+    wrapped query's score (FunctionScoreQuery.java:44)."""
+    from lucene_spark.search.executor import function_score
+
+    res = function_score(_index(spark, sf), normalize(should=["spark"]), FUNC_SCORE_EXPR, k=10)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_count_lower_bound(spark, sf):
+    """Early-terminating count: stops at totalHitsThreshold and reports the
+    GREATER_THAN_OR_EQUAL relation (TopScoreDocCollector.java:163)."""
+    from lucene_spark.search.executor import count_hits_lower_bound
+
+    n, rel = count_hits_lower_bound(
+        _index(spark, sf), normalize(should=["table"]), COUNT_LB_THRESHOLD
+    )
+    return spark.createDataFrame([(int(n), rel)], "n_docs bigint, relation string")
+
+
 DRILL_FILTERS = {"lang": "en", "source": "src3"}
 
 
@@ -602,6 +649,33 @@ def q_cosine_neardup(spark, sf):
     return cosine_neardup_pairs(_emb(spark, sf), threshold=0.35).orderBy("id_a", "id_b")
 
 
+NEARDUP_LSH_PLANES = 4
+
+
+def q_cosine_neardup_lsh(spark, sf):
+    """Near-dup pairs blocked on the LSH bucket — the content-derived
+    blocking key that scales to 100 TB (no label column needed)."""
+    from lucene_spark.pipeline.similarity import cosine_neardup_lsh
+
+    return cosine_neardup_lsh(
+        _emb(spark, sf), threshold=0.35, dim=64, n_planes=NEARDUP_LSH_PLANES, seed=42
+    ).orderBy("id_a", "id_b")
+
+
+MULTIPROBE_PLANES = 6
+
+
+def q_ann_lsh_multiprobe(spark, sf):
+    """Multi-probe LSH ANN: probe the query bucket plus every 1-bit-flip
+    neighbor (recall knob without extra hash tables)."""
+    from lucene_spark.pipeline.similarity import cosine_topk_lsh_multiprobe
+
+    return cosine_topk_lsh_multiprobe(
+        _emb(spark, sf), _ann_query_vec(spark, sf), k=10,
+        n_planes=MULTIPROBE_PLANES, seed=42, probe_bits=1,
+    )
+
+
 def q_multimodal_meta(spark, sf):
     """Real media decode: synthesize valid PNG/WAV/MP4 payloads, then PARSE
     their actual container headers; the oracle recomputes the expected dims
@@ -683,6 +757,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_topk": q_block_join_topk,
         "rescore_topk": q_rescore_topk,
         "common_terms_topk": q_common_terms_topk,
+        "multi_phrase_topk": q_multi_phrase_topk,
+        "blended_term_topk": q_blended_term_topk,
+        "function_score_topk": q_function_score_topk,
+        "count_lower_bound": q_count_lower_bound,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "dedup_exact": q_dedup_exact,
         "minhash_band_buckets": q_minhash_band_buckets,
         "simhash_values": q_simhash_values,
@@ -762,6 +842,96 @@ bands AS ({band_rows}),
 cnts AS (SELECT band, bucket, count(*) AS cnt FROM bands GROUP BY 1, 2)
 SELECT band, count(DISTINCT bucket) AS n_buckets, max(cnt) AS max_bucket
 FROM cnts GROUP BY band ORDER BY band"""
+
+
+def _bucket_sql(col: str, planes) -> str:
+    """Sign-bit LSH bucket expression over an embedding column."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+
+
+def _multi_phrase_sql() -> str:
+    from lucene_spark.oracle import BM25_CTES, TPOS_CTE, _phrase_score_tail
+
+    slot0 = ", ".join(repr(t) for t in sorted(MULTI_PHRASE_SLOTS[0][1]))
+    slot1 = ", ".join(repr(t) for t in sorted(MULTI_PHRASE_SLOTS[1][1]))
+    all_terms = sorted(MULTI_PHRASE_SLOTS[0][1]) + sorted(MULTI_PHRASE_SLOTS[1][1])
+    return (
+        "WITH "
+        + BM25_CTES
+        + ", "
+        + TPOS_CTE.strip()
+        + f""",
+m AS (SELECT t0.doc_id, count(*) AS freq
+      FROM tpos t0
+      JOIN tpos t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      WHERE t0.term IN ({slot0}) AND t1.term IN ({slot1})
+      GROUP BY 1)"""
+        + _phrase_score_tail(all_terms, 10)
+    )
+
+
+def _blended_sql() -> str:
+    lst = ", ".join(repr(t) for t in sorted(set(BLENDED_TERMS)))
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+    return (
+        "WITH "
+        + BM25_CTES
+        + f""",
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({lst}) GROUP BY 1),
+w AS (SELECT ln(1 + (fs.doc_cnt - mx.df + 0.5) / (mx.df + 0.5)) AS w
+      FROM (SELECT max(df) AS df FROM dfs) mx CROSS JOIN fs),
+s AS (SELECT tf.doc_id,
+             w.w - w.w / (1 + CAST(tf.tf AS DOUBLE) * {ninv}) AS s
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN w CROSS JOIN fs
+      WHERE tf.term IN ({lst})),
+g AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM s GROUP BY 1)
+SELECT doc_id AS docid, round(mx + 0.01 * (sm - mx), 4) AS score FROM g
+ORDER BY (mx + 0.01 * (sm - mx)) DESC, docid ASC LIMIT 10"""
+    )
+
+
+def _ann_multiprobe_sql() -> str:
+    from lucene_spark.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes=MULTIPROBE_PLANES, seed=42)
+    be = _bucket_sql("e.embedding", planes)
+    bq = _bucket_sql("embedding", planes)
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, {bq} AS qb
+           FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID}),
+pr AS (SELECT qb AS b FROM q
+       UNION ALL
+       SELECT xor(q.qb, CAST(1 AS BIGINT) << j) FROM q, generate_series(0, {MULTIPROBE_PLANES - 1}) t(j)),
+c AS (SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE ({be}) IN (SELECT b FROM pr))
+SELECT vec_id, round(cos, 4) AS cosine FROM c
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def _neardup_lsh_sql() -> str:
+    from lucene_spark.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes=NEARDUP_LSH_PLANES, seed=42)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_bucket_sql("embedding", planes)} AS b
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.v, b2.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) AS cosine
+FROM e a JOIN e b2 ON a.b = b2.b AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.v, b2.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.35
+ORDER BY id_a, id_b"""
 
 
 def _ann_sql(spark_unused=None) -> str:
@@ -901,6 +1071,23 @@ GROUP BY d.source
 ORDER BY max(hits.score) DESC, parent ASC LIMIT 5""",
         "rescore_topk": _rescore_sql(),
         "common_terms_topk": bm25_topk_sql({"dup": 1, "spark": 1}, required=["dup"]),
+        "multi_phrase_topk": _multi_phrase_sql(),
+        "blended_term_topk": _blended_sql(),
+        "function_score_topk": bm25_matches_cte({"spark": 1})
+        + """
+SELECT hits.doc_id AS docid,
+       round(hits.score * (1.0 + d.n_chars / 1000.0), 4) AS score
+FROM hits JOIN documents d USING (doc_id)
+ORDER BY (hits.score * (1.0 + d.n_chars / 1000.0)) DESC, docid ASC LIMIT 10""",
+        "count_lower_bound": f"""
+WITH {TOKS_CTE.strip()},
+c AS (SELECT count(DISTINCT doc_id) AS n FROM toks WHERE term = 'table')
+SELECT CAST(least(n, {COUNT_LB_THRESHOLD}) AS BIGINT) AS n_docs,
+       CASE WHEN n >= {COUNT_LB_THRESHOLD} THEN 'GREATER_THAN_OR_EQUAL'
+            ELSE 'EQUAL' END AS relation
+FROM c""",
+        "cosine_neardup_lsh": _neardup_lsh_sql(),
+        "ann_lsh_multiprobe": _ann_multiprobe_sql(),
         "synonym_topk": _synonym_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": """

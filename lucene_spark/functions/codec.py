@@ -111,6 +111,112 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
     return blocks, firsts, lasts, maxtfs, minnorms
 
 
+def encode_segment_postings(
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    term_starts: np.ndarray,
+    term_ends: np.ndarray,
+):
+    """Vectorized WHOLE-SEGMENT block encoder.
+
+    Produces bytes identical to running encode_postings per term (tested),
+    with zero per-term / per-block Python: block boundaries, widths, skip
+    metadata, headers and the bit-packed payloads are all computed with
+    numpy over the full posting array (scatter bits -> one np.packbits).
+    This is the build hot path — per-term loops cost ~50 us/term, which at
+    real-code vocabularies (~100k terms/segment) dominates the invert.
+
+    Returns (nb_per_term, block_first, block_last, block_maxtf,
+    block_minnorm, block_byte_off[int64, nb+1], buf[uint8]) where block
+    b's bytes are buf[off[b]:off[b+1]], blocks ordered term-major.
+    """
+    N = len(ids)
+    n_terms = len(term_starts)
+    if N == 0 or n_terms == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z, z, z, np.zeros(1, np.int64), np.empty(0, np.uint8)
+    ids = np.asarray(ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    term_starts = np.asarray(term_starts, dtype=np.int64)
+    term_ends = np.asarray(term_ends, dtype=np.int64)
+
+    term_len = term_ends - term_starts
+    term_idx = np.repeat(np.arange(n_terms, dtype=np.int64), term_len)
+    pos_in_term = np.arange(N, dtype=np.int64) - term_starts[term_idx]
+    slot = pos_in_term & (BLOCK_SIZE - 1)
+    is_bs = slot == 0
+    bs = np.flatnonzero(is_bs)
+    be = np.concatenate((bs[1:], [N]))
+    nb = len(bs)
+    cnt = be - bs
+    nb_per_term = np.add.reduceat(is_bs.astype(np.int64), term_starts)
+
+    d = np.empty(N, dtype=np.int64)
+    d[0] = 0
+    np.subtract(ids[1:], ids[:-1], out=d[1:])
+    d[bs] = 0
+    tfm1 = tfs - 1
+
+    def _bitlen(v: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(v), dtype=np.int64)
+        nz = v > 0
+        # exact for v < 2^53 (docids/tfs/norm bytes are far below)
+        out[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+        return out
+
+    w0 = _bitlen(np.maximum.reduceat(d, bs))
+    w1 = _bitlen(np.maximum.reduceat(tfm1, bs))
+    w2 = _bitlen(np.maximum.reduceat(norms, bs))
+
+    pb0 = (cnt * w0 + 7) >> 3
+    pb1 = (cnt * w1 + 7) >> 3
+    pb2 = (cnt * w2 + 7) >> 3
+    bsize = 13 + pb0 + pb1 + pb2
+    boff = np.concatenate(([0], np.cumsum(bsize)))
+    total = int(boff[-1])
+    out = np.zeros(total, dtype=np.uint8)
+
+    # headers: u8 widths[3], u16 count, i64 first_docid (little-endian)
+    ho = boff[:-1]
+    out[ho] = w0
+    out[ho + 1] = w1
+    out[ho + 2] = w2
+    out[ho + 3] = cnt & 0xFF
+    out[ho + 4] = (cnt >> 8) & 0xFF
+    first = ids[bs]
+    for k in range(8):
+        out[ho + 5 + k] = (first >> (8 * k)) & 0xFF
+
+    # payload: scatter every value's bits into one flat bit array (LSB-first
+    # per value, per-block streams byte-aligned), then a single packbits
+    bitbuf = np.zeros(total * 8, dtype=np.uint8)
+    bop = np.cumsum(is_bs) - 1  # block index per posting
+    s0 = (ho + 13) * 8
+    s1 = s0 + pb0 * 8
+    s2 = s1 + pb1 * 8
+    for vals, w_arr, sbits in ((d, w0, s0), (tfm1, w1, s1), (norms, w2, s2)):
+        wp = w_arr[bop]
+        base = sbits[bop] + slot * wp
+        for w in np.unique(w_arr):
+            if w == 0:
+                continue
+            sel = np.flatnonzero(wp == w)
+            if len(sel) == 0:
+                continue
+            v = vals[sel].astype(np.uint64)
+            b = base[sel]
+            for k in range(int(w)):
+                bitbuf[b + k] = (v >> np.uint64(k)) & np.uint64(1)
+    out |= np.packbits(bitbuf, bitorder="little")
+
+    block_last = ids[be - 1]
+    block_maxtf = np.maximum.reduceat(tfs, bs)
+    block_minnorm = np.minimum.reduceat(norms, bs)
+    return nb_per_term, first, block_last, block_maxtf, block_minnorm, boff, out
+
+
 # --- Positions stream (IndexOptions DOCS_AND_FREQS_AND_POSITIONS,
 # --- lucene/core/src/java/org/apache/lucene/index/IndexOptions.java:30-56;
 # --- Lucene stores position deltas in the .pos stream per posting,

@@ -199,6 +199,96 @@ class IndexPaths:
         return os.path.join(self.segments, f"segment-{segment_id:05d}.json")
 
 
+def _encode_terms_table(
+    segment_id: int,
+    uniq_terms: np.ndarray,
+    p_codes: np.ndarray,
+    p_ids: np.ndarray,
+    p_tfs: np.ndarray,
+    p_dls: np.ndarray,
+    term_starts: np.ndarray,
+    term_ends: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    pos_sorted,
+) -> pa.Table:
+    """Build the per-segment postings Arrow table.
+
+    Without positions this is fully vectorized: one whole-segment block
+    encode (encode_segment_postings, byte-identical to the per-term codec)
+    and direct ListArray/BinaryArray construction from offsets — no
+    per-term Python objects at all. With positions enabled the per-term
+    loop remains (varint position streams are inherently per-block)."""
+    from ..functions.codec import cut_position_blocks, encode_segment_postings
+
+    n_terms = len(term_starts)
+    if n_terms == 0:
+        return pa.Table.from_pylist([], schema=POSTINGS_ARROW_SCHEMA)
+
+    if pos_sorted is None:
+        nbt, bf, bl, mtf, mnn, boff, buf = encode_segment_postings(
+            p_ids, p_tfs, p_dls, term_starts, term_ends
+        )
+        nb = len(bf)
+        list_off = pa.array(
+            np.concatenate(([0], np.cumsum(nbt))).astype(np.int32)
+        )
+
+        def larr(vals, typ):
+            return pa.ListArray.from_arrays(list_off, pa.array(vals, type=typ))
+
+        flat_bin = pa.BinaryArray.from_buffers(
+            pa.binary(), nb,
+            [None, pa.py_buffer(boff.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        term_lens = (term_ends - term_starts).astype(np.int64)
+        cols = [
+            pa.array(uniq_terms[p_codes[term_starts]], type=pa.string()),
+            pa.array(np.full(n_terms, segment_id, dtype=np.int32)),
+            pa.array(term_lens),
+            pa.array(np.add.reduceat(p_tfs, term_starts).astype(np.int64)),
+            pa.array(p_ids[term_starts]),
+            pa.array(p_ids[term_ends - 1]),
+            pa.array(np.maximum.reduceat(p_tfs, term_starts).astype(np.int32)),
+            pa.array(np.minimum.reduceat(p_dls, term_starts).astype(np.int32)),
+            larr(bf, pa.int64()),
+            larr(bl, pa.int64()),
+            larr(mtf.astype(np.int32), pa.int32()),
+            larr(mnn.astype(np.int32), pa.int32()),
+            pa.ListArray.from_arrays(list_off, flat_bin),
+            pa.nulls(n_terms, type=pa.list_(pa.binary())),
+        ]
+        return pa.Table.from_arrays(cols, schema=POSTINGS_ARROW_SCHEMA)
+
+    terms_out: List[dict] = []
+    for s, e in zip(term_starts, term_ends):
+        ids, tfs, dls = p_ids[s:e], p_tfs[s:e], p_dls[s:e]
+        blocks, firsts, lasts, maxtfs, mindls = encode_postings(ids, tfs, dls)
+        # the term's tokens are contiguous in the sorted token array
+        pos_blocks = cut_position_blocks(
+            pos_sorted[run_starts[s] : run_ends[e - 1]], tfs
+        )
+        terms_out.append(
+            {
+                "term": uniq_terms[p_codes[s]],
+                "segment_id": segment_id,
+                "df": int(e - s),
+                "ttf": int(tfs.sum()),
+                "first_docid": int(ids[0]),
+                "last_docid": int(ids[-1]),
+                "max_tf": int(tfs.max()),
+                "min_doclen": int(dls.min()),
+                "block_first": firsts,
+                "block_last": lasts,
+                "block_maxtf": maxtfs,
+                "block_mindl": mindls,
+                "block_data": blocks,
+                "block_pos": pos_blocks,
+            }
+        )
+    return pa.Table.from_pylist(terms_out, schema=POSTINGS_ARROW_SCHEMA)
+
+
 def _invert_group(
     table,
     segment_id: int,
@@ -291,43 +381,16 @@ def _invert_group(
         term_starts = term_ends = np.empty(0, dtype=np.int64)
         run_starts = run_ends = np.empty(0, dtype=np.int64)
 
-    # --- per-term block encoding (FreqProxTermsWriter flush analog)
-    from ..functions.codec import cut_position_blocks
-
-    terms_out: List[dict] = []
-    for s, e in zip(term_starts, term_ends):
-        ids, tfs, dls = p_ids[s:e], p_tfs[s:e], p_dls[s:e]
-        blocks, firsts, lasts, maxtfs, mindls = encode_postings(ids, tfs, dls)
-        pos_blocks = None
-        if pos_sorted is not None:
-            # the term's tokens are contiguous in the sorted token array
-            pos_blocks = cut_position_blocks(
-                pos_sorted[run_starts[s] : run_ends[e - 1]], tfs
-            )
-        terms_out.append(
-            {
-                "term": uniq_terms[p_codes[s]],
-                "segment_id": segment_id,
-                "df": int(e - s),
-                "ttf": int(tfs.sum()),
-                "first_docid": int(ids[0]),
-                "last_docid": int(ids[-1]),
-                "max_tf": int(tfs.max()),
-                "min_doclen": int(dls.min()),
-                "block_first": firsts,
-                "block_last": lasts,
-                "block_maxtf": maxtfs,
-                "block_mindl": mindls,
-                "block_data": blocks,
-                "block_pos": pos_blocks,
-            }
-        )
+    # --- block encoding (FreqProxTermsWriter flush analog)
+    postings_tbl = _encode_terms_table(
+        segment_id, uniq_terms, p_codes, p_ids, p_tfs, p_dls,
+        term_starts, term_ends, run_starts, run_ends, pos_sorted,
+    )
 
     # --- write shards (Lucene flush-to-segment-files analog) through the
     # FS seam: works on local paths, file:// and object stores alike
     for d in (paths.postings, paths.norms, paths.docs, paths.segments):
         fsio.mkdirs(fs, paths.fs_path(d))
-    postings_tbl = pa.Table.from_pylist(terms_out, schema=POSTINGS_ARROW_SCHEMA)
     # small row groups + term-sorted rows -> parquet min/max stats give the
     # scan row-group pruning on term filters (the .tip term-index analog)
     pq.write_table(
@@ -371,7 +434,7 @@ def _invert_group(
         "num_docs": int(n_rows),
         "doc_count": int((doclens > 0).sum()),  # docs with >=1 token == Terms.getDocCount()
         "sum_doclen": int(doclens.sum()),
-        "num_terms": len(terms_out),
+        "num_terms": postings_tbl.num_rows,
         "num_postings": int(len(p_codes)),
         "status": "complete",
         "resumed": False,

@@ -73,6 +73,44 @@ def cosine_topk_lsh(df: DataFrame, query_vec, k: int = 10, vec_col: str = "embed
     return cosine_topk(bucketed.filter(F.col("__bucket__") == qbucket), query_vec, k, vec_col, id_col)
 
 
+def cosine_topk_lsh_multiprobe(
+    df: DataFrame, query_vec, k: int = 10, vec_col: str = "embedding",
+    id_col: str = "vec_id", n_planes: int = 8, seed: int = 42,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Multi-probe ANN (Lv et al., VLDB'07 idea): besides the query's own
+    bucket, probe every bucket within Hamming distance <= probe_bits of it
+    (flip sign bits) — a recall knob that costs extra candidate buckets
+    instead of extra hash tables. probe_bits=1 probes 1+n_planes buckets."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(len(q), n_planes, seed)
+    qbucket = int(sum(2**j for j, p in enumerate(planes) if float(np.dot(p, q)) > 0))
+    buckets = {qbucket}
+    frontier = {qbucket}
+    for _ in range(probe_bits):
+        frontier = {b ^ (1 << j) for b in frontier for j in range(n_planes)}
+        buckets |= frontier
+    bucketed = df.withColumn("__bucket__", lsh_bucket_expr(vec_col, planes))
+    cand = bucketed.filter(F.col("__bucket__").isin(sorted(buckets)))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def cosine_neardup_lsh(
+    df: DataFrame, threshold: float = 0.95, vec_col: str = "embedding",
+    id_col: str = "vec_id", dim: int = 64, n_planes: int = 6, seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs blocked on the LSH bucket — the 100-TB blocking key
+    (content-derived, needs no label column): the self-join fans out only
+    within each of the 2^n_planes buckets. Single-probe, so a near-dup pair
+    split across a bucket boundary is missed — the standard LSH-dedup
+    recall trade; raise recall with fewer planes or banded repetition."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = df.withColumn("__bucket__", lsh_bucket_expr(vec_col, planes))
+    return cosine_neardup_pairs(
+        bucketed, threshold, vec_col, id_col, block_col="__bucket__"
+    )
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95, vec_col: str = "embedding",
                          id_col: str = "vec_id", block_col: str = "label") -> DataFrame:
     """All pairs within a blocking key with cosine >= threshold.

@@ -187,3 +187,58 @@ def search_phrase(
         scored.append((d, float(s)))
     scored.sort(key=lambda x: (-x[1], x[0]))
     return scored[:k]
+
+
+def search_multi_phrase(
+    idx: RefIndex,
+    slots: Sequence[Tuple[int, Sequence[str]]],
+    slop: int = 0,
+    k: int = 10,
+    quantize: bool = True,
+    boost: float = 1.0,
+) -> List[Tuple[int, float]]:
+    """Reference MultiPhraseQuery: per-slot position UNION over alternatives
+    (UnionPostingsEnum), weight = Σ idf over every existing alternative
+    (MultiPhraseQuery.java:228-236)."""
+    base_off = slots[0][0]
+    norm = [(o - base_off, sorted({t for t in a if t in idx.postings})) for o, a in slots]
+    if any(not a for _, a in norm):
+        return []
+    docs = None
+    for _, alts in norm:
+        u = set()
+        for t in alts:
+            u |= set(idx.postings[t])
+        docs = u if docs is None else (docs & u)
+    if not docs:
+        return []
+    w = np.float32(
+        np.float32(boost)
+        * np.float32(
+            sum(float(_idf(len(idx.postings[t]), idx.doc_count)) for _, a in norm for t in a)
+        )
+    )
+    cache = _norm_inverse_cache(idx, quantize)
+    k1, b, one = np.float32(K1), np.float32(B), np.float32(1)
+    avgdl = idx.avgdl()
+    offs = [o for o, _ in norm]
+    scored = []
+    for d in sorted(docs):
+        plists = []
+        for _, alts in norm:
+            ps = sorted(p for t in alts for p in idx.positions[t].get(d, []))
+            plists.append(ps)
+        if slop == 0:
+            freq = np.float32(exact_phrase_freq(plists, offs))
+        else:
+            freq = sloppy_phrase_freq(plists, offs, slop, dtype=np.float32)
+        if freq <= 0:
+            continue
+        if quantize:
+            ninv = cache[idx.norm_byte[d]]
+        else:
+            ninv = one / (k1 * ((one - b) + b * np.float32(idx.doclen[d]) / avgdl))
+        s = w - w / (one + freq * ninv)
+        scored.append((d, float(s)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]

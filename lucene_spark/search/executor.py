@@ -893,6 +893,267 @@ def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words):
     return rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
 
 
+def make_multiphrase_fn(
+    slots: Sequence[Tuple[int, Tuple[str, ...]]],
+    weight: float,
+    k: Optional[int],
+    slop: int,
+    avgdl: float,
+    quantize: bool,
+    dtype,
+    deleted: Optional[np.ndarray] = None,
+):
+    """Per-segment MultiPhraseQuery scorer: a slot matches where ANY of its
+    alternative terms occurs (UnionPostingsEnum, MultiPhraseQuery.java:412);
+    conjunction runs over per-slot docid unions, then the exact/sloppy
+    matcher runs over per-slot position unions."""
+    from ..functions.phrase import sloppy_phrase_freq
+
+    distinct = sorted({t for _, alts in slots for t in alts})
+    POS_BASE = np.int64(1) << np.int64(22)
+
+    def run(pdf: pd.DataFrame):
+        counters = [0, 0]
+        z = np.empty(0, np.int64)
+        rows: Dict[str, list] = {}
+        for _, r in pdf.iterrows():
+            rows.setdefault(r["term"], []).append(r)
+        for t in rows:
+            rows[t].sort(key=lambda r: r["first_docid"])
+        slot_alts = [[t for t in alts if t in rows] for _, alts in slots]
+        if any(not a for a in slot_alts):
+            return z, z.astype(np.float64), counters
+
+        def term_ids(t, sel):
+            parts = [_decode_rows(r, sel, counters) for r in rows[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            if sel is not None and len(ids):
+                m = sel[np.searchsorted(sel, ids).clip(max=len(sel) - 1)] == ids
+                ids = ids[m]
+            return ids
+
+        # --- phase 1: conjunction over slot UNIONS, lowest-df slot first
+        slot_df = [sum(int(r["df"]) for t in alts for r in rows[t]) for alts in slot_alts]
+        order = np.argsort(slot_df)
+        cand = None
+        for si in order:
+            u = None
+            for t in slot_alts[si]:
+                ids = term_ids(t, cand)
+                u = ids if u is None else np.union1d(u, ids)
+            cand = u if cand is None else np.intersect1d(cand, u, assume_unique=True)
+            if cand is None or len(cand) == 0:
+                return z, z.astype(np.float64), counters
+        live = _live_mask(cand, deleted)
+        if live is not None:
+            cand = cand[live]
+        if len(cand) == 0:
+            return z, z.astype(np.float64), counters
+
+        # --- phase 2: positions for candidate blocks only
+        per_term: Dict[str, tuple] = {}
+        dl = np.zeros(len(cand), dtype=np.int64)
+        for t in distinct:
+            parts = [_decode_rows_pos(r, cand, counters) for r in rows[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            pos = np.concatenate([p[3] for p in parts])
+            m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
+            pos = pos[np.repeat(m, tfs)]
+            ids, tfs, dls = ids[m], tfs[m], dls[m]
+            per_term[t] = (ids, tfs, pos)
+            dl[np.searchsorted(cand, ids)] = dls
+
+        base = int(cand[0])
+        if slop == 0:
+            keys = None
+            for (off, _), alts in zip(slots, slot_alts):
+                ks = []
+                for t in alts:
+                    ids, tfs, pos = per_term[t]
+                    adj = pos - np.int64(off)
+                    kt = (np.repeat(ids, tfs) - base) * POS_BASE + adj
+                    ks.append(kt[adj >= 0])
+                slot_keys = np.concatenate(ks)  # distinct terms never share a position
+                keys = slot_keys if keys is None else np.intersect1d(
+                    keys, slot_keys, assume_unique=True
+                )
+                if len(keys) == 0:
+                    return z, z.astype(np.float64), counters
+            docs, cnts = np.unique(keys // POS_BASE, return_counts=True)
+            docs = docs + base
+            sel = np.searchsorted(cand, docs)
+            freqs = cnts.astype(np.float64)
+            dls_m = dl[sel]
+        else:
+            bounds = {t: np.concatenate(([0], np.cumsum(per_term[t][1]))) for t in distinct}
+            tpos = {t: np.searchsorted(per_term[t][0], cand) for t in distinct}
+            offs = [o for o, _ in slots]
+            docs_l, freqs_l, dls_l = [], [], []
+            for i, d in enumerate(cand):
+                plists = []
+                for (off, _), alts in zip(slots, slot_alts):
+                    ps = []
+                    for t in alts:
+                        ids, tfs, pos = per_term[t]
+                        j = tpos[t][i]
+                        if j < len(ids) and ids[j] == d:
+                            b = bounds[t]
+                            ps.append(pos[b[j] : b[j + 1]])
+                    merged = np.sort(np.concatenate(ps)) if ps else np.empty(0, np.int64)
+                    plists.append(merged)
+                f = sloppy_phrase_freq(plists, offs, slop, dtype=dtype)
+                if f > 0:
+                    docs_l.append(d)
+                    freqs_l.append(float(f))
+                    dls_l.append(dl[i])
+            if not docs_l:
+                return z, z.astype(np.float64), counters
+            docs = np.array(docs_l, dtype=np.int64)
+            freqs = np.array(freqs_l, dtype=np.float64)
+            dls_m = np.array(dls_l, dtype=np.int64)
+
+        scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
+        kk = len(docs) if k is None else min(k, len(docs))
+        part = np.argpartition(-scores.astype(np.float64), kk - 1)[:kk]
+        sel_ids, sel_sc = docs[part], scores[part]
+        ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
+        return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
+
+    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, scores, counters = run(pdf)
+        return pd.DataFrame(
+            {
+                "docid": ids,
+                "score": scores,
+                "blocks_total": np.full(len(ids), counters[0], dtype=np.int64),
+                "blocks_decoded": np.full(len(ids), counters[1], dtype=np.int64),
+            }
+        )
+
+    return topk_fn
+
+
+def search_multi_phrase(
+    index: Index,
+    slots: Sequence,
+    slop: int = 0,
+    k: int = 10,
+    boost: float = 1.0,
+    quantize: bool = True,
+    dtype=np.float32,
+) -> DataFrame:
+    """MultiPhraseQuery top-k (search/MultiPhraseQuery.java:54): ``slots`` =
+    [(offset, [alternative terms...])]; a slot matches where ANY alternative
+    occurs, and the weight sums the idf of EVERY alternative that exists in
+    the index (allTermStats, MultiPhraseQuery.java:228-236)."""
+    from .scorer import idf as _idf
+
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not slots:
+        return empty
+    base_off = int(slots[0][0])
+    norm_slots = [(int(o) - base_off, tuple(sorted(set(a)))) for o, a in slots]
+    if slop > 0:
+        seen: set = set()
+        for _, alts in norm_slots:
+            if seen & set(alts):
+                raise NotImplementedError(
+                    "sloppy multi-phrases with a term repeating across slots "
+                    "(SloppyPhraseMatcher rptGroups) are not supported"
+                )
+            seen |= set(alts)
+    all_terms = sorted({t for _, a in norm_slots for t in a})
+    stats = index.term_stats_for(all_terms)
+    live_slots = []
+    for off, alts in norm_slots:
+        live = tuple(t for t in alts if t in stats)
+        if not live:
+            return empty  # a slot with no existing alternative can't match
+        live_slots.append((off, live))
+    n = index.field_stats.doc_count
+    w = float(
+        dtype(boost)
+        * dtype(sum(float(_idf(stats[t][0], n, dtype)) for _, a in live_slots for t in a))
+    )
+    distinct = sorted({t for _, a in live_slots for t in a})
+    rows = index.seg_postings.filter(F.col("term").isin(distinct))
+    fn = make_multiphrase_fn(
+        live_slots, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype,
+        deleted=index.deleted if len(index.deleted) else None,
+    )
+    per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
+    return (
+        per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .select("docid", "score")
+    )
+
+
+def blended_term_topk(
+    index: Index,
+    terms: Sequence[str],
+    k: int = 10,
+    tie: float = 0.01,
+    boost: float = 1.0,
+    dtype=np.float64,
+) -> DataFrame:
+    """BlendedTermQuery (search/BlendedTermQuery.java:47): every term is
+    scored with BLENDED statistics — df = max over the terms
+    (BlendedTermQuery.java:281-282) — then combined by the default
+    DisjunctionMax rewrite with tieBreaker 0.01
+    (DISJUNCTION_MAX_REWRITE): score = max(sub) + tie * Σ(other subs)."""
+    spark = index.spark
+    stats = index.term_stats_for(list(terms))
+    live = sorted(t for t in set(terms) if t in stats)
+    if not live:
+        return spark.createDataFrame([], "docid long, score double")
+    n = index.field_stats.doc_count
+    df_blend = max(stats[t][0] for t in live)
+    from .scorer import idf as _idf
+
+    w = float(dtype(boost) * _idf(df_blend, n, dtype))
+    dec = decoded_postings(index, live)
+    avgdl = float(index.field_stats.avgdl())
+    ninv = 1.0 / (F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.lit(avgdl)))
+    s = F.lit(w) - F.lit(w) / (F.lit(1.0) + F.col("tf").cast("double") * ninv)
+    per_doc = dec.withColumn("s", s).groupBy("docid").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("sm")
+    )
+    score = F.col("mx") + F.lit(float(tie)) * (F.col("sm") - F.col("mx"))
+    return (
+        per_doc.select("docid", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def function_score(index: Index, q: NormalizedQuery, expr: str, k: int = 10, **kw) -> DataFrame:
+    """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44): the
+    final score is an arbitrary SQL expression over the matching doc's
+    columns and the wrapped query's BM25 score — Catalyst IS the
+    DoubleValuesSource expression compiler."""
+    m = search_exhaustive(index, q, k=None, **kw).join(index.docs, "docid")
+    return (
+        m.select("docid", F.expr(expr).cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def count_hits_lower_bound(index: Index, q: NormalizedQuery, threshold: int = 1000):
+    """Early-terminating hit count (TotalHitCountCollector +
+    totalHitsThreshold, TopScoreDocCollector.java:163): scan stops once
+    ``threshold`` hits are seen; returns (count, relation) where relation is
+    GREATER_THAN_OR_EQUAL when terminated early, else EQUAL."""
+    if q.is_match_none:
+        return 0, "EQUAL"
+    n = search_exhaustive(index, q, k=None).limit(threshold).count()
+    return n, "GREATER_THAN_OR_EQUAL" if n >= threshold else "EQUAL"
+
+
 def count_hits(index: Index, q: NormalizedQuery) -> int:
     """TotalHitCountCollector / IndexSearcher.count analog, with the
     single-term df shortcut (Weight#count, IndexSearcher.java:495)."""

@@ -139,3 +139,48 @@ def test_block_roundtrip_property(rows):
 def test_empty_varint():
     assert varint_encode(np.array([], dtype=np.int64)) == b""
     assert varint_decode(b"").tolist() == []
+
+
+def test_segment_encoder_byte_identical_to_per_term():
+    """The vectorized whole-segment encoder must produce EXACTLY the bytes
+    and skip metadata of the per-term encode_postings path."""
+    import numpy as np
+
+    from lucene_spark.functions.codec import encode_postings, encode_segment_postings
+
+    rng = np.random.default_rng(3)
+    for trial in range(15):
+        n_terms = int(rng.integers(1, 150))
+        lens = rng.integers(1, 700, size=n_terms)
+        N = int(lens.sum())
+        ts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        te = np.cumsum(lens)
+        ids = np.concatenate(
+            [np.sort(rng.choice(100_000, size=l, replace=False)) for l in lens]
+        ).astype(np.int64)
+        tfs = rng.integers(1, 30, size=N).astype(np.int64)
+        norms = rng.integers(0, 256, size=N).astype(np.int64)
+        nbt, bf, bl, mtf, mnn, boff, buf = encode_segment_postings(ids, tfs, norms, ts, te)
+        bi = 0
+        for t in range(n_terms):
+            blocks, firsts, lasts, maxtfs, minnorms = encode_postings(
+                ids[ts[t]:te[t]], tfs[ts[t]:te[t]], norms[ts[t]:te[t]]
+            )
+            assert nbt[t] == len(blocks)
+            for j, blk in enumerate(blocks):
+                assert buf[boff[bi]:boff[bi + 1]].tobytes() == blk
+                assert (bf[bi], bl[bi], mtf[bi], mnn[bi]) == (
+                    firsts[j], lasts[j], maxtfs[j], minnorms[j],
+                )
+                bi += 1
+        assert bi == len(bf)
+
+
+def test_segment_encoder_empty():
+    import numpy as np
+
+    from lucene_spark.functions.codec import encode_segment_postings
+
+    z = np.empty(0, np.int64)
+    nbt, bf, bl, mtf, mnn, boff, buf = encode_segment_postings(z, z, z, z, z)
+    assert len(nbt) == 0 and len(buf) == 0

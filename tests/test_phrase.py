@@ -158,3 +158,35 @@ def test_sloppy_repeats_unsupported(built_index):
 
     with pytest.raises(NotImplementedError):
         search_phrase(built_index, ["import", "return", "import"], slop=2, k=5)
+
+
+def test_multi_phrase_matches_pyref(built_index, ref_index):
+    """MultiPhraseQuery: per-slot alternatives, exact + sloppy, vs the
+    pure-Python reference (rank + float32 scores)."""
+    from lucene_spark.pyref import search_multi_phrase as ref_mp
+    from lucene_spark.search.executor import search_multi_phrase
+
+    cases = [
+        ([(0, ["import", "def"]), (1, ["return", "public"])], 0),
+        ([(0, ["import"]), (1, ["return", "def"])], 1),
+        ([(0, ["import", "return"]), (2, ["def"])], 0),  # offset hole
+        ([(0, ["qqqzz", "import"]), (1, ["return"])], 0),  # missing alt ignored
+    ]
+    for slots, slop in cases:
+        got = [
+            (r["docid"], r["score"])
+            for r in search_multi_phrase(built_index, slots, slop=slop, k=10).collect()
+        ]
+        want = ref_mp(ref_index, slots, slop=slop, k=10)
+        assert got == want, (slots, slop)
+
+
+def test_multi_phrase_sloppy_repeats_unsupported(built_index):
+    import pytest as _pytest
+
+    from lucene_spark.search.executor import search_multi_phrase
+
+    with _pytest.raises(NotImplementedError):
+        search_multi_phrase(
+            built_index, [(0, ["import"]), (1, ["import", "def"])], slop=2
+        )
