@@ -295,6 +295,7 @@ def _invert_group(
     docid_base: int,
     paths: IndexPaths,
     cfg: IndexConfig,
+    presorted: bool = False,
 ) -> pd.DataFrame:
     """Build one segment: assign docids, analyze, invert, encode, write shards.
 
@@ -322,7 +323,8 @@ def _invert_group(
         return pd.DataFrame([row])
 
     sort_cols = [cfg.docid_col] if cfg.docid_col else list(cfg.order_cols)
-    table = table.sort_by([(c, "ascending") for c in sort_cols])
+    if not presorted:
+        table = table.sort_by([(c, "ascending") for c in sort_cols])
     n_rows = table.num_rows
     if cfg.docid_col:
         docids = table[cfg.docid_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -477,12 +479,19 @@ def build_segments(
         # sha256 AFTER the range shuffle: the range partitioner's sampling
         # pass re-evaluates its child plan, so hashing pre-shuffle would
         # compute sha twice; post-shuffle it runs once, nseg-way parallel.
+        # sortWithinPartitions pushes the docid-order sort into the JVM
+        # shuffle machinery so workers skip a whole-table Arrow sort copy.
         staged = (
             docs.repartitionByRange(nseg, *[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols)
             .withColumn("content_sha256", F.sha2(F.col(cfg.content_col), 256))
             .withColumn("__pid__", F.spark_partition_id())
         )
         staged.write.mode("overwrite").parquet(staged_dir)
+        with paths.fs.open_output_stream(
+            paths.fs_path(os.path.join(staged_dir, "_SORTED"))
+        ) as f:
+            f.write(b"1")
     _t = _mark("stage-write", _t)
 
     # Segment tasks are FILE-granular: one staged parquet file == one
@@ -517,6 +526,10 @@ def build_segments(
         acc += counts[pid]
 
     cfg_bc, paths_bc, offsets_bc, sid_base = cfg, paths, offsets, segment_id_base
+    # staged files written by this version carry a _SORTED marker (rows are
+    # already in docid order; sequentially-split files stay sorted under
+    # filename order); older staged dirs resume through the worker-side sort
+    presorted = fsio.exists(paths.fs, paths.fs_path(os.path.join(staged_dir, "_SORTED")))
 
     def seg_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
@@ -526,7 +539,10 @@ def build_segments(
             for p in sorted(pdf["path"])
         ]
         data = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-        return _invert_group(data, pid + sid_base, offsets_bc.get(pid, 0), paths_bc, cfg_bc)
+        return _invert_group(
+            data, pid + sid_base, offsets_bc.get(pid, 0), paths_bc, cfg_bc,
+            presorted=presorted,
+        )
 
     meta = spark.createDataFrame(
         [(_pid_of(f), f) for f in files], "pid int, path string"
