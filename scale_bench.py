@@ -125,7 +125,9 @@ def main() -> None:
     )
     eff_rows = "\n".join(f"| {k.replace('_to_', ' -> ')} | {v} |" for k, v in effs.items())
     os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
-    with open(os.path.join(root, "BENCH", "BASELINE.md"), "w") as f:
+    # auto-report goes to SCALING_AUTO.md; BENCH/BASELINE.md is the curated
+    # evidence document (per-level minima across runs + host controls)
+    with open(os.path.join(root, "BENCH", "SCALING_AUTO.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured numbers
 
