@@ -86,15 +86,38 @@ def main() -> None:
         search_topk(idx_docs, q, k=10).collect()
         q_secs[name] = round(time.perf_counter() - t0, 4)
 
-    # --- block-skip effectiveness at the 100k-doc build index (the payoff
-    # only shows when posting lists span many blocks; at sf-corpus size
-    # every block holds a candidate). Exact per-segment counters.
+    # --- block-skip effectiveness at a 1M-doc index (VERDICT r2 #4: the
+    # payoff only shows when posting lists span many blocks per SEGMENT; at
+    # 100k docs a hot term has ~4 blocks/segment and every block holds a
+    # candidate). Term picks are deterministic: the corpus generator is
+    # seed-pinned and ties break on (df, term). Exact per-segment counters.
     from lucene_spark.search.executor import Index, block_skip_metrics
 
-    build_idx = Index.open(spark, build_dir)
+    skip_docs = int(os.environ.get("BENCH_SKIP_DOCS", "1000000"))
+    skip_dir = f"{scratch}/build_{cpus}_{skip_docs}"
+    skip_corpus = f"{scratch}/corpus_{skip_docs}"
+    if not os.path.exists(os.path.join(skip_corpus, "_SUCCESS")):
+        corpus_spark_df_dist(spark, skip_docs, seed=42, num_partitions=max(cpus, 8)).write.mode(
+            "overwrite"
+        ).parquet(skip_corpus)
+    big_cfg = IndexConfig(num_segments=max(cpus, skip_docs // 25000),
+                          hot_df_threshold=max(200, skip_docs // 20),
+                          merge_bucket_segments=max(2, cpus // 8))
+    shutil.rmtree(skip_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(spark, spark.read.parquet(skip_corpus), skip_dir, big_cfg)
+    big_build_sec = round(time.perf_counter() - t0, 3)
+
+    build_idx = Index.open(spark, skip_dir)
     rare_row = (
         build_idx.term_stats.filter("df BETWEEN 20 AND 200")
         .orderBy(F.desc("df"), "term").limit(1).collect()
+    )
+    # mid-frequency pick: df closest to n/500 (Lucene nightly OrHighMed
+    # analog; enough df per segment that theta can seed from the rare side)
+    med_row = (
+        build_idx.term_stats.withColumn("dist", F.abs(F.col("df") - F.lit(skip_docs // 500)))
+        .orderBy("dist", "term").limit(1).collect()
     )
     ratios = {}
     if rare_row:
@@ -104,17 +127,25 @@ def main() -> None:
         q_and = normalize(must=[rare, "import"])
         t0 = time.perf_counter()
         search_topk(build_idx, q_and, k=10).collect()
-        q_secs["q100k_and_rare_hot"] = round(time.perf_counter() - t0, 4)
+        q_secs["q1m_and_rare_hot"] = round(time.perf_counter() - t0, 4)
         m = block_skip_metrics(build_idx, q_and, k=10)
         ratios["and_rare_hot"] = round(m["ratio"], 4) if m["ratio"] is not None else None
-        # MAXSCORE shape: high-idf rare term drives theta above the hot
-        # term's max-score, restricting its decode
+        # MAXSCORE shape (hard case: rare df/segment < k, so theta must
+        # seed from the hot list's highest-upper-bound chunks)
         q_ro = normalize(should=[rare, "import"])
         t0 = time.perf_counter()
         search_topk(build_idx, q_ro, k=10).collect()
-        q_secs["q100k_or_rare_hot"] = round(time.perf_counter() - t0, 4)
+        q_secs["q1m_or_rare_hot"] = round(time.perf_counter() - t0, 4)
         m = block_skip_metrics(build_idx, q_ro, k=10)
         ratios["or_rare_hot"] = round(m["ratio"], 4) if m["ratio"] is not None else None
+    if med_row:
+        med = med_row[0]["term"]
+        q_om = normalize(should=[med, "import"])
+        t0 = time.perf_counter()
+        search_topk(build_idx, q_om, k=10).collect()
+        q_secs["q1m_or_med_hot"] = round(time.perf_counter() - t0, 4)
+        m = block_skip_metrics(build_idx, q_om, k=10)
+        ratios["or_med_hot"] = round(m["ratio"], 4) if m["ratio"] is not None else None
     ratio = ratios.get("and_rare_hot")
 
     # --- percolator at 10k stored queries: the term-partitioned pre-filter
@@ -155,6 +186,8 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": cpus,
+        "skip_index_docs": skip_docs,
+        "skip_index_build_sec": big_build_sec,
         "blocks_decoded_ratio": ratio,
         "blocks_decoded_ratios": ratios,
     }

@@ -452,7 +452,17 @@ def make_topk_fn(
                 contrib[t][ids - base] = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
             matched = cand
         else:
-            # --- pure disjunction: MAXSCORE over descending max-score terms
+            # --- pure disjunction: block-max MAXSCORE over descending
+            # max-score terms, with PER-BLOCK upper bounds and progressive
+            # theta refresh (MaxScoreBulkScorer.java:26 scores windows and
+            # re-partitions essential terms as the threshold grows; here the
+            # window is a CHUNK of blocks and the per-block bound comes from
+            # the skip data's block_maxtf/block_mindl impacts,
+            # MaxScoreCache.java:74-130). Within a term, chunks are decoded
+            # in DESCENDING upper-bound order: the first chunk seeds theta
+            # near its final value, so low-bound blocks skip even when the
+            # term itself is "essential" (batch evaluation has no docid-order
+            # constraint — the dense accumulator is order-free).
             order = sorted(scoring, key=lambda t: -umax(t))
             umaxes = np.array([umax(t) for t in order], dtype=np.float64)
             suffix = np.concatenate((np.cumsum(umaxes[::-1])[::-1], [0.0]))
@@ -464,38 +474,75 @@ def make_topk_fn(
             # the cursor score can never re-enter the page and is dropped
             # from decoding; theta may only be raised from candidates
             # GUARANTEED to stay at/below the cursor (acc + max-remaining
-            # <= after_score), keeping block skipping sound.
+            # <= after_score), keeping block skipping sound. Mid-term theta
+            # refresh is disabled in cursor mode: the "guaranteed" bound
+            # needs the full remaining potential, unknown mid-list.
             after_bound = float(cursor[0]) if cursor is not None else None
             slack = 2.0 - scale  # tiny upward slack for float re-association
+            CHUNK = 16  # blocks per theta-refresh window
+
+            def kth(vals: np.ndarray) -> float:
+                return float(np.partition(vals, len(vals) - k)[len(vals) - k])
+
             for i, t in enumerate(order):
-                restricted = theta > 0 and suffix[i] < theta * scale
-                if restricted:
+                rest = float(suffix[i + 1])
+                # competitive partial-sum candidates: a doc outside this set
+                # was proven unable to reach theta even with every remaining
+                # term at max score — permanently non-competitive (theta only
+                # grows). Computed once per term; as theta rises mid-term the
+                # set only shrinks, so the stale copy stays a sound superset.
+                if theta > 0:
                     mask = seen & (acc + suffix[i] >= theta * scale)
                     if after_bound is not None:
                         mask &= acc <= after_bound * slack
-                    cand_idx = np.flatnonzero(mask)
-                    if len(cand_idx) == 0:
-                        counters[0] += sum(len(r["block_first"]) for r in rows[t])
-                        continue
-                    sel = cand_idx + base
+                    sel = np.flatnonzero(mask) + base
                 else:
                     sel = None
-                ids, tfs, dls = decode_term(t, sel=sel)
-                if len(ids) == 0:
-                    continue
-                s = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
-                contrib[t][ids - base] = s
-                acc[ids - base] += s.astype(np.float64)
-                seen[ids - base] = True
-                if after_bound is None:
-                    if int(seen.sum()) >= k:
-                        vals = acc[seen]
-                        theta = float(np.partition(vals, len(vals) - k)[len(vals) - k])
-                else:
-                    guaranteed = seen & (acc + suffix[i + 1] <= after_bound)
+                w = weights[t]
+                for r in rows[t]:
+                    bf = np.asarray(r["block_first"], dtype=np.int64)
+                    bl = np.asarray(r["block_last"], dtype=np.int64)
+                    data = r["block_data"]
+                    nb = len(bf)
+                    counters[0] += nb
+                    ub = score_arrays(
+                        np.asarray(r["block_maxtf"], dtype=np.int64),
+                        np.asarray(r["block_mindl"], dtype=np.int64),
+                        w, avgdl, quantize, dtype,
+                    ).astype(np.float64)
+                    border = np.argsort(-ub, kind="stable")
+                    for j in range(0, nb, CHUNK):
+                        cidx = border[j : j + CHUNK]
+                        if theta > 0:
+                            keep = ub[cidx] + rest >= theta * scale
+                            if sel is not None and len(sel):
+                                lo = np.searchsorted(sel, bf[cidx], "left")
+                                hi = np.searchsorted(sel, bl[cidx], "right")
+                                keep |= hi > lo
+                            cidx = cidx[keep]
+                        counters[1] += len(cidx)
+                        if len(cidx) == 0:
+                            continue
+                        parts = [decode_block(bytes(data[x])) for x in cidx]
+                        ids = np.concatenate([p[0] for p in parts])
+                        tfs = np.concatenate([p[1] for p in parts])
+                        dls = np.concatenate([p[2] for p in parts])
+                        live = _live_mask(ids, deleted)
+                        if live is not None:
+                            ids, tfs, dls = ids[live], tfs[live], dls[live]
+                        if len(ids) == 0:
+                            continue
+                        s = score_arrays(tfs, dls, w, avgdl, quantize, dtype)
+                        contrib[t][ids - base] = s
+                        acc[ids - base] += s.astype(np.float64)
+                        seen[ids - base] = True
+                        if after_bound is None and int(seen.sum()) >= k:
+                            theta = max(theta, kth(acc[seen]))
+                if after_bound is not None:
+                    guaranteed = seen & (acc + rest <= after_bound)
                     vals = acc[guaranteed]
                     if len(vals) >= k:
-                        theta = float(np.partition(vals, len(vals) - k)[len(vals) - k])
+                        theta = max(theta, kth(vals))
             matched = np.flatnonzero(seen) + base
 
         if len(matched) == 0:
