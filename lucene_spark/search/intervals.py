@@ -1,0 +1,332 @@
+"""Interval queries: minimal-interval algebra over the positions stream.
+
+Behavioral model of the public apache/lucene intervals package (behavior
+only, no code):
+  Intervals.term / ordered / unordered / maxgaps / maxwidth / containing /
+  containedBy
+  [lucene/queries/src/java/org/apache/lucene/queries/intervals/Intervals.java:56]
+  ordered semantics  [intervals/OrderedIntervalsSource.java]
+  unordered          [intervals/UnorderedIntervalsSource.java]
+  filters            [intervals/FilteredIntervalsSource.java]
+  containing/within  [intervals/ConjunctionIntervalsSource.java]
+
+Semantics: every source yields the doc's MINIMAL intervals — intervals
+that do not contain another interval from the same source (Lucene
+implements the lazy minimal-interval algebra of Boldi & Vigna,
+"Efficient optimally lazy algorithms for minimal-interval semantics").
+An interval carries (start, end, inner) where ``inner`` is the summed
+width of the child intervals that produced it, so
+  width = end - start + 1
+  gaps  = width - inner        [IntervalIterator.gaps()]
+
+Execution shape mirrors PhraseQuery (SURVEY.md §2.5): per-segment
+two-phase — docid conjunction over every leaf term's postings (positions
+untouched), then position decode for surviving candidates only, then the
+per-doc algebra. The algebra itself is pure numpy/python over per-doc
+position lists (tf-bounded, runs only on post-conjunction candidates).
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+from dataclasses import dataclass
+from itertools import product
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+# An interval is (start, end, inner_width).
+Interval = Tuple[int, int, int]
+
+
+@dataclass(frozen=True)
+class ITerm:
+    term: str
+
+
+@dataclass(frozen=True)
+class IOrdered:
+    children: Tuple
+    max_gaps: Optional[int] = None
+    max_width: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class IUnordered:
+    children: Tuple
+    max_gaps: Optional[int] = None
+    max_width: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class IContaining:
+    """Intervals of ``big`` that contain an interval of ``small``."""
+
+    big: object
+    small: object
+
+
+@dataclass(frozen=True)
+class IContainedBy:
+    """Intervals of ``small`` that lie within an interval of ``big``."""
+
+    small: object
+    big: object
+
+
+def leaf_terms(node) -> List[str]:
+    if isinstance(node, ITerm):
+        return [node.term]
+    if isinstance(node, (IOrdered, IUnordered)):
+        out: List[str] = []
+        for c in node.children:
+            out.extend(leaf_terms(c))
+        return out
+    if isinstance(node, IContaining):
+        return leaf_terms(node.big) + leaf_terms(node.small)
+    if isinstance(node, IContainedBy):
+        return leaf_terms(node.small) + leaf_terms(node.big)
+    raise TypeError(f"unknown interval node {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# per-doc algebra (position lists -> minimal interval lists)
+# ---------------------------------------------------------------------------
+
+def _minimalize(cands: List[Interval]) -> List[Interval]:
+    """Drop intervals that contain another candidate; duplicates keep the
+    largest inner width (tightest gaps reading). Candidate lists are per-doc
+    and tf-bounded, so the quadratic scan is fine."""
+    if len(cands) <= 1:
+        return list(cands)
+    inner: Dict[Tuple[int, int], int] = {}
+    for s, e, i in cands:
+        key = (s, e)
+        inner[key] = max(inner.get(key, i), i)
+    uniq = sorted(inner)
+    out = [
+        (s, e, inner[(s, e)])
+        for s, e in uniq
+        if not any(
+            s2 >= s and e2 <= e and (s2, e2) != (s, e) for s2, e2 in uniq
+        )
+    ]
+    return out
+
+
+def _ordered(children: Sequence[List[Interval]]) -> List[Interval]:
+    """Minimal intervals where one interval per child occurs in order with
+    no overlap (next.start > prev.end), per OrderedIntervalsSource."""
+    if any(not c for c in children):
+        return []
+    starts = [[iv[0] for iv in c] for c in children]
+    cands: List[Interval] = []
+    for c0 in children[0]:
+        prev_end = c0[1]
+        inner = c0[2]
+        ok = True
+        for ci in range(1, len(children)):
+            # child lists are minimal -> starts and ends both ascending, so
+            # the first interval starting after prev_end also ends first
+            j = bisect_right(starts[ci], prev_end)
+            if j >= len(children[ci]):
+                ok = False
+                break
+            prev_end = children[ci][j][1]
+            inner += children[ci][j][2]
+        if not ok:
+            break  # later c0 start can only fail too
+        cands.append((c0[0], prev_end, inner))
+    return _minimalize(cands)
+
+
+def _unordered(children: Sequence[List[Interval]]) -> List[Interval]:
+    """Minimal windows covering one interval per child, any order."""
+    if any(not c for c in children):
+        return []
+    total = 1
+    for c in children:
+        total *= len(c)
+    if total > 200_000:
+        raise ValueError("unordered interval source too dense; add filters")
+    cands: List[Interval] = []
+    for combo in product(*children):
+        s = min(iv[0] for iv in combo)
+        e = max(iv[1] for iv in combo)
+        cands.append((s, e, sum(iv[2] for iv in combo)))
+    return _minimalize(cands)
+
+
+def _filter_gaps_width(ivs: List[Interval], max_gaps, max_width) -> List[Interval]:
+    out = ivs
+    if max_gaps is not None:
+        out = [iv for iv in out if (iv[1] - iv[0] + 1) - iv[2] <= max_gaps]
+    if max_width is not None:
+        out = [iv for iv in out if iv[1] - iv[0] + 1 <= max_width]
+    return out
+
+
+def _containing(big: List[Interval], small: List[Interval]) -> List[Interval]:
+    if not big or not small:
+        return []
+    s_starts = [iv[0] for iv in small]
+    out = []
+    for b in big:
+        # exists small with s.start >= b.start and s.end <= b.end; in a
+        # minimal list ends ascend with starts, so the smallest end among
+        # smalls starting inside b is at the first such index
+        j = bisect_right(s_starts, b[1])  # smalls starting at/before b.end
+        lo = bisect_left(s_starts, b[0])
+        if lo < j and small[lo][1] <= b[1]:
+            out.append(b)
+    return out
+
+
+def _contained_by(small: List[Interval], big: List[Interval]) -> List[Interval]:
+    if not big or not small:
+        return []
+    b_starts = [iv[0] for iv in big]
+    out = []
+    for s in small:
+        # exists big with b.start <= s.start and b.end >= s.end; in a minimal
+        # big list the best cover candidate is the LAST big starting <= s.start
+        j = bisect_right(b_starts, s[0]) - 1
+        if j >= 0 and big[j][1] >= s[1]:
+            out.append(s)
+    return out
+
+
+def eval_intervals(node, positions: Dict[str, np.ndarray]) -> List[Interval]:
+    """Evaluate an interval source over one doc's per-term position arrays
+    (sorted ascending). Returns the source's minimal intervals."""
+    if isinstance(node, ITerm):
+        ps = positions.get(node.term)
+        if ps is None or len(ps) == 0:
+            return []
+        return [(int(p), int(p), 1) for p in ps]
+    if isinstance(node, IOrdered):
+        ivs = _ordered([eval_intervals(c, positions) for c in node.children])
+        return _filter_gaps_width(ivs, node.max_gaps, node.max_width)
+    if isinstance(node, IUnordered):
+        ivs = _unordered([eval_intervals(c, positions) for c in node.children])
+        return _filter_gaps_width(ivs, node.max_gaps, node.max_width)
+    if isinstance(node, IContaining):
+        return _containing(
+            eval_intervals(node.big, positions), eval_intervals(node.small, positions)
+        )
+    if isinstance(node, IContainedBy):
+        return _contained_by(
+            eval_intervals(node.small, positions), eval_intervals(node.big, positions)
+        )
+    raise TypeError(f"unknown interval node {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Spark execution: per-segment two-phase (conjunction -> positions -> algebra)
+# ---------------------------------------------------------------------------
+
+INTERVALS_SCHEMA = "docid long, n_intervals int, min_gaps int, min_width int"
+
+
+def make_intervals_fn(node, deleted: Optional[np.ndarray] = None):
+    from .executor import _decode_rows, _decode_rows_pos, _live_mask
+
+    distinct = sorted(set(leaf_terms(node)))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "docid": np.empty(0, np.int64),
+                "n_intervals": np.empty(0, np.int32),
+                "min_gaps": np.empty(0, np.int32),
+                "min_width": np.empty(0, np.int32),
+            }
+        )
+        counters = [0, 0]
+        rows: Dict[str, list] = {}
+        for _, r in pdf.iterrows():
+            rows.setdefault(r["term"], []).append(r)
+        for t in rows:
+            rows[t].sort(key=lambda r: r["first_docid"])
+        if any(t not in rows for t in distinct):
+            return empty
+
+        # phase 1: docid conjunction, rarest leads (every leaf term of an
+        # ordered/unordered/containing source must be present)
+        order = sorted(distinct, key=lambda t: sum(int(r["df"]) for r in rows[t]))
+        cand = None
+        for t in order:
+            parts = [_decode_rows(r, cand, counters) for r in rows[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            if cand is not None and len(ids):
+                m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
+                ids = ids[m]
+            cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        live = _live_mask(cand, deleted)
+        if live is not None:
+            cand = cand[live]
+        if len(cand) == 0:
+            return empty
+
+        # phase 2: positions for candidate blocks only
+        per_term: Dict[str, tuple] = {}
+        for t in distinct:
+            parts = [_decode_rows_pos(r, cand, counters) for r in rows[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            pos = np.concatenate([p[3] for p in parts])
+            m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
+            pos = pos[np.repeat(m, tfs)]
+            ids, tfs = ids[m], tfs[m]
+            bounds = np.concatenate(([0], np.cumsum(tfs)))
+            per_term[t] = (pos, bounds)
+
+        out_doc, out_n, out_g, out_w = [], [], [], []
+        for i, d in enumerate(cand):
+            positions = {
+                t: per_term[t][0][per_term[t][1][i] : per_term[t][1][i + 1]]
+                for t in distinct
+            }
+            ivs = eval_intervals(node, positions)
+            if not ivs:
+                continue
+            widths = [e - s + 1 for s, e, _ in ivs]
+            gaps = [(e - s + 1) - inner for s, e, inner in ivs]
+            out_doc.append(int(d))
+            out_n.append(len(ivs))
+            out_g.append(min(gaps))
+            out_w.append(min(widths))
+        return pd.DataFrame(
+            {
+                "docid": np.array(out_doc, dtype=np.int64),
+                "n_intervals": np.array(out_n, dtype=np.int32),
+                "min_gaps": np.array(out_g, dtype=np.int32),
+                "min_width": np.array(out_w, dtype=np.int32),
+            }
+        )
+
+    return run
+
+
+def search_intervals(index, node) -> DataFrame:
+    """ALL docs with at least one interval from ``node``; columns
+    (docid, n_intervals, min_gaps, min_width). Ordering/limits are the
+    caller's (IntervalQuery is typically a filter/feature source; the
+    reference scores it through a similarity — score policy is the
+    caller's via n_intervals)."""
+    distinct = sorted(set(leaf_terms(node)))
+    stats = index.term_stats_for(distinct)
+    if any(t not in stats for t in distinct):
+        return index.spark.createDataFrame([], INTERVALS_SCHEMA)
+    rows = index.seg_postings.filter(F.col("term").isin(distinct))
+    fn = make_intervals_fn(
+        node, deleted=index.deleted if len(index.deleted) else None
+    )
+    return rows.groupBy("segment_id").applyInPandas(
+        lambda key, pdf: fn(pdf), INTERVALS_SCHEMA
+    )
