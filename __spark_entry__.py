@@ -43,7 +43,7 @@ from lucene_spark.search.executor import (
 )
 from lucene_spark.search.plan import normalize
 
-INDEX_FORMAT_VERSION = 4  # v4: positions stream (DOCS_AND_FREQS_AND_POSITIONS)
+INDEX_FORMAT_VERSION = 5  # v5: parquet per-segment tombstones (liveDocs shape)
 _INDEX_CACHE: dict = {}
 
 K1, B = 1.2, 0.75

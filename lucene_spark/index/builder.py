@@ -696,16 +696,19 @@ def purge_deletes(
 
     cfg = cfg or IndexConfig()
     paths = IndexPaths(index_dir)
-    tfiles = fsio.list_files(paths.fs, paths.fs_path(paths.tombstones), suffix=".json")
-    deleted_ids: List[int] = []
-    for f in tfiles:
-        deleted_ids.extend(fsio.read_json(paths.fs, f)["docids"])
-    deleted = np.unique(np.array(deleted_ids, dtype=np.int64))
-    if len(deleted) == 0:
+    tfiles = fsio.list_files(paths.fs, paths.fs_path(paths.tombstones), suffix=".parquet")
+    if not tfiles:
+        return 0
+    # distributed count (for the return value) — the per-segment delete sets
+    # are loaded inside each purge task, never on the driver
+    n_deleted = int(
+        spark.read.parquet(paths.tombstones).select("docid").distinct().count()
+    )
+    if n_deleted == 0:
         return 0
     manifests = read_manifests(paths)
     old_gen = live_generation(paths) or 0
-    paths_bc, deleted_bc = paths, deleted
+    paths_bc, tfiles_bc = paths, list(tfiles)
 
     def purge_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
@@ -714,7 +717,18 @@ def purge_deletes(
         def shard(d):
             return paths_bc.fs_path(os.path.join(d, f"segment-{sid:05d}.parquet"))
 
+        # this segment's OWN tombstones (per-segment liveDocs shape,
+        # PendingDeletes.java:31) — parquet predicate pushdown on segment_id
+        import pyarrow.dataset as _ds
+
+        tomb = _ds.dataset(tfiles_bc, filesystem=fs, format="parquet").to_table(
+            columns=["docid"], filter=_ds.field("segment_id") == sid
+        )
+        deleted_bc = np.unique(tomb["docid"].to_numpy(zero_copy_only=False))
+
         def is_deleted(ids: np.ndarray) -> np.ndarray:
+            if len(deleted_bc) == 0:
+                return np.zeros(len(ids), dtype=bool)
             pos = np.searchsorted(deleted_bc, ids).clip(max=len(deleted_bc) - 1)
             return deleted_bc[pos] == ids
 
@@ -795,7 +809,7 @@ def purge_deletes(
         except OSError:
             pass
     fsio.delete(paths.fs, paths.fs_path(paths.tombstones))
-    return int(len(deleted))
+    return n_deleted
 
 
 def live_generation(paths: IndexPaths) -> Optional[int]:

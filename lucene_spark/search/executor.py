@@ -51,6 +51,7 @@ from .scorer import FieldStats, max_term_score, score_arrays, term_weights
 TOPK_SCHEMA = "docid long, score double, blocks_total long, blocks_decoded long"
 METRICS_SCHEMA = "segment_id long, blocks_total long, blocks_decoded long"
 DECODED_SCHEMA = "term string, docid long, tf int, doclen int"
+TOMBSTONE_SCHEMA = "docid long, segment_id int"
 
 # Pruning safety margin: per-doc sums are re-done in canonical order for the
 # final score, so prune thresholds get a tiny slack to cover reassociation.
@@ -76,48 +77,101 @@ class Index:
         self._term_stats_dir = paths.term_stats_g(self.generation)
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
         self._deleted: Optional[np.ndarray] = None
+        self._has_deletes: Optional[bool] = None
 
-    # --- deletes (tombstones == live-docs bitset, PendingDeletes.java:31-34;
+    # --- deletes (per-segment tombstones == liveDocs, PendingDeletes.java:31-34;
     # like Lucene, deleted docs stop MATCHING immediately but collection
-    # statistics keep counting them until segments are purged/merged)
+    # statistics keep counting them until segments are purged/merged).
+    # Tombstones are PARQUET rows (docid, segment_id) written by Spark jobs
+    # and consumed either cogrouped per segment (pruned top-k paths) or via
+    # a distributed anti-join (exhaustive path) — no query path materializes
+    # the delete set on the driver or ships it inside task closures.
+
+    @property
+    def has_deletes(self) -> bool:
+        if self._has_deletes is None:
+            from ..index import fsio
+
+            self._has_deletes = bool(
+                fsio.list_files(
+                    self.paths.fs,
+                    self.paths.fs_path(self.paths.tombstones),
+                    suffix=".parquet",
+                )
+            )
+        return self._has_deletes
+
+    @property
+    def tombstones(self) -> DataFrame:
+        """All tombstones as a DataFrame (docid long, segment_id int)."""
+        if not self.has_deletes:
+            return self.spark.createDataFrame([], TOMBSTONE_SCHEMA)
+        return self.spark.read.schema(TOMBSTONE_SCHEMA).parquet(self.paths.tombstones)
 
     @property
     def deleted(self) -> np.ndarray:
-        """Sorted int64 docids of all tombstoned docs (possibly empty)."""
+        """Sorted docids of all tombstoned docs — DIAGNOSTIC / small-index
+        accessor (tests, purge sanity checks). Query paths never call this;
+        they cogroup or anti-join the tombstone parquet instead."""
         if self._deleted is None:
-            from ..index import fsio
-
-            files = fsio.list_files(
-                self.paths.fs, self.paths.fs_path(self.paths.tombstones), suffix=".json"
-            )
-            ids: List[int] = []
-            for f in files:
-                ids.extend(fsio.read_json(self.paths.fs, f)["docids"])
-            self._deleted = np.unique(np.array(ids, dtype=np.int64))
+            if not self.has_deletes:
+                self._deleted = np.empty(0, dtype=np.int64)
+            else:
+                rows = self.tombstones.select("docid").collect()
+                self._deleted = np.unique(np.array([r["docid"] for r in rows], np.int64))
         return self._deleted
 
-    def delete_docs(self, docids: Sequence[int]) -> None:
-        """Tombstone docids (IndexWriter.deleteDocuments analog,
-        IndexWriter.java:1911). Appends a numbered tombstone file; readers
-        union all of them."""
-        from ..index import fsio
+    def _segment_ranges(self) -> DataFrame:
+        """(segment_id, first_docid, last_docid) from the manifests — the
+        tiny broadcastable map from docid to owning segment."""
+        from ..index.builder import read_manifests
 
-        tdir = self.paths.fs_path(self.paths.tombstones)
-        fsio.mkdirs(self.paths.fs, tdir)
-        n = len(fsio.list_files(self.paths.fs, tdir, suffix=".json"))
-        fsio.write_json_atomic(
-            self.paths.fs,
-            f"{tdir}/delete-{n:05d}.json",
-            {"docids": [int(d) for d in docids]},
+        rows = [
+            (int(m["segment_id"]), int(m["first_docid"]), int(m["last_docid"]))
+            for m in read_manifests(self.paths)
+        ]
+        return self.spark.createDataFrame(
+            rows, "segment_id int, first_docid long, last_docid long"
         )
+
+    def delete_docs_df(self, ids_df: DataFrame) -> int:
+        """Distributed deleteDocuments: a DataFrame of docids is bucketed to
+        its owning segments (broadcast range join against the manifest) and
+        appended to the tombstone parquet by a Spark job — docids never pass
+        through driver memory (IndexWriter.deleteDocuments analog,
+        IndexWriter.java:1911; per-segment liveDocs shape,
+        PendingDeletes.java:31)."""
+        ranges = F.broadcast(self._segment_ranges())
+        out = (
+            ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("docid"))
+            .distinct()
+            .join(
+                ranges,
+                (F.col("docid") >= F.col("first_docid"))
+                & (F.col("docid") <= F.col("last_docid")),
+            )
+            .select("docid", "segment_id")
+        )
+        out.persist()
+        try:
+            n = out.count()
+            if n:
+                out.write.mode("append").parquet(self.paths.tombstones)
+        finally:
+            out.unpersist()
         self._deleted = None
+        self._has_deletes = None
+        return n
+
+    def delete_docs(self, docids: Sequence[int]) -> None:
+        """Tombstone an explicit docid list (driver-side convenience)."""
+        df = self.spark.createDataFrame([(int(d),) for d in docids], "docid long")
+        self.delete_docs_df(df)
 
     def delete_by_term(self, term: str) -> int:
-        """delete-by-term: resolve matching docids now, tombstone them."""
-        ids = [r["docid"] for r in decoded_postings(self, [term]).select("docid").distinct().collect()]
-        if ids:
-            self.delete_docs(ids)
-        return len(ids)
+        """delete-by-term, fully distributed: matching docids flow from the
+        postings decode straight into the tombstone write."""
+        return self.delete_docs_df(decoded_postings(self, [term]).select("docid"))
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "Index":
@@ -231,15 +285,39 @@ def _live_mask(ids: np.ndarray, deleted: Optional[np.ndarray]) -> Optional[np.nd
     return deleted[pos] != ids
 
 
+def _tomb_arr(pdf: Optional[pd.DataFrame]) -> Optional[np.ndarray]:
+    """Cogrouped tombstone rows -> sorted per-segment delete array."""
+    if pdf is None or len(pdf) == 0:
+        return None
+    return np.unique(pdf["docid"].to_numpy(dtype=np.int64))
+
+
+def apply_per_segment(index: Index, rows: DataFrame, fn, schema: str) -> DataFrame:
+    """groupBy(segment_id).applyInPandas with the segment's OWN tombstones
+    cogrouped in when deletes exist — the per-segment liveDocs shape
+    (PendingDeletes.java:31): every task sees only its segment's delete set,
+    nothing is materialized on the driver or captured in closures.
+    ``fn(key, postings_pdf, deleted_or_None) -> pdf``."""
+    if index.has_deletes:
+        return (
+            rows.groupBy("segment_id")
+            .cogroup(index.tombstones.groupBy("segment_id"))
+            .applyInPandas(lambda key, pdf, tomb: fn(key, pdf, _tomb_arr(tomb)), schema)
+        )
+    return rows.groupBy("segment_id").applyInPandas(
+        lambda key, pdf: fn(key, pdf, None), schema
+    )
+
+
 def decoded_postings(index: Index, terms: Sequence[str], use_segments: bool = False) -> DataFrame:
     """(term, docid, tf, doclen) LIVE rows for the given terms, decoded from
     block binaries in mapInPandas (Arrow batches, numpy decode); tombstoned
-    docs are filtered right after decode."""
+    docs are removed by a distributed anti-join against the tombstone
+    parquet (no driver-side delete set)."""
     src = index.seg_postings if use_segments else index.merged
     rows = src.filter(F.col("term").isin(list(terms))).select(
         "term", "block_data"
     )
-    deleted = index.deleted if len(index.deleted) else None
 
     def decode_map(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -251,11 +329,6 @@ def decoded_postings(index: Index, terms: Sequence[str], use_segments: bool = Fa
                 ids = np.concatenate(ids)
                 tfs = np.concatenate(tfs)
                 dls = np.concatenate(dls)
-                live = _live_mask(ids, deleted)
-                if live is not None:
-                    ids, tfs, dls = ids[live], tfs[live], dls[live]
-                if len(ids) == 0:
-                    continue
                 outs.append(
                     pd.DataFrame(
                         {
@@ -269,7 +342,10 @@ def decoded_postings(index: Index, terms: Sequence[str], use_segments: bool = Fa
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return rows.mapInPandas(decode_map, DECODED_SCHEMA)
+    out = rows.mapInPandas(decode_map, DECODED_SCHEMA)
+    if index.has_deletes:
+        out = out.join(index.tombstones.select("docid"), "docid", "left_anti")
+    return out
 
 
 def search_exhaustive(
@@ -362,7 +438,6 @@ def make_topk_fn(
     avgdl: float,
     quantize: bool,
     dtype,
-    deleted: Optional[np.ndarray] = None,
     cursor: Optional[Tuple[float, int]] = None,
 ):
     """Build the per-segment applyInPandas function.
@@ -385,8 +460,9 @@ def make_topk_fn(
 
     _Z = np.empty(0, np.int64)
 
-    def run(pdf: pd.DataFrame):
-        """Core per-segment scorer -> (docids, scores, counters)."""
+    def run(pdf: pd.DataFrame, deleted: Optional[np.ndarray]):
+        """Core per-segment scorer -> (docids, scores, counters);
+        ``deleted`` is this segment's cogrouped tombstone array."""
         counters = [0, 0]  # blocks_total, blocks_decoded
         rows = {}
         for _, r in pdf.iterrows():
@@ -577,8 +653,8 @@ def make_topk_fn(
         ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
         return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
 
-    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, scores, counters = run(pdf)
+    def topk_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
+        ids, scores, counters = run(pdf, deleted)
         return pd.DataFrame(
             {
                 "docid": ids,
@@ -588,10 +664,10 @@ def make_topk_fn(
             }
         )
 
-    def metrics_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def metrics_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
         # exact per-segment counters, emitted even when the segment
         # contributes no hits (fixes the sum({set}) collapse, ADVICE r1)
-        _, _, counters = run(pdf)
+        _, _, counters = run(pdf, deleted)
         return pd.DataFrame(
             {
                 "segment_id": np.array([int(key[0])], dtype=np.int64),
@@ -624,9 +700,9 @@ def search_topk(
     weights, req, rows = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
-        quantize, dtype, deleted=index.deleted if len(index.deleted) else None,
+        quantize, dtype,
     )
-    per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
+    per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
     return out if with_metrics else out.select("docid", "score")
 
@@ -662,9 +738,9 @@ def block_skip_metrics(
     weights, req, rows = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
-        quantize, dtype, deleted=index.deleted if len(index.deleted) else None,
+        quantize, dtype,
     )
-    per_seg = rows.groupBy("segment_id").applyInPandas(fn.metrics_fn, METRICS_SCHEMA)
+    per_seg = apply_per_segment(index, rows, fn.metrics_fn, METRICS_SCHEMA)
     row = per_seg.agg(
         F.sum("blocks_total").alias("t"), F.sum("blocks_decoded").alias("d")
     ).collect()[0]
@@ -746,7 +822,6 @@ def make_phrase_topk_fn(
     avgdl: float,
     quantize: bool,
     dtype,
-    deleted: Optional[np.ndarray] = None,
 ):
     """Per-segment phrase scorer: conjunction approximation over docids
     (positions untouched), then position decode + exact/sloppy matcher on
@@ -756,7 +831,7 @@ def make_phrase_topk_fn(
     distinct = sorted({t for t, _ in terms_off})
     POS_BASE = np.int64(1) << np.int64(22)  # fused (doc, adjusted-pos) key space
 
-    def run(pdf: pd.DataFrame):
+    def run(pdf: pd.DataFrame, deleted: Optional[np.ndarray]):
         counters = [0, 0]
         z = np.empty(0, np.int64)
         rows: Dict[str, list] = {}
@@ -853,8 +928,8 @@ def make_phrase_topk_fn(
         ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
         return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
 
-    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, scores, counters = run(pdf)
+    def topk_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
+        ids, scores, counters = run(pdf, deleted)
         return pd.DataFrame(
             {
                 "docid": ids,
@@ -935,9 +1010,8 @@ def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words):
     rows = index.seg_postings.filter(F.col("term").isin(distinct))
     fn = make_phrase_topk_fn(
         terms_off, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype,
-        deleted=index.deleted if len(index.deleted) else None,
     )
-    return rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
+    return apply_per_segment(index, rows, fn, TOPK_SCHEMA)
 
 
 def make_multiphrase_fn(
@@ -948,7 +1022,6 @@ def make_multiphrase_fn(
     avgdl: float,
     quantize: bool,
     dtype,
-    deleted: Optional[np.ndarray] = None,
 ):
     """Per-segment MultiPhraseQuery scorer: a slot matches where ANY of its
     alternative terms occurs (UnionPostingsEnum, MultiPhraseQuery.java:412);
@@ -959,7 +1032,7 @@ def make_multiphrase_fn(
     distinct = sorted({t for _, alts in slots for t in alts})
     POS_BASE = np.int64(1) << np.int64(22)
 
-    def run(pdf: pd.DataFrame):
+    def run(pdf: pd.DataFrame, deleted: Optional[np.ndarray]):
         counters = [0, 0]
         z = np.empty(0, np.int64)
         rows: Dict[str, list] = {}
@@ -1068,8 +1141,8 @@ def make_multiphrase_fn(
         ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
         return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
 
-    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, scores, counters = run(pdf)
+    def topk_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
+        ids, scores, counters = run(pdf, deleted)
         return pd.DataFrame(
             {
                 "docid": ids,
@@ -1129,9 +1202,8 @@ def search_multi_phrase(
     rows = index.seg_postings.filter(F.col("term").isin(distinct))
     fn = make_multiphrase_fn(
         live_slots, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype,
-        deleted=index.deleted if len(index.deleted) else None,
     )
-    per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
+    per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     return (
         per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
@@ -1209,7 +1281,7 @@ def count_hits(index: Index, q: NormalizedQuery) -> int:
     terms = list(q.scoring_terms)
     # the df shortcut is only valid with no deletes (Weight#count returns -1
     # when liveDocs exist and Lucene falls back to counting)
-    if len(terms) == 1 and not q.excluded and len(index.deleted) == 0:
+    if len(terms) == 1 and not q.excluded and not index.has_deletes:
         stats = index.term_stats_for(terms)
         return stats.get(terms[0], (0, 0))[0]
     df = search_exhaustive(index, q, k=None)
@@ -1282,8 +1354,8 @@ def _eval_node(index: Index, node, quantize: bool, dtype) -> Optional[DataFrame]
             ids = index.docs.filter(
                 (F.col(node.field) >= node.lo) & (F.col(node.field) <= node.hi)
             ).select("docid")
-        if len(index.deleted):
-            ids = ids.filter(~F.col("docid").isin([int(x) for x in index.deleted]))
+            if index.has_deletes:  # the decoded-postings branch is pre-filtered
+                ids = ids.join(index.tombstones.select("docid"), "docid", "left_anti")
         return ids.withColumn("score", F.lit(float(node.boost)))
     if isinstance(node, QBool):
         return _eval_bool(index, node, quantize, dtype)
@@ -1390,10 +1462,9 @@ def search_after(
     weights, req, rows = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
-        quantize, dtype, deleted=index.deleted if len(index.deleted) else None,
-        cursor=(float(after_score), int(after_docid)),
+        quantize, dtype, cursor=(float(after_score), int(after_docid)),
     )
-    per_seg = rows.groupBy("segment_id").applyInPandas(lambda key, pdf: fn(pdf), TOPK_SCHEMA)
+    per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     return (
         per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)

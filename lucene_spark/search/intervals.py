@@ -231,12 +231,12 @@ def eval_intervals(node, positions: Dict[str, np.ndarray]) -> List[Interval]:
 INTERVALS_SCHEMA = "docid long, n_intervals int, min_gaps int, min_width int"
 
 
-def make_intervals_fn(node, deleted: Optional[np.ndarray] = None):
+def make_intervals_fn(node):
     from .executor import _decode_rows, _decode_rows_pos, _live_mask
 
     distinct = sorted(set(leaf_terms(node)))
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "docid": np.empty(0, np.int64),
@@ -319,14 +319,11 @@ def search_intervals(index, node) -> DataFrame:
     caller's (IntervalQuery is typically a filter/feature source; the
     reference scores it through a similarity — score policy is the
     caller's via n_intervals)."""
+    from .executor import apply_per_segment
+
     distinct = sorted(set(leaf_terms(node)))
     stats = index.term_stats_for(distinct)
     if any(t not in stats for t in distinct):
         return index.spark.createDataFrame([], INTERVALS_SCHEMA)
     rows = index.seg_postings.filter(F.col("term").isin(distinct))
-    fn = make_intervals_fn(
-        node, deleted=index.deleted if len(index.deleted) else None
-    )
-    return rows.groupBy("segment_id").applyInPandas(
-        lambda key, pdf: fn(pdf), INTERVALS_SCHEMA
-    )
+    return apply_per_segment(index, rows, make_intervals_fn(node), INTERVALS_SCHEMA)

@@ -70,6 +70,43 @@ def test_delete_by_term(deletable_index):
     assert count_hits(idx, normalize(should=["vector"])) == 0
 
 
+def test_delete_by_term_is_distributed(deletable_index, monkeypatch):
+    """delete_by_term must never materialize matching docids on the driver:
+    the postings decode flows straight into the per-segment tombstone parquet
+    (liveDocs shape, index/PendingDeletes.java:31). We make every row-
+    materializing driver API raise for the duration of the delete."""
+    from pyspark.sql import DataFrame
+
+    from lucene_spark.search.executor import count_hits
+
+    idx, _ = deletable_index
+    n = count_hits(idx, normalize(should=["import"]))
+    assert n > 0
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side row materialization on the delete path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "take", boom)
+    try:
+        ndel = idx.delete_by_term("import")
+    finally:
+        monkeypatch.undo()
+    assert ndel == n
+    assert count_hits(idx, normalize(should=["import"])) == 0
+    # every tombstone landed in its owning segment (manifest docid ranges)
+    tomb = idx.tombstones.toPandas()
+    assert len(tomb) == n
+    ranges = {
+        int(r["segment_id"]): (int(r["first_docid"]), int(r["last_docid"]))
+        for r in idx._segment_ranges().toPandas().to_dict("records")
+    }
+    for d, s in zip(tomb["docid"], tomb["segment_id"]):
+        lo, hi = ranges[int(s)]
+        assert lo <= int(d) <= hi
+
+
 def test_purge_rewrites_segments(spark, deletable_index):
     """After purge: tombstones gone, stats shrink, and results equal a fresh
     index built over the live docs with the same docids."""
