@@ -53,6 +53,11 @@ METRICS_SCHEMA = "segment_id long, blocks_total long, blocks_decoded long"
 DECODED_SCHEMA = "term string, docid long, tf int, doclen int"
 TOMBSTONE_SCHEMA = "docid long, segment_id int"
 
+# MAXSCORE theta-refresh window (blocks decoded between threshold refreshes,
+# MaxScoreBulkScorer.java:26 window analog); module-level so tests can shrink
+# it to exercise chunk-boundary behavior on small corpora.
+MAXSCORE_CHUNK = 16
+
 # Pruning safety margin: per-doc sums are re-done in canonical order for the
 # final score, so prune thresholds get a tiny slack to cover reassociation.
 PRUNE_SCALE = {np.float32: 1.0 - 1e-4, np.float64: 1.0 - 1e-9}
@@ -285,6 +290,29 @@ def _live_mask(ids: np.ndarray, deleted: Optional[np.ndarray]) -> Optional[np.nd
     return deleted[pos] != ids
 
 
+def _select_topk(ids: np.ndarray, scores, k: Optional[int]):
+    """Exact (score desc, docid asc) top-k in O(m): Lucene's collector
+    tie-break (TopScoreDocCollector docid-asc on equal score) — a plain
+    argpartition picks an ARBITRARY subset of docs tied at the k-th score,
+    which diverges from the exhaustive path / oracle on tie-heavy corpora.
+    Returns (ids, scores_float64) sorted (score desc, docid asc)."""
+    f64 = scores.astype(np.float64)
+    kk = len(ids) if k is None else min(k, len(ids))
+    if kk < len(ids):
+        v = -np.partition(-f64, kk - 1)[kk - 1]  # k-th best score value
+        greater = np.flatnonzero(f64 > v)
+        need = kk - len(greater)
+        ties = np.flatnonzero(f64 == v)
+        if need < len(ties):  # smallest docids among the tied tail
+            ties = ties[np.argpartition(ids[ties], need - 1)[:need]] if need else ties[:0]
+        part = np.concatenate([greater, ties])
+    else:
+        part = np.arange(len(ids))
+    sel_ids, sel_sc = ids[part], f64[part]
+    ordr = np.lexsort((sel_ids, -sel_sc))
+    return sel_ids[ordr], sel_sc[ordr]
+
+
 def _tomb_arr(pdf: Optional[pd.DataFrame]) -> Optional[np.ndarray]:
     """Cogrouped tombstone rows -> sorted per-segment delete array."""
     if pdf is None or len(pdf) == 0:
@@ -457,6 +485,9 @@ def make_topk_fn(
     req = sorted(set(required))
     excl = sorted(set(excluded))
     scale = PRUNE_SCALE[dtype]
+    # resolved driver-side at plan time and captured in the closure, so the
+    # worker-side run() never consults module state
+    chunk_blocks = int(MAXSCORE_CHUNK)
 
     _Z = np.empty(0, np.int64)
 
@@ -555,7 +586,7 @@ def make_topk_fn(
             # needs the full remaining potential, unknown mid-list.
             after_bound = float(cursor[0]) if cursor is not None else None
             slack = 2.0 - scale  # tiny upward slack for float re-association
-            CHUNK = 16  # blocks per theta-refresh window
+            CHUNK = chunk_blocks  # blocks per theta-refresh window
 
             def kth(vals: np.ndarray) -> float:
                 return float(np.partition(vals, len(vals) - k)[len(vals) - k])
@@ -565,15 +596,32 @@ def make_topk_fn(
                 # competitive partial-sum candidates: a doc outside this set
                 # was proven unable to reach theta even with every remaining
                 # term at max score — permanently non-competitive (theta only
-                # grows). Computed once per term; as theta rises mid-term the
-                # set only shrinks, so the stale copy stays a sound superset.
-                if theta > 0:
+                # grows). Recomputed LAZILY whenever theta has grown since the
+                # set was built (a set built at a smaller theta is a sound
+                # superset, so reuse between refreshes is safe). The lazy
+                # refresh is what keeps mid-term theta transitions sound: if
+                # theta first turns positive inside this term's chunk loop,
+                # docs seen by EARLIER terms that sit in this term's low-bound
+                # blocks must still be protected by the candidate test — an
+                # ub-only skip would silently drop their contribution from
+                # this term and corrupt their final score.
+                sel: Optional[np.ndarray] = None
+                sel_theta = -np.inf  # theta at which `sel` was computed
+
+                def refresh_sel():
+                    # None -> compute as soon as theta is live (soundness);
+                    # afterwards re-tighten only on meaningful theta growth
+                    # (the O(n) scan amortizes across chunks; stale = sound).
+                    nonlocal sel, sel_theta
+                    if theta <= 0 or (sel is not None and theta <= sel_theta * 1.05):
+                        return
                     mask = seen & (acc + suffix[i] >= theta * scale)
                     if after_bound is not None:
                         mask &= acc <= after_bound * slack
                     sel = np.flatnonzero(mask) + base
-                else:
-                    sel = None
+                    sel_theta = theta
+
+                refresh_sel()
                 w = weights[t]
                 for r in rows[t]:
                     bf = np.asarray(r["block_first"], dtype=np.int64)
@@ -590,6 +638,7 @@ def make_topk_fn(
                     for j in range(0, nb, CHUNK):
                         cidx = border[j : j + CHUNK]
                         if theta > 0:
+                            refresh_sel()
                             keep = ub[cidx] + rest >= theta * scale
                             if sel is not None and len(sel):
                                 lo = np.searchsorted(sel, bf[cidx], "left")
@@ -646,12 +695,8 @@ def make_topk_fn(
             matched, final = matched[ok], final[ok]
             if len(matched) == 0:
                 return _Z, _Z.astype(np.float64), counters
-        kk = min(k, len(matched))
-        part = np.argpartition(-final.astype(np.float64), kk - 1)[:kk]
-        sel_ids = matched[part]
-        sel_sc = final[part]
-        ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
-        return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
+        out_ids, out_sc = _select_topk(matched, final, k)
+        return out_ids, out_sc, counters
 
     def topk_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
         ids, scores, counters = run(pdf, deleted)
@@ -922,11 +967,8 @@ def make_phrase_topk_fn(
             dls_m = np.array(dls_l, dtype=np.int64)
 
         scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
-        kk = len(docs) if k is None else min(k, len(docs))
-        part = np.argpartition(-scores.astype(np.float64), kk - 1)[:kk]
-        sel_ids, sel_sc = docs[part], scores[part]
-        ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
-        return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
+        sel_ids, sel_sc = _select_topk(docs, scores, k)
+        return sel_ids, sel_sc, counters
 
     def topk_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
         ids, scores, counters = run(pdf, deleted)
@@ -1135,11 +1177,8 @@ def make_multiphrase_fn(
             dls_m = np.array(dls_l, dtype=np.int64)
 
         scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
-        kk = len(docs) if k is None else min(k, len(docs))
-        part = np.argpartition(-scores.astype(np.float64), kk - 1)[:kk]
-        sel_ids, sel_sc = docs[part], scores[part]
-        ordr = np.lexsort((sel_ids, -sel_sc.astype(np.float64)))
-        return sel_ids[ordr], sel_sc[ordr].astype(np.float64), counters
+        sel_ids, sel_sc = _select_topk(docs, scores, k)
+        return sel_ids, sel_sc, counters
 
     def topk_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
         ids, scores, counters = run(pdf, deleted)

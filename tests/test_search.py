@@ -202,6 +202,43 @@ def test_wand_pruning_equals_exhaustive_random_corpora(spark, tmp_path):
                 assert r["score"] == pytest.approx(s, rel=1e-6)
 
 
+def test_maxscore_midterm_theta_keeps_earlier_contributions(spark, tmp_path, monkeypatch):
+    """Theta-starvation regression (MaxScoreBulkScorer window soundness):
+    rare df < k, so theta first turns positive MID-way through the hot
+    term's chunk loop. Docs already seen via the rare term sit in the hot
+    term's LOW-upper-bound blocks; if those blocks are skipped on the
+    ub-only test, the rare docs silently lose their hot-term contribution
+    and final scores diverge from the exhaustive reference."""
+    import lucene_spark.search.executor as ex
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, search_topk
+
+    monkeypatch.setattr(ex, "MAXSCORE_CHUNK", 2)  # 2 blocks per theta window
+
+    rows = []
+    for i in range(1500):
+        if i < 300:  # high-tf hot docs -> highest-ub blocks decode first
+            content = " ".join(["hot"] * 8)
+        else:
+            content = "hot " + " ".join(f"pad{j}" for j in range(i % 7))
+        if 1200 <= i < 1205:  # rare docs (df=5 < k) live in LOW-ub blocks
+            content += " rare"
+        rows.append((i, content))
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    d = str(tmp_path / "midterm")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1,
+                      hot_df_threshold=5000)
+    idx = Index(spark, build_index(spark, docs, d, cfg))
+
+    ref = build_ref_index(rows)
+    for k in (10, 20):
+        got = search_topk(idx, normalize(should=["rare", "hot"]), k=k).collect()
+        want = ref_search(ref, ["rare", "hot"], k=k)
+        assert [r["docid"] for r in got] == [d0 for d0, _ in want], k
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, rel=1e-6), k
+
+
 def test_bm25_monotonicity_axioms():
     """BaseSimilarityTestCase-style axioms: score up with tf, down with dl,
     down with df (BaseSimilarityTestCase.java:537-541)."""
