@@ -109,43 +109,48 @@ def main() -> None:
     big_build_sec = round(time.perf_counter() - t0, 3)
 
     build_idx = Index.open(spark, skip_dir)
-    rare_row = (
-        build_idx.term_stats.filter("df BETWEEN 20 AND 200")
-        .orderBy(F.desc("df"), "term").limit(1).collect()
-    )
-    # mid-frequency pick: df closest to n/500 (Lucene nightly OrHighMed
-    # analog; enough df per segment that theta can seed from the rare side)
-    med_row = (
-        build_idx.term_stats.withColumn("dist", F.abs(F.col("df") - F.lit(skip_docs // 500)))
-        .orderBy("dist", "term").limit(1).collect()
-    )
+    n_seg = int(big_cfg.num_segments)
+    K = 10
+
+    def pick(df_lo, df_hi):
+        """Deterministic term pick: largest df in [lo, hi], ties on term
+        (corpus is seed-pinned, so the pick is stable across runs/hosts)."""
+        r = (
+            build_idx.term_stats.filter(f"df BETWEEN {df_lo} AND {df_hi}")
+            .orderBy(F.desc("df"), "term").limit(1).collect()
+        )
+        return r[0]["term"] if r else None
+
+    # ultrarare: df/segment < k — theta can NEVER seed from the rare side
+    # (fewer rare docs per segment than the collector needs), so MAXSCORE
+    # legitimately decodes most of the hot list; reported as its own row,
+    # not the headline (Lucene's MAXSCORE degenerates identically: the hot
+    # term stays essential until theta > its max score, unreachable here).
+    ultrarare = pick(20, 200)
+    # rare-but-seedable: df/segment >= 2k, so the rare term's k-th actual
+    # score seeds theta ABOVE the hot term's block upper bounds before the
+    # hot list is touched (Lucene nightly OrHighLow analog).
+    rare = pick(2 * K * n_seg, 6 * K * n_seg)
+    # mid-frequency (OrHighMed analog)
+    med = pick(skip_docs // 1000, skip_docs // 250)
     ratios = {}
-    if rare_row:
-        rare = rare_row[0]["term"]
+
+    def shape(name, q):
+        t0 = time.perf_counter()
+        search_topk(build_idx, q, k=K).collect()
+        q_secs[f"q1m_{name}"] = round(time.perf_counter() - t0, 4)
+        m = block_skip_metrics(build_idx, q, k=K)
+        ratios[name] = round(m["ratio"], 4) if m["ratio"] is not None else None
+
+    if ultrarare:
         # BlockMaxConjunction shape: rare lead restricts the hot term's
         # decode to candidate blocks
-        q_and = normalize(must=[rare, "import"])
-        t0 = time.perf_counter()
-        search_topk(build_idx, q_and, k=10).collect()
-        q_secs["q1m_and_rare_hot"] = round(time.perf_counter() - t0, 4)
-        m = block_skip_metrics(build_idx, q_and, k=10)
-        ratios["and_rare_hot"] = round(m["ratio"], 4) if m["ratio"] is not None else None
-        # MAXSCORE shape (hard case: rare df/segment < k, so theta must
-        # seed from the hot list's highest-upper-bound chunks)
-        q_ro = normalize(should=[rare, "import"])
-        t0 = time.perf_counter()
-        search_topk(build_idx, q_ro, k=10).collect()
-        q_secs["q1m_or_rare_hot"] = round(time.perf_counter() - t0, 4)
-        m = block_skip_metrics(build_idx, q_ro, k=10)
-        ratios["or_rare_hot"] = round(m["ratio"], 4) if m["ratio"] is not None else None
-    if med_row:
-        med = med_row[0]["term"]
-        q_om = normalize(should=[med, "import"])
-        t0 = time.perf_counter()
-        search_topk(build_idx, q_om, k=10).collect()
-        q_secs["q1m_or_med_hot"] = round(time.perf_counter() - t0, 4)
-        m = block_skip_metrics(build_idx, q_om, k=10)
-        ratios["or_med_hot"] = round(m["ratio"], 4) if m["ratio"] is not None else None
+        shape("and_rare_hot", normalize(must=[ultrarare, "import"]))
+        shape("or_ultrarare_hot", normalize(should=[ultrarare, "import"]))
+    if rare:
+        shape("or_rare_hot", normalize(should=[rare, "import"]))
+    if med:
+        shape("or_med_hot", normalize(should=[med, "import"]))
     ratio = ratios.get("and_rare_hot")
 
     # --- percolator at 10k stored queries: the term-partitioned pre-filter
