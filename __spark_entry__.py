@@ -32,6 +32,7 @@ from lucene_spark.oracle import (
     bm25_topk_sql,
     phrase_exact_sql,
     phrase_sloppy_sql,
+    phrase_sloppy_rpt_sql,
 )
 from lucene_spark.search.executor import (
     Index,
@@ -452,6 +453,25 @@ def q_sloppy_phrase_topk(spark, sf):
     return res.select("docid", F.round("score", 4).alias("score"))
 
 
+RPT_TERM, RPT_SLOP = "spark", 4
+
+
+def q_sloppy_rpt_phrase_topk(spark, sf):
+    """Repeating-term sloppy phrase "spark spark"~4: exercises the
+    rptGroups machinery (SloppyPhraseMatcher.java:317-497 — group init
+    stagger + collide/lesser advancement). The "a b a"~2 general shape is
+    pytest-differential-covered (tests/test_phrase.py); this entry's 2-pp
+    same-term shape additionally admits an exact SQL oracle (consecutive
+    occurrence pairs)."""
+    from lucene_spark.search.executor import search_phrase
+
+    res = search_phrase(
+        _index(spark, sf), [RPT_TERM, RPT_TERM], slop=RPT_SLOP, k=10,
+        quantize=False, dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 MULTI_PHRASE_SLOTS = [(0, ["table", "part"]), (1, ["hash", "filter"])]
 BLENDED_TERMS = ["spark", "vector"]
 FUNC_SCORE_EXPR = "score * (1.0 + n_chars / 1000.0)"
@@ -778,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries with the freshest prior green row (r2 capped the sweep at 50 of
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
     return {
+        "sloppy_rpt_phrase_topk": q_sloppy_rpt_phrase_topk,
         "interval_ordered_topk": q_interval_ordered_topk,
         "interval_near_topk": q_interval_near_topk,
         "interval_containing_topk": q_interval_containing_topk,
@@ -1167,6 +1188,7 @@ GROUP BY d.source ORDER BY d.source""",
         "phrase_topk": phrase_exact_sql(PHRASE_EXACT),
         "phrase_stop_hole_topk": phrase_exact_sql(PHRASE_HOLE),
         "sloppy_phrase_topk": phrase_sloppy_sql(*SLOPPY_TERMS, SLOPPY_SLOP),
+        "sloppy_rpt_phrase_topk": phrase_sloppy_rpt_sql(RPT_TERM, RPT_SLOP),
         "parsed_query_topk": _parsed_query_sql(),
         "boost_query_topk": bm25_topk_sql({"window": 2.5, "merge": 1}),
         # deletes filter MATCHES only; stats still include tombstoned docs

@@ -135,6 +135,38 @@ m AS (SELECT doc_id, sum(1.0 / (1.0 + d)) AS freq
     )
 
 
+def phrase_sloppy_rpt_sql(term: str, slop: int, k: int = 10) -> str:
+    """Repeating-term sloppy phrase oracle: "t t"~slop. With both pps
+    iterating ONE positions list, the rptGroups walk (init stagger,
+    SloppyPhraseMatcher.java:486-494; collide/lesser advancement, :317-374)
+    visits exactly the consecutive occurrence pairs of the term, emitting
+    matchLength = gap = p[i+1] - p[i] - 1 whenever gap <= slop — validated
+    against the matcher on randomized position lists
+    (tests/test_phrase.py::test_sloppy_rpt_same_term_pair_model_randomized).
+    sloppyWeight 1/(1+gap) = 1/(p[i+1]-p[i]); weight = 2*idf because the
+    phrase termStats array includes duplicates (PhraseQuery.java:472-486)."""
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+    score = f"w.w - w.w / (1 + m.freq * {ninv})"
+    return (
+        "WITH "
+        + BM25_CTES
+        + ", "
+        + TPOS_CTE.strip()
+        + f""",
+occ AS (SELECT doc_id, pos,
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM tpos WHERE term = '{term}'),
+m AS (SELECT doc_id, sum(1.0 / (nxt - pos)) AS freq
+      FROM occ WHERE nxt IS NOT NULL AND nxt - pos - 1 <= {slop} GROUP BY 1),
+w AS (SELECT 2 * ln(1 + (fs.doc_cnt - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+      FROM (SELECT count(*) AS df FROM tf WHERE term = '{term}') dfs
+      CROSS JOIN fs)
+SELECT m.doc_id AS docid, round({score}, 4) AS score
+FROM m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN w CROSS JOIN fs
+ORDER BY ({score}) DESC, docid ASC LIMIT {k}"""
+    )
+
+
 def _qt_values(qtf: Dict[str, float]) -> str:
     # float weights express query boosts (W = boost * idf is the same shape
     # as W = qtf * idf); ints keep int formatting for the qtf oracles

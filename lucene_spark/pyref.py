@@ -176,7 +176,7 @@ def search_phrase(
         if slop == 0:
             freq = np.float32(exact_phrase_freq(plists, offs))
         else:
-            freq = sloppy_phrase_freq(plists, offs, slop, dtype=np.float32)
+            freq = sloppy_phrase_freq(plists, offs, slop, dtype=np.float32, terms=terms)
         if freq <= 0:
             continue
         if quantize:

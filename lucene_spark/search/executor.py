@@ -949,13 +949,14 @@ def make_phrase_topk_fn(
                 for t in distinct
             }
             offs = [o for _, o in terms_off]
+            tlist = [t for t, _ in terms_off]
             docs_l, freqs_l, dls_l = [], [], []
             for i, d in enumerate(cand):
                 plists = []
                 for t, _ in terms_off:
                     b = bounds[t]
                     plists.append(per_term[t][2][b[i] : b[i + 1]])
-                f = sloppy_phrase_freq(plists, offs, slop, dtype=dtype)
+                f = sloppy_phrase_freq(plists, offs, slop, dtype=dtype, terms=tlist)
                 if f > 0:
                     docs_l.append(d)
                     freqs_l.append(float(f))
@@ -1035,11 +1036,6 @@ def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words):
     terms_off = _phrase_offsets(phrase, stop_words)
     if len(terms_off) < 2:
         return None
-    if slop > 0 and len({t for t, _ in terms_off}) < len(terms_off):
-        raise NotImplementedError(
-            "sloppy phrases with repeating terms (SloppyPhraseMatcher rptGroups) "
-            "are not supported; exact phrases handle repeats"
-        )
     distinct = sorted({t for t, _ in terms_off})
     stats = index.term_stats_for(distinct)
     if any(t not in stats for t in distinct):

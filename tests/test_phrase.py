@@ -153,11 +153,93 @@ def test_phrase_requires_positions(spark, tmpdir_index):
         search_phrase(idx, ["import", "return"], k=5).collect()
 
 
-def test_sloppy_repeats_unsupported(built_index):
-    from lucene_spark.search.executor import search_phrase
+# --- repeating-term sloppy phrases (SloppyPhraseMatcher rptGroups) ----------
 
-    with pytest.raises(NotImplementedError):
-        search_phrase(built_index, ["import", "return", "import"], slop=2, k=5)
+
+def test_sloppy_rpt_goldens_hand_traced():
+    """Hand-traced walks of the rptGroups machinery
+    (SloppyPhraseMatcher.java:317-497)."""
+    # "a a"~0 on "a x a": occurrences at distance 2 -> gap 1 > 0, no match
+    assert sloppy_match_lengths([[0, 2], [0, 2]], [0, 1], 0, terms=["a", "a"]) == []
+    # "a a"~1 on "a x a": single match, matchLength 1
+    assert sloppy_match_lengths([[0, 2], [0, 2]], [0, 1], 1, terms=["a", "a"]) == [1]
+    # "a a"~s on "a a a": two adjacent pairs, both exact
+    assert sloppy_match_lengths(
+        [[0, 1, 2], [0, 1, 2]], [0, 1], 2, terms=["a", "a"]
+    ) == [0, 0]
+    # "a b a"~2 on "a b a": one exact match (collision resolution exhausts
+    # the second a-pp after the emit)
+    assert sloppy_match_lengths(
+        [[0, 2], [1], [0, 2]], [0, 1, 2], 2, terms=["a", "b", "a"]
+    ) == [0]
+    # "a b a"~2 on "a b a a": exact match + the (a@0 b@1 a@3) combination
+    assert sloppy_match_lengths(
+        [[0, 2, 3], [1], [0, 2, 3]], [0, 1, 2], 2, terms=["a", "b", "a"]
+    ) == [0, 2]
+    # a doc without enough occurrences of the repeated term cannot match
+    assert sloppy_match_lengths([[4], [5], [4]], [0, 1, 2], 9, terms=["a", "b", "a"]) == []
+
+
+def _rpt_pair_model(P, slop):
+    """Independent model for "a a"~slop: the staggered 2-pp walk visits
+    exactly the consecutive occurrence pairs, emitting gap = p[i+1]-p[i]-1
+    when gap <= slop (derivable from advanceRepeatGroups staggering +
+    collide/lesser advancement; used as the SQL oracle's formulation)."""
+    return [g for g in (P[i + 1] - P[i] - 1 for i in range(len(P) - 1)) if g <= slop]
+
+
+def test_sloppy_rpt_same_term_pair_model_randomized():
+    rng = np.random.default_rng(11)
+    for _ in range(3000):
+        P = sorted(rng.choice(60, size=int(rng.integers(1, 12)), replace=False).tolist())
+        slop = int(rng.integers(0, 9))
+        got = sloppy_match_lengths([P, P], [0, 1], slop, terms=["a", "a"])
+        assert sorted(got) == sorted(_rpt_pair_model(P, slop)), (P, slop)
+
+
+def test_engine_sloppy_rpt_matches_pyref(spark, tmp_path):
+    """End-to-end "a b a"~slop differential: the Spark per-segment phrase
+    scorer (docid conjunction + position decode + rpt matcher) vs the
+    pure-Python reference on a corpus seeded with repeats."""
+    import random
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.pyref import build_ref_index, search_phrase as ref_phrase
+    from lucene_spark.search.executor import Index, search_phrase
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(300):
+        content = " ".join(rng.choices(vocab, k=rng.randrange(2, 30)))
+        rows.append((i, content))
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    idx = Index(
+        spark,
+        build_index(
+            spark, docs, str(tmp_path / "rpt"),
+            IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=3,
+                        hot_df_threshold=400, index_positions=True),
+        ),
+    )
+    ref = build_ref_index(rows)
+    shapes = [
+        (["alpha", "beta", "alpha"], 2),
+        (["alpha", "alpha"], 1),
+        (["beta", "alpha", "beta"], 3),
+        (["alpha", "beta", "alpha"], 0),  # exact path sanity on same corpus
+    ]
+    for phrase, slop in shapes:
+        got = [
+            (r["docid"], r["score"])
+            for r in search_phrase(idx, phrase, slop=slop, k=15).collect()
+        ]
+        want = ref_phrase(ref, [(t, i) for i, t in enumerate(phrase)], slop=slop, k=15)
+        assert [d for d, _ in got] == [d for d, _ in want], (phrase, slop)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-6), (phrase, slop)
+
+
 
 
 def test_multi_phrase_matches_pyref(built_index, ref_index):
