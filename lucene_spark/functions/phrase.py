@@ -239,6 +239,124 @@ def _sloppy_match_lengths_rpt(
     return out
 
 
+def sloppy_2term_doc_freqs(
+    keys_a: np.ndarray, keys_b: np.ndarray, pos_base: int, slop: int, dtype=np.float32
+):
+    """Per-doc phraseFreq for a 2-DISTINCT-term sloppy phrase, computed as a
+    batched "stationary chain" over FUSED (doc, adjusted-position) keys —
+    no per-doc Python walk.
+
+    Reduction of the greedy pq matcher (SloppyPhraseMatcher.java:205-237),
+    validated against it on dense randomized lists (tests/test_phrase.py):
+    with exactly two pps the walk's emissions are
+
+        s_1    = the first element of the OTHER label than the doc's
+                 least element (ties order term-A before term-B, matching
+                 the pq comparator's offset tie-break, :96-110);
+        s_next = the least opposite-label element with value STRICTLY
+                 greater than the current stationary;
+        emit d = s - floor_other(s)   (floor is <=, so a tied opposite
+                 element IS the floor -> d = 0).
+
+    The chain is evaluated for all docs simultaneously: one vectorized
+    gather per chain step (steps bounded by the longest per-doc chain).
+    Per-doc sloppyWeights 1/(1+d) are folded LEFT-TO-RIGHT in ``dtype``
+    (one vectorized add per chain step — each step emits at most one match
+    per doc), matching PhraseScorer's sequential float32 accumulation
+    bit-exactly. Returns (doc_ids, freqs) for docs with freq > 0.
+    """
+    z = np.empty(0, np.int64)
+    ka = np.asarray(keys_a, np.int64)
+    kb = np.asarray(keys_b, np.int64)
+    if len(ka) == 0 or len(kb) == 0:
+        return z, np.empty(0, dtype)
+    keys = np.concatenate([ka, kb])
+    lab = np.concatenate([np.zeros(len(ka), np.int8), np.ones(len(kb), np.int8)])
+    order = np.lexsort((lab, keys))
+    k = keys[order]
+    l = lab[order]
+    n = len(k)
+    shift = int(pos_base).bit_length() - 1
+    if (1 << shift) == pos_base:  # power-of-two key space: shift beats div
+        doc = k >> shift
+    else:
+        doc = k // pos_base
+
+    # With only two labels, "the next/previous OPPOSITE-label index" is a
+    # run-boundary lookup: split the merged sequence into maximal same-label
+    # runs; the first opposite after i is the next run's start, the last
+    # opposite before i is the previous run's end, and the next SAME-label
+    # index after j is j+1 within the run else the start of run+2.
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(l[1:], l[:-1], out=change[1:])
+    run_id = np.cumsum(change) - 1
+    run_starts = np.flatnonzero(change)
+    rs_ext = np.concatenate([run_starts, [n, n]])
+    cross_next = rs_ext[run_id + 1]  # first index of the NEXT run (n if none)
+    prev_opp = run_starts[run_id] - 1  # last index of the PREVIOUS run (-1)
+
+    def same_next(x):
+        """Next index after x with x's own label (lazy — ties are rare)."""
+        return np.where(x + 1 < cross_next[x], x + 1, rs_ext[run_id[x] + 2])
+
+    # chain start per doc: first element of the opposite label of the doc's
+    # least element (not strictly greater — matches the walk's init where
+    # s0 may TIE the other list's first element). doc is already sorted, so
+    # doc starts come from a boundary scan (np.unique would re-sort).
+    first = np.concatenate([[0], np.flatnonzero(doc[1:] != doc[:-1]) + 1])
+    doc_ids = doc[first]
+    cur = cross_next[first]
+    curc = np.minimum(cur, n - 1)
+    keep0 = (cur < n) & (doc[curc] == doc_ids)
+    ii = curc[keep0]
+    docs_ii = doc_ids[keep0]
+
+    out_doc: List[np.ndarray] = []
+    out_d: List[np.ndarray] = []
+    while len(ii):
+        j = cross_next[ii]  # first opposite-label index after the stationary
+        jc = np.minimum(j, n - 1)
+        validj = (j < n) & (doc[jc] == docs_ii)
+        tie = validj & (k[jc] == k[ii])
+        # floor in the opposite list: the tied opposite element (which sorts
+        # AFTER an A-stationary) when present, else the last opposite before
+        flo = np.where(tie, jc, prev_opp[ii])
+        okf = (flo >= 0) & (doc[np.maximum(flo, 0)] == docs_ii)
+        d = np.abs(k[ii] - k[np.maximum(flo, 0)])  # tie-floor: |.| = 0
+        out_doc.append(docs_ii[okf])
+        out_d.append(d[okf])
+        # advance: least opposite-label element STRICTLY greater in value —
+        # the tied element is not, so hop to the next same-label index
+        # after it (opposite values are unique within a doc)
+        if tie.any():
+            j2 = j.copy()
+            j2[tie] = same_next(jc[tie])
+        else:
+            j2 = j
+        j2c = np.minimum(j2, n - 1)
+        valid2 = validj & (j2 < n) & (doc[j2c] == docs_ii)
+        ii = j2c[valid2]
+        docs_ii = docs_ii[valid2]
+
+    if not out_doc:
+        return z, np.empty(0, dtype)
+    # sequential per-doc accumulation in emission order: each chain step
+    # emits at most one match per doc, so folding step-by-step reproduces
+    # PhraseScorer's left-to-right float32 accumulation BIT-EXACTLY
+    # (np.add.reduceat would sum pairwise and drift in the last ulp)
+    keep = [(dc[msk], dd[msk]) for dc, dd, in zip(out_doc, out_d)
+            if (msk := dd <= slop).any()]
+    if not keep:
+        return z, np.empty(0, dtype)
+    uniq = np.unique(np.concatenate([dc for dc, _ in keep]))
+    freqs = np.zeros(len(uniq), dtype)
+    for dc, dd in keep:
+        pos = np.searchsorted(uniq, dc)
+        freqs[pos] = freqs[pos] + (dtype(1) / (dtype(1) + dd.astype(dtype)))
+    return uniq, freqs
+
+
 def sloppy_phrase_freq(
     positions_per_term: Sequence,
     offsets: Sequence[int],

@@ -871,7 +871,7 @@ def make_phrase_topk_fn(
     """Per-segment phrase scorer: conjunction approximation over docids
     (positions untouched), then position decode + exact/sloppy matcher on
     surviving candidates only (PhraseScorer.twoPhaseIterator analog)."""
-    from ..functions.phrase import sloppy_phrase_freq
+    from ..functions.phrase import sloppy_2term_doc_freqs, sloppy_phrase_freq
 
     distinct = sorted({t for t, _ in terms_off})
     POS_BASE = np.int64(1) << np.int64(22)  # fused (doc, adjusted-pos) key space
@@ -942,6 +942,29 @@ def make_phrase_topk_fn(
             docs = docs + base
             sel = np.searchsorted(cand, docs)
             freqs = cnts.astype(np.float64)
+            dls_m = doclens[sel]
+        elif len(terms_off) == 2 and terms_off[0][0] != terms_off[1][0]:
+            # --- vectorized 2-distinct-term sloppy matcher: one batched
+            # merged-boundary pass over ALL candidate docs (no per-doc
+            # Python walk; see sloppy_2term_doc_freqs). Fused keys shift
+            # adjusted positions by max offset so they stay non-negative.
+            base = int(cand[0])
+            shift = np.int64(max(o for _, o in terms_off))
+            fused = []
+            for t, off in terms_off:
+                ids, tfs, pos = per_term[t]
+                if len(pos) and int(pos.max()) + int(shift) + 1 >= int(POS_BASE):
+                    raise ValueError("document positions exceed fused-key space")
+                adj = pos - np.int64(off) + shift
+                fused.append((np.repeat(ids, tfs) - base) * POS_BASE + adj)
+            docs, freqs32 = sloppy_2term_doc_freqs(
+                fused[0], fused[1], int(POS_BASE), slop, dtype=dtype
+            )
+            if len(docs) == 0:
+                return z, z.astype(np.float64), counters
+            docs = docs + base
+            sel = np.searchsorted(cand, docs)
+            freqs = freqs32.astype(np.float64)
             dls_m = doclens[sel]
         else:
             bounds = {

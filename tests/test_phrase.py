@@ -153,6 +153,81 @@ def test_phrase_requires_positions(spark, tmpdir_index):
         search_phrase(idx, ["import", "return"], k=5).collect()
 
 
+def test_sloppy_2term_vectorized_matches_walk_50k():
+    """The batched merged-boundary formulation must produce BIT-IDENTICAL
+    float32 phraseFreq to the per-doc pq walk, across 50k random position
+    lists packed into fused keys."""
+    from lucene_spark.functions.phrase import sloppy_2term_doc_freqs
+
+    rng = np.random.default_rng(23)
+    POS_BASE = 1 << 22
+    n_docs = 50_000
+    ka, kb, want = [], [], {}
+    for d in range(n_docs):
+        # DENSE lists (narrow value range, up to 14 elements) so adjusted
+        # positions tie and interleave heavily — the regime where a naive
+        # reduction of the walk diverges (an earlier merged-boundaries
+        # formulation passed a sparse version of this test and was wrong)
+        hi = int(rng.integers(8, 40))
+        A = np.sort(rng.choice(hi, size=int(rng.integers(1, min(hi, 14))), replace=False))
+        B = np.sort(rng.choice(hi, size=int(rng.integers(1, min(hi, 14))), replace=False))
+        off_b = int(rng.integers(1, 4))
+        slop = int(rng.integers(0, 6)) if d % 2 else 3
+        f = sloppy_phrase_freq([A.tolist(), B.tolist()], [0, off_b], slop)
+        if f > 0:
+            want[d] = (np.float32(f), slop)
+        shift = off_b  # keep adjusted positions non-negative in the keys
+        ka.append((d * POS_BASE + A + shift, slop))
+        kb.append((d * POS_BASE + (B - off_b) + shift, slop))
+    # group docs by slop so each batch call uses one slop value
+    for s in range(6):
+        kaa = [a for a, sl in ka if sl == s]
+        kbb = [b for b, sl in kb if sl == s]
+        if not kaa:
+            continue
+        docs, freqs = sloppy_2term_doc_freqs(
+            np.concatenate(kaa), np.concatenate(kbb), POS_BASE, s, dtype=np.float32
+        )
+        got = dict(zip(docs.tolist(), freqs.tolist()))
+        want_s = {d: f for d, (f, sl) in want.items() if sl == s}
+        assert got.keys() == want_s.keys(), s
+        for d, f in want_s.items():
+            assert np.float32(got[d]) == f, (d, s)
+
+
+def test_sloppy_2term_vectorized_speedup():
+    """>= 5x over the per-doc pq walk on a hot-phrase-sized batch."""
+    import time
+
+    from lucene_spark.functions.phrase import sloppy_2term_doc_freqs
+
+    rng = np.random.default_rng(5)
+    POS_BASE = 1 << 22
+    n_docs = 20_000
+    As, Bs, ka, kb = [], [], [], []
+    for d in range(n_docs):
+        A = np.sort(rng.choice(120, size=16, replace=False))
+        B = np.sort(rng.choice(120, size=16, replace=False))
+        As.append(A), Bs.append(B)
+        ka.append(d * POS_BASE + A + 1)  # adjusted (off 0) + shift 1
+        kb.append(d * POS_BASE + B)  # adjusted (off 1) + shift 1
+    ka, kb = np.concatenate(ka), np.concatenate(kb)
+
+    vec = float("inf")
+    for _ in range(5):  # min-of-N: this host's timing drifts (BENCH/BASELINE.md)
+        t0 = time.perf_counter()
+        sloppy_2term_doc_freqs(ka, kb, POS_BASE, 2)
+        vec = min(vec, time.perf_counter() - t0)
+
+    walk = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for A, B in zip(As, Bs):
+            sloppy_phrase_freq([A.tolist(), B.tolist()], [0, 1], 2)
+        walk = min(walk, time.perf_counter() - t0)
+    assert walk / vec >= 5, (walk, vec)
+
+
 # --- repeating-term sloppy phrases (SloppyPhraseMatcher rptGroups) ----------
 
 
