@@ -85,6 +85,31 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _ann_index_dir(spark: SparkSession, sf_dir: str, n_planes: int) -> str:
+    """Build (once, cached on disk) the bucket-PARTITIONED ANN index for
+    this sf's embeddings — queries probe partitions instead of recomputing
+    the bucket expression over the whole table."""
+    from lucene_spark.pipeline.similarity import build_ann_index
+
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_ann{n_planes}"
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        build_ann_index(_emb(spark, sf_dir), d, dim=64, n_planes=n_planes, seed=42)
+    return d
+
+
+def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached on disk) the persisted int64 minhash signature
+    table for this sf's documents."""
+    from lucene_spark.pipeline.dedup import build_minhash_index
+
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_minhash"
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        build_minhash_index(_docs(spark, sf_dir), d)
+    return d
+
+
 def _topk(idx: Index, k=10, **clauses) -> DataFrame:
     q = normalize(**clauses)
     res = search_topk(idx, q, k=k, quantize=False, dtype=np.float64)
@@ -579,29 +604,17 @@ def q_dedup_exact(spark, sf):
 
 
 def q_minhash_band_buckets(spark, sf):
-    from lucene_spark.pipeline.dedup import BANDS, ROWS_PER_BAND, minhash_signatures
+    """Band-bucket stats computed from the PERSISTED int64 signature table
+    (build_minhash_index -> read back -> band_buckets): the signatures are
+    computed once from text, every probe reads the narrow parquet."""
+    from lucene_spark.pipeline.dedup import band_buckets, read_minhash_index
 
-    sig = minhash_signatures(_docs(spark, sf))
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
-            ).alias(f"b{b}")
-            for b in range(BANDS)
-        ],
-    )
-    per_band = [
-        bands.groupBy(F.col(f"b{b}").alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
-        .select(F.lit(b).alias("band"), "bucket", "cnt")
-        for b in range(BANDS)
-    ]
-    allb = per_band[0]
-    for p in per_band[1:]:
-        allb = allb.unionAll(p)
+    sig = read_minhash_index(spark, _minhash_index_dir(spark, sf))
+    bands = band_buckets(sig)
     return (
-        allb.groupBy("band")
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("band")
         .agg(F.countDistinct("bucket").alias("n_buckets"), F.max("cnt").alias("max_bucket"))
         .orderBy("band")
     )
@@ -652,13 +665,12 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_ann_lsh_buckets(spark, sf):
-    from lucene_spark.pipeline.similarity import hyperplanes, lsh_bucket_expr
-
-    emb = _emb(spark, sf)
-    planes = hyperplanes(64, n_planes=6, seed=42)
+    """Bucket occupancy read from the PERSISTED bucket-partitioned ANN
+    index (build_ann_index): bucket is a partition column, so per-bucket
+    scans are partition-pruned directory reads."""
     return (
-        emb.withColumn("bucket", lsh_bucket_expr("embedding", planes))
-        .groupBy("bucket")
+        spark.read.parquet(_ann_index_dir(spark, sf, n_planes=6))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
@@ -687,12 +699,15 @@ MULTIPROBE_PLANES = 6
 
 
 def q_ann_lsh_multiprobe(spark, sf):
-    """Multi-probe LSH ANN: probe the query bucket plus every 1-bit-flip
-    neighbor (recall knob without extra hash tables)."""
-    from lucene_spark.pipeline.similarity import cosine_topk_lsh_multiprobe
+    """Multi-probe LSH ANN against the PERSISTED bucket-partitioned index:
+    probe the query bucket plus every 1-bit-flip neighbor (recall knob
+    without extra hash tables); partition pruning reads only the probed
+    bucket directories."""
+    from lucene_spark.pipeline.similarity import ann_index_topk
 
-    return cosine_topk_lsh_multiprobe(
-        _emb(spark, sf), _ann_query_vec(spark, sf), k=10,
+    return ann_index_topk(
+        spark, _ann_index_dir(spark, sf, n_planes=MULTIPROBE_PLANES),
+        _ann_query_vec(spark, sf), k=10, dim=64,
         n_planes=MULTIPROBE_PLANES, seed=42, probe_bits=1,
     )
 
@@ -904,8 +919,11 @@ FROM h ORDER BY doc_id"""
 def _minhash_sql() -> str:
     from lucene_spark.pipeline.dedup import BANDS, N_PERM, ROWS_PER_BAND
 
+    # int64 lanes: low 60 bits of md5 (CAST('0x'||hex AS BIGINT) mirrors
+    # Spark's conv(substring(md5,1,15),16,10) exactly — see _hash64)
     mins = ", ".join(
-        f"list_min(list_transform(ts, t -> md5(concat('{i}_', t)))) AS mh{i}"
+        f"list_min(list_transform(ts, t -> "
+        f"CAST(concat('0x', substr(md5(concat('{i}_', t)), 1, 15)) AS BIGINT))) AS mh{i}"
         for i in range(N_PERM)
     )
     band_rows = " UNION ALL ".join(

@@ -182,6 +182,27 @@ def main() -> None:
     n_pref_bc = percolate_prefiltered(doc_df, qdf_bc).count()
     assert n_pref_bc == n_bc, (n_pref_bc, n_bc)
 
+    # --- persisted ANN index: bucket-partitioned parquet vs per-query
+    # expression recompute; the probe reads ONLY the probed bucket dirs
+    from lucene_spark.pipeline.similarity import (
+        ann_index_topk, build_ann_index, cosine_topk_lsh_multiprobe, probe_buckets,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ann_dir = f"{scratch}/ann_idx_{sf_dir.strip('/').replace('/', '_')}"
+    if not os.path.exists(os.path.join(ann_dir, "_SUCCESS")):
+        build_ann_index(emb, ann_dir, dim=64, n_planes=8, seed=42)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    t0 = time.perf_counter()
+    ann_index_topk(spark, ann_dir, qv, k=10, dim=64, n_planes=8, probe_bits=1).collect()
+    q_secs["ann_persisted_probe"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    cosine_topk_lsh_multiprobe(emb, qv, k=10, n_planes=8, probe_bits=1).collect()
+    q_secs["ann_expr_recompute"] = round(time.perf_counter() - t0, 4)
+    probes = probe_buckets(qv, dim=64, n_planes=8, seed=42, probe_bits=1)
+    n_dirs = len([e for e in os.listdir(ann_dir) if e.startswith("bucket=")])
+    ann_partitions = f"{min(len(probes), n_dirs)}/{n_dirs}"
+
     out = {
         "metric": "index_build_seconds",
         "value": round(build_sec, 3),
@@ -195,6 +216,7 @@ def main() -> None:
         "skip_index_build_sec": big_build_sec,
         "blocks_decoded_ratio": ratio,
         "blocks_decoded_ratios": ratios,
+        "ann_partitions_probed": ann_partitions,
     }
     print(json.dumps(out))
     spark.stop()

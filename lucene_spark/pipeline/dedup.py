@@ -4,9 +4,11 @@ Scale design (the point of each op at 100 TB):
   - exact: one hash-shuffle on a 32-byte key; canonical doc = min doc_id.
   - MinHash+LSH: per-doc signature is a narrow map-side transform; the only
     shuffle is the band-bucket self-join, whose fan-out is controlled by
-    (n_perm, bands). Deterministic permutation h_i(tok) = md5(i || '_' || tok)
-    compared as hex strings (no integer-overflow games, identical in ANSI
-    SQL, stable everywhere).
+    (n_perm, bands). Deterministic permutation h_i(tok) = the low 60 bits
+    of md5(i || '_' || tok) as a NON-NEGATIVE int64 lane (8 bytes/lane,
+    integer minima — same expression shape in ANSI SQL via
+    CAST('0x'||substr(md5(..),1,15) AS BIGINT)); signatures are
+    PERSISTABLE as narrow parquet (build once, probe many).
   - SimHash: 60-bit signature from per-token md5 bits, majority vote per
     bit; pure expressions, no shuffle.
   - n-gram Jaccard verify runs only on LSH candidate pairs (never all
@@ -16,13 +18,29 @@ All built-in functions, JVM-side; no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .textstats import tokens
 
 N_PERM = 16
 BANDS = 4
 ROWS_PER_BAND = N_PERM // BANDS
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """LSH shape knobs (were fixed module constants; the s-curve threshold
+    is ~ (1/bands)^(1/rows_per_band), so tune per corpus)."""
+
+    n_perm: int = N_PERM
+    bands: int = BANDS
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.n_perm % self.bands == 0, "bands must divide n_perm"
+        return self.n_perm // self.bands
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -36,9 +54,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _minhash_cols(text_col: str, shingle: int = 1):
-    """N_PERM minhash values as hex-string minima over token (or shingle)
-    md5 hashes. shingle=1 -> unigram token set."""
+def _hash64(expr):
+    """Low 60 bits of md5 as a non-negative int64 (same trick as SimHash;
+    expressible identically in ANSI SQL)."""
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_cols(text_col: str, shingle: int = 1, cfg: MinHashConfig = MinHashConfig()):
+    """n_perm minhash lanes as INT64 minima over token (or shingle) hashes.
+    shingle=1 -> unigram token set."""
     toks = F.array_distinct(tokens(text_col))
     if shingle > 1:
         # word shingles via transform over index positions
@@ -50,22 +74,40 @@ def _minhash_cols(text_col: str, shingle: int = 1):
         ).otherwise(F.array(F.concat_ws(" ", toks)))
         toks = F.array_distinct(toks)
     return [
-        F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{i}_"), t)))).alias(
-            f"mh{i}"
-        )
-        for i in range(N_PERM)
+        F.array_min(
+            F.transform(toks, lambda t: _hash64(F.concat(F.lit(f"{i}_"), t)))
+        ).alias(f"mh{i}")
+        for i in range(cfg.n_perm)
     ]
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", shingle: int = 1) -> DataFrame:
-    return df.select(F.col("doc_id"), *_minhash_cols(text_col, shingle))
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", shingle: int = 1,
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    return df.select(F.col("doc_id"), *_minhash_cols(text_col, shingle, cfg))
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", shingle: int = 1) -> DataFrame:
-    """MinHash-LSH: band signatures -> bucket self-join -> distinct
-    candidate pairs (doc_id_a < doc_id_b)."""
-    sig = minhash_signatures(df, text_col, shingle)
-    bands = sig.select(
+def build_minhash_index(
+    df: DataFrame, out_dir: str, text_col: str = "text", shingle: int = 1,
+    cfg: MinHashConfig = MinHashConfig(),
+) -> None:
+    """Persist the signature table (doc_id + n_perm int64 lanes) as parquet:
+    the signatures are the expensive map-side pass over the corpus text —
+    at 100 TB you compute them once and every dedup run probes the narrow
+    (8*n_perm bytes/doc) table instead of re-reading the text."""
+    minhash_signatures(df, text_col, shingle, cfg).write.mode("overwrite").parquet(out_dir)
+
+
+def read_minhash_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(index_dir)
+
+
+def band_buckets(sig: DataFrame, cfg: MinHashConfig = MinHashConfig()) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature table (fresh or read
+    back from a persisted index)."""
+    rpb = cfg.rows_per_band
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -74,15 +116,27 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", shingle: int = 1)
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                                "|", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
                             )
                         ).alias("bucket"),
                     )
-                    for b in range(BANDS)
+                    for b in range(cfg.bands)
                 ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", shingle: int = 1,
+    cfg: MinHashConfig = MinHashConfig(), sig: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH: band signatures -> bucket self-join -> distinct
+    candidate pairs (doc_id_a < doc_id_b). Pass ``sig`` (e.g. from
+    read_minhash_index) to skip recomputing signatures from text."""
+    if sig is None:
+        sig = minhash_signatures(df, text_col, shingle, cfg)
+    bands = band_buckets(sig, cfg)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

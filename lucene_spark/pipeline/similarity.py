@@ -95,6 +95,57 @@ def cosine_topk_lsh_multiprobe(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def build_ann_index(
+    df: DataFrame, out_dir: str, vec_col: str = "embedding", id_col: str = "vec_id",
+    dim: int = 64, n_planes: int = 8, seed: int = 42,
+) -> None:
+    """Persist the embedding table PARTITIONED BY its LSH bucket: the
+    bucket expression runs ONCE at build time; at query time a probe
+    filters on the partition column, so Spark's partition pruning reads
+    only the probed bucket directories (~1/2^n_planes of the data per
+    probe) — the 100-TB path the per-query expression recompute
+    (lsh_bucket_expr over the whole table) cannot take."""
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        df.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+
+def query_bucket(query_vec, dim: int = 64, n_planes: int = 8, seed: int = 42) -> int:
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(dim, n_planes, seed)
+    return int(sum(2**j for j, p in enumerate(planes) if float(np.dot(p, q)) > 0))
+
+
+def probe_buckets(query_vec, dim: int = 64, n_planes: int = 8, seed: int = 42,
+                  probe_bits: int = 0) -> list:
+    """The query's bucket plus every bucket within Hamming distance
+    <= probe_bits (multi-probe recall knob)."""
+    qb = query_bucket(query_vec, dim, n_planes, seed)
+    buckets = {qb}
+    frontier = {qb}
+    for _ in range(probe_bits):
+        frontier = {b ^ (1 << j) for b in frontier for j in range(n_planes)}
+        buckets |= frontier
+    return sorted(buckets)
+
+
+def ann_index_topk(
+    spark, index_dir: str, query_vec, k: int = 10, vec_col: str = "embedding",
+    id_col: str = "vec_id", dim: int = 64, n_planes: int = 8, seed: int = 42,
+    probe_bits: int = 0,
+) -> DataFrame:
+    """ANN against a PERSISTED bucket-partitioned index: the bucket filter
+    lands in PartitionFilters (partition pruning — check .explain()), so
+    only the probed directories are read; exact cosine within them."""
+    probes = probe_buckets(query_vec, dim, n_planes, seed, probe_bits)
+    cand = spark.read.parquet(index_dir).filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def cosine_neardup_lsh(
     df: DataFrame, threshold: float = 0.95, vec_col: str = "embedding",
     id_col: str = "vec_id", dim: int = 64, n_planes: int = 6, seed: int = 42,

@@ -123,6 +123,69 @@ def test_cosine_topk_lsh_recalls_self_and_neardup(embeddings):
     assert {got[0]["vec_id"], got[1]["vec_id"]} == {0, 1}
 
 
+def test_minhash_persisted_index_equals_fresh(spark, docs, tmp_path):
+    """Signatures persisted as int64 parquet lanes and read back must yield
+    the same candidate pairs as the from-text computation; lanes are
+    non-negative int64 (SQL-safe 60-bit hashes)."""
+    from lucene_spark.pipeline.dedup import (
+        build_minhash_index, lsh_candidate_pairs, read_minhash_index,
+    )
+
+    d = str(tmp_path / "mh_idx")
+    build_minhash_index(docs, d)
+    sig = read_minhash_index(spark, d)
+    assert all(t == "bigint" for c, t in sig.dtypes if c.startswith("mh"))
+    assert sig.filter(F.col("mh0") < 0).count() == 0
+    fresh = {(r["doc_id_a"], r["doc_id_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    persisted = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in lsh_candidate_pairs(docs, sig=sig).collect()
+    }
+    assert fresh == persisted and (0, 1) in persisted
+
+
+def test_minhash_config_shapes(spark, docs):
+    """n_perm/bands are configurable (were fixed constants)."""
+    from lucene_spark.pipeline.dedup import MinHashConfig, minhash_signatures
+
+    cfg = MinHashConfig(n_perm=8, bands=2)
+    assert cfg.rows_per_band == 4
+    sig = minhash_signatures(docs, cfg=cfg)
+    assert [c for c in sig.columns if c.startswith("mh")] == [f"mh{i}" for i in range(8)]
+
+
+def test_ann_persisted_index_pruned_probe(spark, embeddings, tmp_path):
+    """The persisted bucket-partitioned ANN index must (a) return the same
+    top-k as the expression-recompute path and (b) push the bucket filter
+    into PartitionFilters (partition pruning — only probed directories are
+    read)."""
+    import os
+
+    from lucene_spark.pipeline.similarity import (
+        ann_index_topk, build_ann_index, cosine_topk_lsh_multiprobe, probe_buckets,
+    )
+
+    d = str(tmp_path / "ann_idx")
+    build_ann_index(embeddings, d, dim=8, n_planes=4, seed=42)
+    qv = embeddings.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    got = ann_index_topk(
+        spark, d, qv, k=3, dim=8, n_planes=4, seed=42, probe_bits=1
+    ).collect()
+    want = cosine_topk_lsh_multiprobe(
+        embeddings, qv, k=3, n_planes=4, seed=42, probe_bits=1
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    # partition layout on disk: one directory per bucket
+    assert any(e.startswith("bucket=") for e in os.listdir(d))
+    # the probe filter must reach PartitionFilters in the physical plan
+    probes = probe_buckets(qv, dim=8, n_planes=4, seed=42, probe_bits=1)
+    cand = spark.read.parquet(d).filter(F.col("bucket").isin(probes))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_cosine_neardup_pairs(embeddings):
     from lucene_spark.pipeline.similarity import cosine_neardup_pairs
 
