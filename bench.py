@@ -203,6 +203,24 @@ def main() -> None:
     n_dirs = len([e for e in os.listdir(ann_dir) if e.startswith("bucket=")])
     ann_partitions = f"{min(len(probes), n_dirs)}/{n_dirs}"
 
+    # --- query cache (LRUQueryCache analog): repeated filter-shaped range
+    # query, cached vs uncached, with the hit rate recorded
+    from lucene_spark.search.executor import search_tree
+    from lucene_spark.search.plan import QRange
+
+    node = QRange(field=None, lo="sp", hi="st")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        search_tree(idx_docs, node, k=10).collect()
+    q_secs["filter_range_uncached_x3"] = round(time.perf_counter() - t0, 4)
+    qcache = idx_docs.enable_query_cache()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        search_tree(idx_docs, node, k=10).collect()
+    q_secs["filter_range_cached_x3"] = round(time.perf_counter() - t0, 4)
+    cache_stats = qcache.stats()
+    idx_docs._qcache = None
+
     out = {
         "metric": "index_build_seconds",
         "value": round(build_sec, 3),
@@ -217,6 +235,7 @@ def main() -> None:
         "blocks_decoded_ratio": ratio,
         "blocks_decoded_ratios": ratios,
         "ann_partitions_probed": ann_partitions,
+        "query_cache": cache_stats,
     }
     print(json.dumps(out))
     spark.stop()

@@ -21,7 +21,21 @@ UAX#29 subset implemented (sufficient for source-code corpora):
     StandardTokenizerImpl.jflex WB6/7 + WB11/12;
   - MidNum ``,`` joins digit runs (``1,024``); MidLetter ``:`` joins letter
     runs; ``_`` (ExtendNumLet) never joins across a joiner;
-  - CJK ideographs are emitted one-per-character (Lucene IDEOGRAPHIC tokens);
+  - CJK ideographs + hiragana are emitted one-per-character (Lucene
+    IDEOGRAPHIC / HIRAGANA tokens, StandardTokenizerImpl.jflex:278-279);
+  - SOUTH-EAST-ASIAN: runs of Line_Break=Complex_Context scripts (Thai,
+    Lao, Myanmar, Khmer, Tai) are ONE token per contiguous run, never
+    joined with ALetter runs (jflex ``{ComplexContextEx}+``, :274; script
+    digits are Numeric, not SA, so they stay in word runs);
+  - KATAKANA: its own word-break class (NOT ALetter, jflex:90,223) — runs
+    form one token, splitting from adjacent Latin unless joined by an
+    ExtendNumLet underscore (WB13a/b); mid-joiners never join katakana.
+    Hangul IS ALetter (jflex:87) so it chains with word runs unchanged;
+  - EMOJI sequences (jflex:196-207 / UTS#51): pictographic char with
+    optional presentation selector and skin-tone modifier, chained by
+    ZWJ; keycaps ``3️⃣``; regional-indicator PAIRS (lone RI is dropped);
+    tag sequences (subset: the FE0E text-presentation edge cases of
+    TestStandardAnalyzer.testEmojiVariationSequence are not modeled);
   - tokens longer than 255 chars are split into 255-char chunks.
 
 This is the single hot UDF of the build; it runs inside Arrow batches
@@ -47,9 +61,85 @@ ENGLISH_STOP_WORDS = frozenset(
 # Word run: letters/digits/underscore. Joiners per UAX#29 subset above.
 # CJK ideographs + hiragana break one-per-char; excluded from word runs.
 _CJK = r"一-鿿㐀-䶿豈-﫿ぁ-ゟ"
-_W = rf"(?:(?![{_CJK}])\w)+"
+
+# Line_Break=Complex_Context letters/marks (script digits excluded — they
+# are WB:Numeric): Thai, Lao, Myanmar (+ext), Khmer, Tai Le, New Tai Lue,
+# Tai Tham, Tai Viet.
+_SEA = (
+    "\u0e01-\u0e3a\u0e40-\u0e4e"  # Thai
+    "\u0e81-\u0ebd\u0ec0-\u0ecd"  # Lao
+    "\u1000-\u103f\u1050-\u108f\u109a-\u109f"  # Myanmar
+    "\ua9e0-\ua9ef\ua9fa-\ua9fe\uaa60-\uaa7b"  # Myanmar extensions
+    "\u1780-\u17dd"  # Khmer
+    "\u1950-\u1974\u1980-\u19c9"  # Tai Le, New Tai Lue
+    "\u1a20-\u1a7c"  # Tai Tham
+    "\uaa80-\uaac2"  # Tai Viet
+)
+
+# WB:Katakana (own class, NOT ALetter): katakana + prolonged sound mark +
+# iteration marks, phonetic extensions, halfwidth forms.
+_KATA = "\u30a1-\u30fa\u30fc-\u30ff\u31f0-\u31ff\uff66-\uff9d"
+
+# --- emoji sequences (UTS#51 subset per the jflex grammar, :60-79,196-207)
+_RI = "\U0001f1e6-\U0001f1ff"  # regional indicators (pairs only)
+# Extended_Pictographic-ish main ranges, EXCLUDING the RI block
+_PICT = (
+    "\u00a9\u00ae\u203c\u2049\u2122\u2139\u2194-\u21aa\u231a-\u23fa\u24c2"
+    "\u25aa-\u25fe\u2600-\u27bf\u2934\u2935\u2b00-\u2bff\u3030\u303d"
+    "\u3297\u3299\U0001f000-\U0001f1e5\U0001f200-\U0001faff"
+)
+_MOD = "\U0001f3fb-\U0001f3ff"  # Emoji_Modifier (skin tones)
+_ZWJ = "\u200d"
+_PSEL = "\ufe0f"
+_EMOJI_CORE = f"(?:[{_ZWJ}]*[{_PICT}][{_PSEL}]?[{_MOD}]?)"
+_KEYCAP = f"(?:[0-9#*][{_PSEL}]?\u20e3)"
+_TAGSEQ = "(?:[\U000e0020-\U000e007e]+\U000e007f)"
+_EMOJI = (
+    f"(?:[{_RI}]{{2}}|{_KEYCAP}|{_EMOJI_CORE}(?:[{_ZWJ}]{_EMOJI_CORE})*{_TAGSEQ}?)"
+)
+
+# WB4: X (Extend | Format | ZWJ)* -> X — combining marks and joiners are
+# absorbed into the preceding token char (jflex ExtFmtZwj, :85). Python's
+# \w excludes Mn/Mc marks, so common Extend ranges are listed explicitly;
+# a token can never START with one (no base -> dropped, WB999).
+_EXT = (
+    "\u0300-\u036f\u0483-\u0489\u0591-\u05bd\u05bf\u05c1\u05c2\u05c4\u05c5\u05c7"
+    "\u0610-\u061a\u064b-\u065f\u0670\u06d6-\u06dc\u06df-\u06e4\u06e7\u06e8"
+    "\u06ea-\u06ed\u0711\u0730-\u074a\u07a6-\u07b0\u0816-\u0819\u081b-\u0823"
+    "\u0825-\u0827\u0829-\u082d\u0859-\u085b\u08d4-\u08e1\u08e3-\u0903"
+    "\u093a-\u093c\u093e-\u094f\u0951-\u0957\u0962\u0963\u0981-\u0983\u09bc"
+    "\u09be-\u09c4\u09c7\u09c8\u09cb-\u09cd\u09d7\u09e2\u09e3"
+    "\u0a01-\u0a03\u0a3c\u0a3e-\u0a42\u0a47\u0a48\u0a4b-\u0a4d\u0a51\u0a70\u0a71\u0a75"
+    "\u0a81-\u0a83\u0abc\u0abe-\u0ac5\u0ac7-\u0ac9\u0acb-\u0acd\u0ae2\u0ae3"
+    "\u0b01-\u0b03\u0b3c\u0b3e-\u0b44\u0b47\u0b48\u0b4b-\u0b4d\u0b56\u0b57\u0b62\u0b63"
+    "\u0b82\u0bbe-\u0bc2\u0bc6-\u0bc8\u0bca-\u0bcd\u0bd7"
+    "\u0c00-\u0c04\u0c3e-\u0c44\u0c46-\u0c48\u0c4a-\u0c4d\u0c55\u0c56\u0c62\u0c63"
+    "\u0c81-\u0c83\u0cbc\u0cbe-\u0cc4\u0cc6-\u0cc8\u0cca-\u0ccd\u0cd5\u0cd6\u0ce2\u0ce3"
+    "\u0d01-\u0d03\u0d3e-\u0d44\u0d46-\u0d48\u0d4a-\u0d4d\u0d57\u0d62\u0d63"
+    "\u0d82\u0d83\u0dca\u0dcf-\u0dd4\u0dd6\u0dd8-\u0ddf\u0df2\u0df3"
+    "\u0f18\u0f19\u0f35\u0f37\u0f39\u0f3e\u0f3f\u0f71-\u0f84\u0f86\u0f87"
+    "\u0f8d-\u0f97\u0f99-\u0fbc\u0fc6\u135d-\u135f\u1712-\u1714\u1732-\u1734"
+    "\u1752\u1753\u1772\u1773\u17b4-\u17d3\u17dd\u180b-\u180d"
+    "\u1a7f\u1ab0-\u1abe\u1b00-\u1b04\u1b34-\u1b44\u1b6b-\u1b73\u1b80-\u1b82"
+    "\u1ba1-\u1bad\u1be6-\u1bf3\u1c24-\u1c37\u1cd0-\u1cd2\u1cd4-\u1ce8"
+    "\u1ced\u1cf2-\u1cf4\u1cf8\u1cf9\u1dc0-\u1df5\u1dfb-\u1dff"
+    "\u200c\u200d\u20d0-\u20f0\u2cef-\u2cf1\u2d7f\u2de0-\u2dff\u302a-\u302f"
+    "\u3099\u309a\ua66f-\ua672\ua674-\ua67d\ua69e\ua69f\ua6f0\ua6f1\ua802\ua806"
+    "\ua80b\ua823-\ua827\ua880\ua881\ua8b4-\ua8c5\ua8e0-\ua8f1\ua926-\ua92d"
+    "\ua947-\ua953\ua980-\ua983\ua9b3-\ua9c0\uaa29-\uaa36\uaa43\uaa4c\uaa4d"
+    "\uaa7c\uaab0\uaab2-\uaab4\uaab7\uaab8\uaabe\uaabf\uaac1\uaaeb-\uaaef"
+    "\uaaf5\uaaf6\uabe3-\uabea\uabec\uabed\ufb1e\ufe00-\ufe0f\uff9e\uff9f"
+)
+
+# "Other" word chars: \w minus the classes with their own token rules;
+# Extend chars attach after a base char (WB4).
+_WBASE = rf"(?:(?![{_CJK}{_SEA}{_KATA}])\w)"
+_W = rf"{_WBASE}(?:{_WBASE}|[{_EXT}])*"
+# a word segment: a katakana run, or an Other run with legal mid-joiners;
+# segments chain only through an ExtendNumLet underscore (WB13a/b)
+_SEG = rf"(?:[{_KATA}]+|{_W}(?:[.'’:,]{_W})*)"
 _WORD_RE = re.compile(
-    rf"[{_CJK}]|{_W}(?:[.'’:,]{_W})*",
+    rf"{_EMOJI}|[{_CJK}]|[{_SEA}]+|{_SEG}(?:_{_SEG})*",
     re.UNICODE,
 )
 # ASCII fast path: same token language restricted to ASCII (no CJK, no

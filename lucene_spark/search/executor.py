@@ -83,6 +83,22 @@ class Index:
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
         self._deleted: Optional[np.ndarray] = None
         self._has_deletes: Optional[bool] = None
+        self._qcache = None
+
+    # --- query cache (LRUQueryCache analog; off by default) ---------------
+
+    def enable_query_cache(self, max_entries: int = 32, min_frequency: int = 2):
+        """Attach an LRU cache of filter docid sets to this searcher
+        (IndexSearcher.setQueryCache analog, LRUQueryCache.java:119).
+        Returns the cache for stats inspection."""
+        from .cache import QueryCache
+
+        self._qcache = QueryCache(max_entries, min_frequency)
+        return self._qcache
+
+    @property
+    def query_cache(self):
+        return self._qcache
 
     # --- deletes (per-segment tombstones == liveDocs, PendingDeletes.java:31-34;
     # like Lucene, deleted docs stop MATCHING immediately but collection
@@ -337,11 +353,16 @@ def apply_per_segment(index: Index, rows: DataFrame, fn, schema: str) -> DataFra
     )
 
 
-def decoded_postings(index: Index, terms: Sequence[str], use_segments: bool = False) -> DataFrame:
+def decoded_postings(
+    index: Index, terms: Sequence[str], use_segments: bool = False,
+    apply_deletes: bool = True,
+) -> DataFrame:
     """(term, docid, tf, doclen) LIVE rows for the given terms, decoded from
     block binaries in mapInPandas (Arrow batches, numpy decode); tombstoned
     docs are removed by a distributed anti-join against the tombstone
-    parquet (no driver-side delete set)."""
+    parquet (no driver-side delete set). ``apply_deletes=False`` yields the
+    raw rows (query-cache entries store raw sets and apply live-docs at
+    read)."""
     src = index.seg_postings if use_segments else index.merged
     rows = src.filter(F.col("term").isin(list(terms))).select(
         "term", "block_data"
@@ -371,7 +392,7 @@ def decoded_postings(index: Index, terms: Sequence[str], use_segments: bool = Fa
                 yield pd.concat(outs, ignore_index=True)
 
     out = rows.mapInPandas(decode_map, DECODED_SCHEMA)
-    if index.has_deletes:
+    if apply_deletes and index.has_deletes:
         out = out.join(index.tombstones.select("docid"), "docid", "left_anti")
     return out
 
@@ -1396,6 +1417,11 @@ def _eval_node(index: Index, node, quantize: bool, dtype) -> Optional[DataFrame]
         q = NormalizedQuery(optional=tuple((t, 1) for t in sorted(terms)))
         return search_exhaustive(index, q, k=None, boost=node.boost, quantize=quantize, dtype=dtype)
     if isinstance(node, QRange):
+        # filter-shaped node -> cacheable docid set (LRUQueryCache analog).
+        # The cached set is RAW (pre-live-docs); deletes are applied after
+        # retrieval, so tombstoning never stales the cache (the reference
+        # keys per segment core and applies liveDocs at read,
+        # LRUQueryCache.java:262-280).
         if node.field in (None, "content"):
             # TermRangeQuery -> constant-score over docs holding any term in
             # the lexicographic range (MultiTermQueryConstantScoreWrapper)
@@ -1405,15 +1431,29 @@ def _eval_node(index: Index, node, quantize: bool, dtype) -> Optional[DataFrame]
             terms = [r["term"] for r in ts.select("term").collect()]
             if not terms:
                 return None
-            ids = decoded_postings(index, terms).select("docid").distinct()
+
+            def compute() -> DataFrame:
+                return (
+                    decoded_postings(index, terms, apply_deletes=False)
+                    .select("docid")
+                    .distinct()
+                )
         else:
             # numeric/docvalues range: pushdown filter on the docs table
             # (PointRangeQuery analog — parquet min/max pruning replaces BKD)
-            ids = index.docs.filter(
-                (F.col(node.field) >= node.lo) & (F.col(node.field) <= node.hi)
-            ).select("docid")
-            if index.has_deletes:  # the decoded-postings branch is pre-filtered
-                ids = ids.join(index.tombstones.select("docid"), "docid", "left_anti")
+            def compute() -> DataFrame:
+                return index.docs.filter(
+                    (F.col(node.field) >= node.lo) & (F.col(node.field) <= node.hi)
+                ).select("docid")
+
+        cache = index.query_cache
+        if cache is not None:
+            key = f"range|{node.field}|{node.lo!r}|{node.hi!r}|g{index.generation}"
+            ids = cache.get_or_compute(key, compute)
+        else:
+            ids = compute()
+        if index.has_deletes:
+            ids = ids.join(index.tombstones.select("docid"), "docid", "left_anti")
         return ids.withColumn("score", F.lit(float(node.boost)))
     if isinstance(node, QBool):
         return _eval_bool(index, node, quantize, dtype)

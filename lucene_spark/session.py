@@ -40,6 +40,18 @@ def get_spark(app: str = "lucene_spark", master: str | None = None,
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp"))
         .config("spark.ui.enabled", "false")
     )
+    # s3mock:// scheme for the cluster-shaped smoke test: Spark serves the
+    # scheme via a RawLocalFileSystem subclass (tiny committed jar); the
+    # pyarrow side-channel resolves the same scheme to an object-store-
+    # semantics handler (fsio._ObjectStoreHandler). Real deployments use
+    # genuine s3:// roots; this block is inert unless the scheme is used.
+    jar = os.path.join(os.path.dirname(__file__), "resources", "s3mock-fs.jar")
+    if os.path.exists(jar):
+        builder = (
+            builder.config("spark.driver.extraClassPath", jar)
+            .config("spark.executor.extraClassPath", jar)
+            .config("spark.hadoop.fs.s3mock.impl", "org.lucenespark.testfs.S3MockFileSystem")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

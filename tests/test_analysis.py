@@ -76,3 +76,50 @@ def test_custom_stop_set():
     assert analyze("foo bar", frozenset({"foo"})) == ["bar"]
     # StandardAnalyzer default stop set is EMPTY (StandardAnalyzer.java:51-53)
     assert analyze("the fox", frozenset()) == ["the", "fox"]
+
+
+def test_southeast_asian_runs_reference_vectors():
+    """TestStandardAnalyzer.testThai / testLao: Complex_Context runs are one
+    token each; Thai digits are Numeric and tokenize separately."""
+    assert analyze("การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔", frozenset()) == [
+        "การที่ได้ต้องแสดงว่างานดี", "แล้วเธอจะไปไหน", "๑๒๓๔",
+    ]
+    assert analyze("ສາທາລະນະລັດ ປະຊາທິປະໄຕ ປະຊາຊົນລາວ", frozenset()) == [
+        "ສາທາລະນະລັດ", "ປະຊາທິປະໄຕ", "ປະຊາຊົນລາວ",
+    ]
+    # SEA run adjacent to Latin splits (SA is not ALetter)
+    assert analyze("abcไทยdef", frozenset()) == ["abc", "ไทย", "def"]
+
+
+def test_tibetan_reference_vector():
+    """testTibetan: Tibetan is ALetter with tsheg separators (not SA)."""
+    got = analyze("སྣོན་མཛོད་དང་ལས་འདིས་བོད་ཡིག་", frozenset())
+    assert got == ["སྣོན", "མཛོད", "དང", "ལས", "འདིས", "བོད", "ཡིག"]
+
+
+def test_katakana_own_wordbreak_class():
+    """WB: Katakana is NOT ALetter -> splits from Latin unless joined by an
+    ExtendNumLet underscore (WB13a/b); hangul IS ALetter -> chains."""
+    assert tokenize("アアab") == ["アア", "ab"]
+    assert tokenize("アア_ab") == ["アア_ab"]
+    assert tokenize("カタカナ") == ["カタカナ"]
+    assert tokenize("ラーメン") == ["ラーメン"]  # prolonged sound mark joins
+    assert tokenize("한국어abc") == ["한국어abc"]  # hangul chains (ALetter)
+
+
+def test_emoji_reference_vectors():
+    """TestStandardAnalyzer emoji vectors (testEmoji / testEmojiSequence /
+    ...WithModifier / RegionalIndicator / keycaps / TagSequence /
+    testEmojiTokenization)."""
+    assert tokenize("💩 💩💩") == ["💩", "💩", "💩"]
+    assert tokenize("👩‍❤️‍👩") == ["👩‍❤️‍👩"]
+    assert tokenize("👨🏼‍⚕️") == ["👨🏼‍⚕️"]
+    assert tokenize("🇺🇸🇺🇸") == ["🇺🇸", "🇺🇸"]
+    assert tokenize("#️⃣") == ["#️⃣"]
+    assert tokenize("3️⃣") == ["3️⃣"]
+    flag_eng = "🏴" + "".join(chr(c) for c in [0xE0067, 0xE0062, 0xE0065, 0xE006E, 0xE0067, 0xE007F])
+    assert tokenize(flag_eng) == [flag_eng]
+    assert tokenize("poo💩poo") == ["poo", "💩", "poo"]
+    assert tokenize("💩中國💩") == ["💩", "中", "國", "💩"]
+    # emoji survive the lowercase + stop chain untouched
+    assert analyze("The 💩 Fox") == ["💩", "fox"]

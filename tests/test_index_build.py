@@ -231,3 +231,42 @@ def test_resumed_flag_set_on_skip(spark, tmpdir_index):
     # full rebuild request: everything resumable is skipped, outputs intact
     paths = build_index(spark, docs, tmpdir_index, cfg)
     assert os.path.exists(paths.field_stats)
+
+
+def test_build_through_s3_scheme_root(spark, tmpdir_index):
+    """Cluster-shaped smoke: the index root is a NON-file URI scheme.
+    Spark serves s3mock:// via a RawLocalFileSystem subclass (committed
+    test jar); the pyarrow side-channel resolves the same scheme to an
+    OBJECT-STORE-semantics handler whose move() raises — so every manifest
+    / field_stats write exercises write_json_atomic's no-atomic-rename
+    degraded path, exactly what a real s3:// root would hit. Build,
+    search, distributed delete, and result identity vs a plain-path build."""
+    import shutil
+
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, build_index, live_generation
+    from lucene_spark.search.executor import Index, count_hits, search_topk
+    from lucene_spark.search.plan import normalize
+
+    backing = tmpdir_index + "/s3root"
+    shutil.rmtree(backing, ignore_errors=True)
+    root = "s3mock://" + backing
+    docs = corpus_spark_df(spark, 200, seed=9)
+    cfg = IndexConfig(num_segments=2, hot_df_threshold=60, index_positions=True)
+    paths = build_index(spark, docs, root, cfg)
+    assert live_generation(paths) == 0
+    idx = Index(spark, paths)
+    got = [
+        (r["docid"], r["score"])
+        for r in search_topk(idx, normalize(should=["import", "return"]), k=5).collect()
+    ]
+    paths2 = build_index(spark, docs, tmpdir_index + "/plain", cfg)
+    want = [
+        (r["docid"], r["score"])
+        for r in search_topk(Index(spark, paths2), normalize(should=["import", "return"]), k=5).collect()
+    ]
+    assert got == want and len(got) == 5
+    # distributed delete writes its tombstone parquet through the scheme too
+    n = count_hits(idx, normalize(should=["import"]))
+    assert idx.delete_by_term("import") == n > 0
+    assert count_hits(idx, normalize(should=["import"])) == 0

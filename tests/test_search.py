@@ -327,3 +327,47 @@ def test_block_skipping_happens(built_index):
         "segment_id"
     ).distinct().count()
     assert m["blocks_total"] >= nseg
+
+
+def test_query_cache_hits_and_delete_correctness(spark, tmp_path):
+    """LRUQueryCache analog: repeated filter-shaped (range) queries hit the
+    cache after min_frequency recurrences; results are identical with the
+    cache on; deletes stay correct because entries store RAW sets and
+    live-docs apply at read (LRUQueryCache.java:262-280)."""
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, search_tree
+    from lucene_spark.search.plan import QRange, parse
+
+    docs = corpus_spark_df(spark, 200, seed=13)
+    idx = Index(
+        spark,
+        build_index(spark, docs, str(tmp_path / "qc"),
+                    IndexConfig(num_segments=2, hot_df_threshold=60)),
+    )
+    node = QRange(field=None, lo="im", hi="io")  # term range on content
+    baseline = sorted(r["docid"] for r in search_tree(idx, node, k=None).collect())
+
+    cache = idx.enable_query_cache(max_entries=4, min_frequency=2)
+    r1 = sorted(r["docid"] for r in search_tree(idx, node, k=None).collect())
+    assert cache.stats()["misses"] == 1 and cache.stats()["entries"] == 0
+    r2 = sorted(r["docid"] for r in search_tree(idx, node, k=None).collect())
+    assert cache.stats()["misses"] == 2 and cache.stats()["entries"] == 1
+    r3 = sorted(r["docid"] for r in search_tree(idx, node, k=None).collect())
+    assert cache.stats()["hits"] == 1
+    assert baseline == r1 == r2 == r3 and len(baseline) > 0
+
+    # delete a cached-set member -> it must vanish WITHOUT cache invalidation
+    victim = baseline[0]
+    idx.delete_docs([victim])
+    r4 = sorted(r["docid"] for r in search_tree(idx, node, k=None).collect())
+    assert victim not in r4 and set(r4) == set(baseline) - {victim}
+    assert cache.stats()["hits"] == 2  # still served from cache
+
+    # LRU eviction at max_entries
+    for lo in "abcdef":
+        n2 = QRange(field=None, lo=lo, hi=lo + "zzzz")
+        search_tree(idx, n2, k=None).collect()
+        search_tree(idx, n2, k=None).collect()
+    st = cache.stats()
+    assert st["entries"] <= 4 and st["evictions"] >= 1
