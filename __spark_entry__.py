@@ -33,6 +33,7 @@ from lucene_spark.oracle import (
     phrase_exact_sql,
     phrase_sloppy_sql,
     phrase_sloppy_rpt_sql,
+    phrase_sloppy_aba_sql,
 )
 from lucene_spark.search.executor import (
     Index,
@@ -479,6 +480,23 @@ def q_sloppy_phrase_topk(spark, sf):
 
 
 RPT_TERM, RPT_SLOP = "spark", 4
+ABA_TERMS, ABA_SLOP = ("spark", "join"), 3
+
+
+def q_sloppy_aba_phrase_topk(spark, sf):
+    """"spark join spark"~3 — the general repeating-term sloppy phrase
+    (rptGroups: group init stagger + collide/lesser advancement,
+    SloppyPhraseMatcher.java:317-497). The oracle simulates the SAME walk
+    as a per-doc scalar state machine in a recursive CTE (validated to
+    zero mismatches on 4000 randomized docs against the engine matcher)."""
+    from lucene_spark.search.executor import search_phrase
+
+    a, b = ABA_TERMS
+    res = search_phrase(
+        _index(spark, sf), [a, b, a], slop=ABA_SLOP, k=10,
+        quantize=False, dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
 
 
 def q_sloppy_rpt_phrase_topk(spark, sf):
@@ -814,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
     return {
         "sloppy_rpt_phrase_topk": q_sloppy_rpt_phrase_topk,
+        "sloppy_aba_phrase_topk": q_sloppy_aba_phrase_topk,
         "interval_ordered_topk": q_interval_ordered_topk,
         "interval_near_topk": q_interval_near_topk,
         "interval_containing_topk": q_interval_containing_topk,
@@ -1207,6 +1226,7 @@ GROUP BY d.source ORDER BY d.source""",
         "phrase_stop_hole_topk": phrase_exact_sql(PHRASE_HOLE),
         "sloppy_phrase_topk": phrase_sloppy_sql(*SLOPPY_TERMS, SLOPPY_SLOP),
         "sloppy_rpt_phrase_topk": phrase_sloppy_rpt_sql(RPT_TERM, RPT_SLOP),
+        "sloppy_aba_phrase_topk": phrase_sloppy_aba_sql(*ABA_TERMS, ABA_SLOP),
         "parsed_query_topk": _parsed_query_sql(),
         "boost_query_topk": bm25_topk_sql({"window": 2.5, "merge": 1}),
         # deletes filter MATCHES only; stats still include tombstoned docs

@@ -167,6 +167,121 @@ ORDER BY ({score}) DESC, docid ASC LIMIT {k}"""
     )
 
 
+def phrase_sloppy_aba_sql(term_a: str, term_b: str, slop: int, k: int = 10) -> str:
+    """Sloppy "a b a"~slop oracle — the FULL rptGroups walk simulated as a
+    per-doc scalar state machine in a recursive CTE.
+
+    Key reduction (verified against SloppyPhraseMatcher.java:301-374): for
+    two same-term pps at offsets 0 and 2 sharing ONE positions list, a
+    collision means equal occurrence INDEX, and the 'lesser' colliding pp
+    is always the offset-2 one (its adjusted position is 2 smaller), so
+    collision resolution degenerates to "if ia == ic then ic += 1". The
+    rest of the walk (advance held pp, track end, stale `next`, re-pop by
+    (position, offset), emit matchLength on swap/exhaustion) is encoded in
+    scalar columns. Validated step-for-step against the engine's rpt
+    matcher on 4000 randomized docs, zero mismatches (dev harness in
+    tests/test_phrase.py::test_engine_sloppy_rpt_matches_pyref covers the
+    engine side).  Weight = 2*idf(a) + idf(b) (duplicate termStats,
+    PhraseQuery.java:472-486)."""
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+    score = f"w.w - w.w / (1 + m.freq * {ninv})"
+    return (
+        "WITH RECURSIVE "
+        + BM25_CTES
+        + ", "
+        + TPOS_CTE.strip()
+        + f""",
+pl AS (SELECT a.doc_id, a.av, b.bv FROM
+   (SELECT doc_id, list_sort(list(pos)) AS av FROM tpos WHERE term = '{term_a}' GROUP BY 1) a
+   JOIN
+   (SELECT doc_id, list_sort(list(pos)) AS bv FROM tpos WHERE term = '{term_b}' GROUP BY 1) b
+   USING (doc_id)
+   WHERE len(a.av) >= 2 AND len(b.bv) >= 1),
+init AS (
+  SELECT doc_id, av, bv, 1 AS ia, 1 AS ib, 2 AS ic,
+         greatest(av[1], bv[1]-1, av[2]-2) AS e,
+         CASE WHEN av[1] <= bv[1]-1 AND av[1] <= av[2]-2 THEN 0
+              WHEN bv[1]-1 <= av[2]-2 THEN 1 ELSE 2 END AS held
+  FROM pl
+),
+seed AS (
+  SELECT doc_id, av, bv, ia, ib, ic, e, held,
+         e - (CASE held WHEN 0 THEN av[ia] WHEN 1 THEN bv[ib]-1 ELSE av[ic]-2 END) AS ml,
+         CASE held
+           WHEN 0 THEN least(bv[ib]-1, av[ic]-2)
+           WHEN 1 THEN least(av[ia], av[ic]-2)
+           ELSE least(av[ia], bv[ib]-1) END AS nxt,
+         CAST(NULL AS BIGINT) AS d, FALSE AS done
+  FROM init
+),
+walk(doc_id, av, bv, ia, ib, ic, e, held, ml, nxt, d, done) AS (
+  SELECT * FROM seed
+  UNION ALL
+  SELECT doc_id, av, bv,
+         ia2, ib2, ic3,
+         CASE WHEN exh THEN e ELSE e2 END,
+         CASE WHEN exh THEN held WHEN repop THEN held2 ELSE held END,
+         CASE WHEN exh THEN ml WHEN repop THEN e2 - (CASE held2 WHEN 0 THEN av[ia2] WHEN 1 THEN bv[ib2]-1 ELSE av[ic3]-2 END)
+              ELSE least(ml, e2 - p) END,
+         CASE WHEN exh THEN nxt WHEN repop THEN
+              (CASE held2 WHEN 0 THEN least(bv[ib2]-1, av[ic3]-2)
+                          WHEN 1 THEN least(av[ia2], av[ic3]-2)
+                          ELSE least(av[ia2], bv[ib2]-1) END)
+              ELSE nxt END,
+         CASE WHEN exh THEN (CASE WHEN ml <= {slop} THEN ml ELSE NULL END)
+              WHEN repop AND ml <= {slop} THEN ml ELSE NULL END,
+         exh
+  FROM (
+    SELECT *,
+           CASE WHEN NOT exh AND NOT exh1 THEN
+                (CASE held WHEN 0 THEN av[ia2] WHEN 1 THEN bv[ib2]-1 ELSE av[ic3]-2 END)
+                ELSE NULL END AS p,
+           CASE WHEN NOT exh AND NOT exh1 THEN
+                (CASE held WHEN 0 THEN av[ia2] WHEN 1 THEN bv[ib2]-1 ELSE av[ic3]-2 END) > nxt
+                ELSE FALSE END AS repop,
+           CASE WHEN NOT exh AND NOT exh1 THEN
+             (CASE WHEN (CASE held WHEN 0 THEN av[ia2] WHEN 1 THEN bv[ib2]-1 ELSE av[ic3]-2 END) > nxt
+               THEN (CASE WHEN av[ia2] <= bv[ib2]-1 AND av[ia2] <= av[ic3]-2 THEN 0
+                          WHEN bv[ib2]-1 <= av[ic3]-2 THEN 1 ELSE 2 END)
+               ELSE held END)
+             ELSE held END AS held2
+    FROM (
+      SELECT *,
+             CASE WHEN NOT exh1 AND held <> 1 AND ia2 = ic2 THEN ic2 + 1 ELSE ic2 END AS ic3,
+             (exh1 OR (held <> 1 AND ia2 = ic2 AND ic2 + 1 > len(av))) AS exh,
+             CASE WHEN exh1 THEN e
+                  WHEN held <> 1 AND ia2 = ic2 AND ic2 + 1 <= len(av)
+                  THEN greatest(e1, av[ic2 + 1] - 2) ELSE e1 END AS e2
+      FROM (
+        SELECT doc_id, av, bv, e, held, ml, nxt,
+               ia + (CASE WHEN held = 0 THEN 1 ELSE 0 END) AS ia2,
+               ib + (CASE WHEN held = 1 THEN 1 ELSE 0 END) AS ib2,
+               ic + (CASE WHEN held = 2 THEN 1 ELSE 0 END) AS ic2,
+               ((held = 0 AND ia + 1 > len(av)) OR (held = 1 AND ib + 1 > len(bv))
+                OR (held = 2 AND ic + 1 > len(av))) AS exh1,
+               CASE WHEN (held = 0 AND ia + 1 > len(av)) OR (held = 1 AND ib + 1 > len(bv))
+                         OR (held = 2 AND ic + 1 > len(av)) THEN e
+                    ELSE greatest(e, CASE held WHEN 0 THEN av[ia+1]
+                                               WHEN 1 THEN bv[ib+1]-1
+                                               ELSE av[ic+1]-2 END) END AS e1
+        FROM walk WHERE NOT done
+      ) s1
+    ) s2
+  ) s3
+),
+m AS (SELECT doc_id, sum(1.0 / (1.0 + d)) AS freq FROM walk
+      WHERE d IS NOT NULL GROUP BY 1),
+w AS (SELECT 2 * ln(1 + (fs.doc_cnt - dfa.df + 0.5) / (dfa.df + 0.5))
+           + ln(1 + (fs.doc_cnt - dfb.df + 0.5) / (dfb.df + 0.5)) AS w
+      FROM (SELECT count(*) AS df FROM tf WHERE term = '{term_a}') dfa
+      CROSS JOIN (SELECT count(*) AS df FROM tf WHERE term = '{term_b}') dfb
+      CROSS JOIN fs)
+SELECT m.doc_id AS docid, round({score}, 4) AS score
+FROM m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN w CROSS JOIN fs
+ORDER BY ({score}) DESC, docid ASC LIMIT {k}"""
+    )
+
+
 def _qt_values(qtf: Dict[str, float]) -> str:
     # float weights express query boosts (W = boost * idf is the same shape
     # as W = qtf * idf); ints keep int formatting for the qtf oracles
