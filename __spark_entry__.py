@@ -739,6 +739,17 @@ def q_multimodal_meta(spark, sf):
     return decode_meta(attach_payload(_docs(spark, sf))).orderBy("doc_id")
 
 
+def q_multimodal_transform(spark, sf):
+    """Resize (REAL pixel decode -> nearest-neighbor -> re-encode, dims
+    re-parsed from the output PNG) + video frame sampling from the real
+    container duration; the oracle recomputes every output from the
+    deterministic generation contract, so a wrong pixel path or a wrong
+    container walk hash-mismatches."""
+    from lucene_spark.pipeline.multimodal import attach_payload, transform_media
+
+    return transform_media(attach_payload(_docs(spark, sf))).orderBy("doc_id")
+
+
 def q_interval_ordered_topk(spark, sf):
     """IntervalQuery: Intervals.maxgaps(4, Intervals.ordered(spark, join))
     (queries/intervals/Intervals.java:56) — count of MINIMAL ordered
@@ -837,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_near_topk": q_interval_near_topk,
         "interval_containing_topk": q_interval_containing_topk,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_transform": q_multimodal_transform,
         "percolate": q_percolate,
         "tpch_join_util": q_tpch_join_util,
         "events_agg": q_events_agg,
@@ -1294,6 +1306,15 @@ SELECT doc_id,
            + 0.4 * (len({TOKSET}) / greatest(CAST(len({TOKLIST}) AS DOUBLE), 1.0))
            + 0.2 * least((length(text) / greatest(CAST(len({TOKLIST}) AS DOUBLE), 1.0)) / 8.0, 1.0), 4)
          AS quality
+FROM documents ORDER BY doc_id""",
+        "multimodal_transform": """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS media_type,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 32 ELSE 0 END AS INT) AS out_width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 0 END AS INT) AS out_height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 ELSE 0 END AS INT) AS mean_px,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 3 + (doc_id % 30) ELSE 0 END AS INT) AS n_frames
 FROM documents ORDER BY doc_id""",
         "token_count": f"""
 SELECT doc_id, len({TOKLIST}) AS n_tokens,

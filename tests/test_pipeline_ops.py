@@ -270,3 +270,81 @@ def test_percolate_prefiltered_matches_broadcast(spark, docs):
     b = {(r["qid"], r["doc_id"], r["n_matched"])
          for r in percolate_prefiltered(docs, queries).collect()}
     assert a == b and a
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_pixels must undo every PNG row filter (spec 9.2) — build
+    a PNG whose rows use filters 0..4 and check exact pixel recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lucene_spark.pipeline.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+
+    def fchunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    rows = []
+    prev = np.zeros(7, np.int64)
+    for r in range(5):
+        f = r % 5
+        cur = px[r].astype(np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            enc = (cur - np.concatenate(([0], cur[:-1]))) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            enc = (cur - (np.concatenate(([0], cur[:-1])) + prev) // 2) & 0xFF
+        else:  # Paeth
+            enc = np.empty(7, np.int64)
+            for x in range(7):
+                a = int(cur[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + fchunk(b"IHDR", ihdr)
+            + fchunk(b"IDAT", zlib.compress(b"".join(rows))) + fchunk(b"IEND", b""))
+    got = decode_png_pixels(data)
+    assert np.array_equal(got, px)
+
+
+def test_resize_png_and_transform(spark, docs):
+    """Real nearest-neighbor resize: gradient image downsample picks exact
+    source pixels; transform_media computes dims/mean/frames per contract."""
+    import numpy as np
+
+    from lucene_spark.pipeline.multimodal import (
+        attach_payload, decode_png_pixels, make_png, parse_png, resize_png,
+        transform_media,
+    )
+
+    src = make_png(64, 32, shade=77)
+    out = resize_png(src, 16, 8)
+    assert parse_png(out) == (16, 8)
+    assert (decode_png_pixels(out) == 77).all()
+
+    media = attach_payload(docs)
+    got = {r["doc_id"]: r for r in transform_media(media).collect()}
+    for d, r in got.items():
+        m = d % 3
+        if m == 0:
+            assert (r["out_width"], r["out_height"]) == (32, 24)
+            assert r["mean_px"] == d % 256 and r["n_frames"] == 0
+        elif m == 2:
+            assert r["n_frames"] == 3 + (d % 30)
+            assert r["out_width"] == 0
+        else:
+            assert r["n_frames"] == 0 and r["mean_px"] == 0
