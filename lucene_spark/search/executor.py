@@ -362,11 +362,18 @@ def decoded_postings(
     docs are removed by a distributed anti-join against the tombstone
     parquet (no driver-side delete set). ``apply_deletes=False`` yields the
     raw rows (query-cache entries store raw sets and apply live-docs at
-    read)."""
+    read). ``terms`` may be a list OR a single-column DataFrame of terms —
+    the DataFrame form broadcast-joins, so multi-term expansions (term
+    ranges) never materialize the term list on the driver."""
     src = index.seg_postings if use_segments else index.merged
-    rows = src.filter(F.col("term").isin(list(terms))).select(
-        "term", "block_data"
-    )
+    if isinstance(terms, DataFrame):
+        rows = src.join(
+            F.broadcast(terms.select(F.col(terms.columns[0]).alias("term"))), "term"
+        ).select("term", "block_data")
+    else:
+        rows = src.filter(F.col("term").isin(list(terms))).select(
+            "term", "block_data"
+        )
 
     def decode_map(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -1424,17 +1431,19 @@ def _eval_node(index: Index, node, quantize: bool, dtype) -> Optional[DataFrame]
         # LRUQueryCache.java:262-280).
         if node.field in (None, "content"):
             # TermRangeQuery -> constant-score over docs holding any term in
-            # the lexicographic range (MultiTermQueryConstantScoreWrapper)
+            # the lexicographic range (MultiTermQueryConstantScoreWrapper).
+            # The in-range vocabulary is broadcast-joined against the
+            # postings — it never materializes on the driver (a hot range
+            # can cover millions of terms at corpus scale).
             ts = index.term_stats.filter(
                 (F.col("term") >= node.lo) & (F.col("term") <= node.hi)
-            )
-            terms = [r["term"] for r in ts.select("term").collect()]
-            if not terms:
+            ).select("term")
+            if not ts.limit(1).count():
                 return None
 
             def compute() -> DataFrame:
                 return (
-                    decoded_postings(index, terms, apply_deletes=False)
+                    decoded_postings(index, ts, apply_deletes=False)
                     .select("docid")
                     .distinct()
                 )
