@@ -50,12 +50,17 @@ def sloppy_match_lengths(
     offsets: Sequence[int],
     slop: int,
     terms: Sequence[str] | None = None,
+    groups: Sequence[Sequence[int]] | None = None,
+    multi_term: bool = False,
 ) -> List[int]:
     """matchLength of every match found by the greedy pq traversal
     (SloppyPhraseMatcher.nextMatch). phraseFreq is sum(1/(1+ml)).
     Positions must be ascending per term. When ``terms`` is given and a
-    term occupies several phrase positions, the rptGroups path is taken
-    (SloppyPhraseMatcher.java:317-497); otherwise the simple walk runs."""
+    term occupies several phrase positions — or explicit repeat ``groups``
+    of pp indices are passed (multi-term slots sharing terms) — the
+    rptGroups path is taken (SloppyPhraseMatcher.java:317-497); otherwise
+    the simple walk runs. ``multi_term`` selects the iterative group init
+    (pps on different position lists can't be blindly staggered)."""
     adj = []
     for plist, off in zip(positions_per_term, offsets):
         a = [int(p) - int(off) for p in plist]
@@ -65,6 +70,10 @@ def sloppy_match_lengths(
     n = len(adj)
     if n < 2:
         return []
+    if groups is not None and len(groups):
+        return _sloppy_match_lengths_rpt(adj, [int(o) for o in offsets],
+                                         None, slop, groups=groups,
+                                         multi_term=multi_term)
     if terms is not None and len(set(terms)) < n:
         return _sloppy_match_lengths_rpt(adj, [int(o) for o in offsets],
                                          list(terms), slop)
@@ -108,7 +117,12 @@ def sloppy_match_lengths(
 
 
 def _sloppy_match_lengths_rpt(
-    adj: List[List[int]], offsets: List[int], terms: List[str], slop: int
+    adj: List[List[int]],
+    offsets: List[int],
+    terms: List[str] | None,
+    slop: int,
+    groups: Sequence[Sequence[int]] | None = None,
+    multi_term: bool = False,
 ) -> List[int]:
     """Greedy pq walk WITH repeating-term groups (rptGroups).
 
@@ -131,10 +145,13 @@ def _sloppy_match_lengths_rpt(
     idx = [0] * n
 
     group_of = [-1] * n
-    members: dict = {}
-    for i, t in enumerate(terms):
-        members.setdefault(t, []).append(i)
-    groups = [g for g in members.values() if len(g) > 1]
+    if groups is None:
+        members: dict = {}
+        for i, t in enumerate(terms or []):
+            members.setdefault(t, []).append(i)
+        groups = [g for g in members.values() if len(g) > 1]
+    else:
+        groups = [sorted(g, key=lambda i: offsets[i]) for g in groups if len(g) > 1]
     for gi, g in enumerate(groups):
         for i in g:
             group_of[i] = gi
@@ -150,13 +167,50 @@ def _sloppy_match_lengths_rpt(
             end = adj[i][idx[i]]
         return True
 
-    # --- init: place first positions, then stagger each group's members
-    for g in groups:
-        for j in range(1, len(g)):
-            for _ in range(j):
-                idx[g[j]] += 1
-                if idx[g[j]] >= lens[g[j]]:
-                    return []  # PPs exhausted: doc cannot match
+    def collide_at(i: int) -> int:
+        tp = adj[i][idx[i]] + offsets[i]
+        for j in groups[group_of[i]]:
+            if j != i and adj[j][idx[j]] + offsets[j] == tp:
+                return j
+        return -1
+
+    # --- init: place first positions, then de-collide each group
+    if multi_term:
+        # advanceRepeatGroups, multi-term case (SloppyPhraseMatcher.java:
+        # 465-484): members sit on DIFFERENT position lists, so collisions
+        # are resolved iteratively — advance the lesser of the colliding
+        # pair; restart the scan when an earlier member moved.
+        for g in groups:
+            i = 0
+            while i < len(g):
+                incr = 1
+                pp = g[i]
+                while True:
+                    k = collide_at(pp)
+                    if k < 0:
+                        break
+                    q = (
+                        pp
+                        if (adj[pp][idx[pp]], offsets[pp])
+                        < (adj[k][idx[k]], offsets[k])
+                        else k
+                    )
+                    idx[q] += 1
+                    if idx[q] >= lens[q]:
+                        return []  # PPs exhausted: doc cannot match
+                    if (g.index(q)) < i:
+                        incr = 0
+                        break
+                i += incr
+    else:
+        # simple case (:486-494): all members share ONE positions list, so
+        # the j-th member starts at the j-th occurrence
+        for g in groups:
+            for j in range(1, len(g)):
+                for _ in range(j):
+                    idx[g[j]] += 1
+                    if idx[g[j]] >= lens[g[j]]:
+                        return []  # PPs exhausted: doc cannot match
     # fillQueue
     end = max(adj[i][idx[i]] for i in range(n))
     ver = [0] * n
@@ -178,12 +232,7 @@ def _sloppy_match_lengths_rpt(
             heapq.heappop(heap)
         return heap[0][0]
 
-    def collide(i: int) -> int:
-        tp = adj[i][idx[i]] + offsets[i]
-        for j in groups[group_of[i]]:
-            if j != i and adj[j][idx[j]] + offsets[j] == tp:
-                return j
-        return -1
+    collide = collide_at
 
     def advance_rpts(i0: int) -> bool:
         """i0 was just advanced; resolve any occurrence collision chain."""
@@ -363,11 +412,15 @@ def sloppy_phrase_freq(
     slop: int,
     dtype=np.float32,
     terms: Sequence[str] | None = None,
+    groups: Sequence[Sequence[int]] | None = None,
+    multi_term: bool = False,
 ):
     """phraseFreq = Σ 1/(1+matchLength), accumulated in `dtype` (float32 in
     Lucene parity mode — PhraseScorer accumulates a float)."""
     one = dtype(1)
     freq = dtype(0)
-    for ml in sloppy_match_lengths(positions_per_term, offsets, slop, terms=terms):
+    for ml in sloppy_match_lengths(positions_per_term, offsets, slop,
+                                   terms=terms, groups=groups,
+                                   multi_term=multi_term):
         freq = freq + one / (one + dtype(ml))
     return freq

@@ -204,6 +204,30 @@ def search_multi_phrase(
     norm = [(o - base_off, sorted({t for t in a if t in idx.postings})) for o, a in slots]
     if any(not a for _, a in norm):
         return []
+    # repeat groups across slots (union-find over shared repeating terms,
+    # gatherRptGroups multi-term case, SloppyPhraseMatcher.java:556-609)
+    term_slots: Dict[str, list] = {}
+    for si, (_, alts) in enumerate(norm):
+        for t in alts:
+            term_slots.setdefault(t, []).append(si)
+    parent = list(range(len(norm)))
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for t, ss in term_slots.items():
+        if len(ss) > 1:
+            r0 = _find(ss[0])
+            for s2 in ss[1:]:
+                parent[_find(s2)] = r0
+    by_root: Dict[int, list] = {}
+    for si in range(len(norm)):
+        by_root.setdefault(_find(si), []).append(si)
+    rpt_groups = [g for g in by_root.values() if len(g) > 1]
+    has_multi = any(len(norm[si][1]) > 1 for g in rpt_groups for si in g)
     docs = None
     for _, alts in norm:
         u = set()
@@ -231,7 +255,8 @@ def search_multi_phrase(
         if slop == 0:
             freq = np.float32(exact_phrase_freq(plists, offs))
         else:
-            freq = sloppy_phrase_freq(plists, offs, slop, dtype=np.float32)
+            freq = sloppy_phrase_freq(plists, offs, slop, dtype=np.float32,
+                                      groups=rpt_groups, multi_term=has_multi)
         if freq <= 0:
             continue
         if quantize:

@@ -1199,6 +1199,34 @@ def make_multiphrase_fn(
             bounds = {t: np.concatenate(([0], np.cumsum(per_term[t][1]))) for t in distinct}
             tpos = {t: np.searchsorted(per_term[t][0], cand) for t in distinct}
             offs = [o for o, _ in slots]
+            # repeat groups across slots (gatherRptGroups multi-term case,
+            # SloppyPhraseMatcher.java:556-609): union-find over slots
+            # sharing a repeating term; hasMultiTermRpts when a repeating
+            # slot has several alternatives
+            term_slots: Dict[str, list] = {}
+            for si, alts in enumerate(slot_alts):
+                for t in alts:
+                    term_slots.setdefault(t, []).append(si)
+            parent = list(range(len(slots)))
+
+            def _find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for t, ss in term_slots.items():
+                if len(ss) > 1:
+                    r0 = _find(ss[0])
+                    for s2 in ss[1:]:
+                        parent[_find(s2)] = r0
+            by_root: Dict[int, list] = {}
+            for si in range(len(slots)):
+                by_root.setdefault(_find(si), []).append(si)
+            rpt_groups = [g for g in by_root.values() if len(g) > 1]
+            has_multi = any(
+                len(slot_alts[si]) > 1 for g in rpt_groups for si in g
+            )
             docs_l, freqs_l, dls_l = [], [], []
             for i, d in enumerate(cand):
                 plists = []
@@ -1212,7 +1240,10 @@ def make_multiphrase_fn(
                             ps.append(pos[b[j] : b[j + 1]])
                     merged = np.sort(np.concatenate(ps)) if ps else np.empty(0, np.int64)
                     plists.append(merged)
-                f = sloppy_phrase_freq(plists, offs, slop, dtype=dtype)
+                f = sloppy_phrase_freq(
+                    plists, offs, slop, dtype=dtype,
+                    groups=rpt_groups, multi_term=has_multi,
+                )
                 if f > 0:
                     docs_l.append(d)
                     freqs_l.append(float(f))
@@ -1261,16 +1292,10 @@ def search_multi_phrase(
     if not slots:
         return empty
     base_off = int(slots[0][0])
+    # terms repeating across slots are handled by the rptGroups machinery
+    # inside the matcher (union-find groups + multi-term init/advance,
+    # SloppyPhraseMatcher.java:465-497,556-609)
     norm_slots = [(int(o) - base_off, tuple(sorted(set(a)))) for o, a in slots]
-    if slop > 0:
-        seen: set = set()
-        for _, alts in norm_slots:
-            if seen & set(alts):
-                raise NotImplementedError(
-                    "sloppy multi-phrases with a term repeating across slots "
-                    "(SloppyPhraseMatcher rptGroups) are not supported"
-                )
-            seen |= set(alts)
     all_terms = sorted({t for _, a in norm_slots for t in a})
     stats = index.term_stats_for(all_terms)
     live_slots = []

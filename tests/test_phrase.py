@@ -338,12 +338,77 @@ def test_multi_phrase_matches_pyref(built_index, ref_index):
         assert got == want, (slots, slop)
 
 
-def test_multi_phrase_sloppy_repeats_unsupported(built_index):
-    import pytest as _pytest
+def test_multi_phrase_rpt_matcher_goldens():
+    """Hand-traced multi-term rptGroups walk (slots sharing terms,
+    SloppyPhraseMatcher.java:465-497): slots [{x,y},{y,z}] over doc 'y q y'
+    degrade to both pps on the y-list; init de-collides to occurrences
+    (0, 1); the walk emits one matchLength-1 match."""
+    assert sloppy_match_lengths(
+        [[0, 2], [0, 2]], [0, 1], 1, groups=[[0, 1]], multi_term=True
+    ) == [1]
+    # multi-term init exhaustion: only one shared occurrence -> no match
+    assert sloppy_match_lengths(
+        [[4], [4]], [0, 1], 9, groups=[[0, 1]], multi_term=True
+    ) == []
 
-    from lucene_spark.search.executor import search_multi_phrase
 
-    with _pytest.raises(NotImplementedError):
-        search_multi_phrase(
-            built_index, [(0, ["import"]), (1, ["import", "def"])], slop=2
-        )
+def test_multi_phrase_single_term_repeats_equal_phrase(built_index, ref_index):
+    """Slots [(a),(b),(a)] with slop must equal PhraseQuery "a b a"~slop:
+    same weight (duplicate termStats) and same rptGroups walk."""
+    from lucene_spark.search.executor import search_multi_phrase, search_phrase
+
+    mp = [
+        (r["docid"], r["score"])
+        for r in search_multi_phrase(
+            built_index, [(0, ["import"]), (1, ["return"]), (2, ["import"])],
+            slop=2, k=10,
+        ).collect()
+    ]
+    ph = [
+        (r["docid"], r["score"])
+        for r in search_phrase(
+            built_index, ["import", "return", "import"], slop=2, k=10
+        ).collect()
+    ]
+    assert mp == ph and len(mp) > 0
+
+
+def test_multi_phrase_multiterm_repeats_matches_pyref(spark, tmp_path):
+    """Slots sharing a term with ALTERNATIVES (hasMultiTermRpts): engine
+    per-segment matcher vs the pure-Python reference on a repeat-heavy
+    corpus."""
+    import random
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.pyref import build_ref_index, search_multi_phrase as ref_mp
+    from lucene_spark.search.executor import Index, search_multi_phrase
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(250):
+        rows.append((i, " ".join(rng.choices(vocab, k=rng.randrange(2, 24)))))
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    idx = Index(
+        spark,
+        build_index(
+            spark, docs, str(tmp_path / "mprpt"),
+            IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=3,
+                        hot_df_threshold=400, index_positions=True),
+        ),
+    )
+    ref = build_ref_index(rows)
+    shapes = [
+        ([(0, ["alpha", "beta"]), (1, ["beta", "gamma"])], 2),
+        ([(0, ["alpha"]), (1, ["beta", "alpha"]), (2, ["alpha"])], 3),
+        ([(0, ["alpha", "beta"]), (1, ["beta", "gamma"]), (2, ["gamma", "alpha"])], 2),
+    ]
+    for slots, slop in shapes:
+        got = [
+            (r["docid"], r["score"])
+            for r in search_multi_phrase(idx, slots, slop=slop, k=15).collect()
+        ]
+        want = ref_mp(ref, slots, slop=slop, k=15)
+        assert [d for d, _ in got] == [d for d, _ in want], (slots, slop)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-6), (slots, slop)
