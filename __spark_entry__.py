@@ -800,6 +800,55 @@ def q_interval_containing_topk(spark, sf):
     )
 
 
+def q_interval_before_count(spark, sf):
+    """Intervals.before(spark, join): spark occurrences ending before the
+    start of some join occurrence (BEFORE filter semantics,
+    queries/intervals/Intervals.java:579)."""
+    from lucene_spark.search.intervals import IBefore, ITerm, search_intervals
+
+    node = IBefore(ITerm("spark"), ITerm("join"))
+    return (
+        search_intervals(_index(spark, sf), node)
+        .select("docid", "n_intervals")
+        .orderBy(F.desc("n_intervals"), "docid")
+        .limit(10)
+    )
+
+
+def q_interval_or_count(spark, sf):
+    """Intervals.or(spark, vector): minimal intervals of the union — for
+    single-position leaves, every occurrence of either term. Exercises the
+    UNION docid phase (no term is required, Intervals.java:123)."""
+    from lucene_spark.search.intervals import IOr, ITerm, search_intervals
+
+    node = IOr((ITerm("spark"), ITerm("vector")))
+    return (
+        search_intervals(_index(spark, sf), node)
+        .select("docid", "n_intervals")
+        .orderBy(F.desc("n_intervals"), "docid")
+        .limit(10)
+    )
+
+
+def q_interval_not_containing_count(spark, sf):
+    """Intervals.notContaining(ordered(spark, join), table): ordered
+    windows that do NOT cover a 'table' occurrence
+    (Intervals.java:519)."""
+    from lucene_spark.search.intervals import (
+        INotContaining, IOrdered, ITerm, search_intervals,
+    )
+
+    node = INotContaining(
+        IOrdered((ITerm("spark"), ITerm("join"))), ITerm("table")
+    )
+    return (
+        search_intervals(_index(spark, sf), node)
+        .select("docid", "n_intervals")
+        .orderBy(F.desc("n_intervals"), "docid")
+        .limit(10)
+    )
+
+
 PERCOLATE_QUERIES = [
     (1, ["spark", "join"], 2),
     (2, ["window", "hash", "table"], 2),
@@ -847,6 +896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_ordered_topk": q_interval_ordered_topk,
         "interval_near_topk": q_interval_near_topk,
         "interval_containing_topk": q_interval_containing_topk,
+        "interval_before_count": q_interval_before_count,
+        "interval_or_count": q_interval_or_count,
+        "interval_not_containing_count": q_interval_not_containing_count,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_transform": q_multimodal_transform,
         "percolate": q_percolate,
@@ -1103,16 +1155,24 @@ def _percolate_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY qid, doc_id"
 
 
-def _interval_pl_cte(term_a: str, term_b: str, extra: str = "") -> str:
+def _interval_pl_cte(term_a: str, term_b: str, extra: str = "",
+                     extra_left: bool = False) -> str:
     """CTE ending in pl(doc_id, av, bv[, wv]): sorted position lists per doc
     for the two (three) interval terms (positions count stopword holes,
-    matching the index's analyzer — TPOS_CTE)."""
+    matching the index's analyzer — TPOS_CTE). ``extra_left`` makes the
+    witness term OPTIONAL (LEFT JOIN, empty list when absent) — the
+    notContaining shape."""
     w_join = ""
     w_col = ""
     if extra:
-        w_col = ", c.wv"
+        if extra_left:
+            w_col = ", COALESCE(c.wv, []) AS wv"
+            jk = "LEFT JOIN"
+        else:
+            w_col = ", c.wv"
+            jk = "JOIN"
         w_join = (
-            f"\n   JOIN (SELECT doc_id, list_sort(list(pos)) AS wv FROM tpos "
+            f"\n   {jk} (SELECT doc_id, list_sort(list(pos)) AS wv FROM tpos "
             f"WHERE term = '{extra}' GROUP BY 1) c USING (doc_id)"
         )
     return (
@@ -1128,19 +1188,23 @@ pl AS (SELECT a.doc_id, a.av, b.bv{w_col} FROM
 
 
 def _interval_ordered_sql(term_a: str, term_b: str, max_gaps: int,
-                          containing: str | None = None) -> str:
+                          containing: str | None = None,
+                          negate_containing: bool = False) -> str:
     """Count of minimal ordered intervals a<b with gaps <= max_gaps.
     A pair (a, b) is a minimal interval iff b = min(bv > a) AND
     a = max(av < b) (mutually-closest in the a-then-b direction); optional
-    ``containing``: the interval must also cover a position of that term."""
+    ``containing``: the interval must also cover a position of that term
+    (``negate_containing`` flips it to Intervals.notContaining — and the
+    witness term becomes OPTIONAL: a doc without it keeps every pair)."""
     contain = (
-        "\n     AND len(list_filter(wv, w -> w >= a AND"
-        " w <= list_min(list_filter(bv, b -> b > a)))) > 0"
+        f"\n     AND len(list_filter(wv, w -> w >= a AND"
+        f" w <= list_min(list_filter(bv, b -> b > a)))) {'=' if negate_containing else '>'} 0"
         if containing
         else ""
     )
     return (
-        _interval_pl_cte(term_a, term_b, extra=containing or "")
+        _interval_pl_cte(term_a, term_b, extra=containing or "",
+                         extra_left=negate_containing)
         + f"""
 SELECT doc_id AS docid, CAST(n AS INT) AS n_intervals FROM (
   SELECT doc_id, len(list_filter(av, a ->
@@ -1173,6 +1237,25 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "interval_ordered_topk": _interval_ordered_sql("spark", "join", 4),
         "interval_near_topk": _interval_near_sql("spark", "join", 6),
+        "interval_before_count": """
+WITH """ + TPOS_CTE.strip() + """,
+pl AS (SELECT a.doc_id, a.av, b.bv FROM
+   (SELECT doc_id, list_sort(list(pos)) AS av FROM tpos WHERE term = 'spark' GROUP BY 1) a
+   JOIN
+   (SELECT doc_id, list_sort(list(pos)) AS bv FROM tpos WHERE term = 'join' GROUP BY 1) b
+   USING (doc_id))
+SELECT doc_id AS docid, CAST(n AS INT) AS n_intervals FROM (
+  SELECT doc_id, len(list_filter(av, a -> a < list_max(bv))) AS n FROM pl) q
+WHERE n > 0 ORDER BY n_intervals DESC, docid ASC LIMIT 10""",
+        "interval_or_count": """
+WITH """ + TPOS_CTE.strip() + """
+SELECT doc_id AS docid, CAST(count(*) AS INT) AS n_intervals
+FROM tpos WHERE term IN ('spark', 'vector')
+GROUP BY doc_id
+ORDER BY n_intervals DESC, docid ASC LIMIT 10""",
+        "interval_not_containing_count": _interval_ordered_sql(
+            "spark", "join", 1 << 30, containing="table", negate_containing=True
+        ),
         "interval_containing_topk": _interval_ordered_sql(
             "spark", "join", 4, containing="table"
         ),

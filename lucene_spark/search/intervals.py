@@ -3,7 +3,8 @@
 Behavioral model of the public apache/lucene intervals package (behavior
 only, no code):
   Intervals.term / ordered / unordered / maxgaps / maxwidth / containing /
-  containedBy
+  containedBy / or / notContaining / notContainedBy / before / after /
+  overlapping / extend / within
   [lucene/queries/src/java/org/apache/lucene/queries/intervals/Intervals.java:56]
   ordered semantics  [intervals/OrderedIntervalsSource.java]
   unordered          [intervals/UnorderedIntervalsSource.java]
@@ -77,19 +78,128 @@ class IContainedBy:
     big: object
 
 
+@dataclass(frozen=True)
+class IOr:
+    """Minimal intervals of the union of the children
+    (Intervals.or, DisjunctionIntervalsSource)."""
+
+    children: Tuple
+
+
+@dataclass(frozen=True)
+class INotContaining:
+    """Intervals of ``minuend`` that do NOT contain an interval of
+    ``subtrahend`` (Intervals.notContaining). The subtrahend is OPTIONAL
+    at the docid phase: its absence keeps every minuend interval."""
+
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class INotContainedBy:
+    """Intervals of ``small`` not within any ``big`` interval
+    (Intervals.notContainedBy); ``big`` is optional at the docid phase."""
+
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class IBefore:
+    """Intervals of ``source`` that end before the start of some
+    ``reference`` interval (Intervals.before)."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IAfter:
+    """Intervals of ``source`` that start after the end of some
+    ``reference`` interval (Intervals.after)."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IOverlapping:
+    """Intervals of ``source`` overlapping some ``reference`` interval
+    (Intervals.overlapping)."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IExtend:
+    """Each source interval widened by ``before``/``after`` positions,
+    start clamped at 0 (Intervals.extend; gaps are unchanged — the
+    extension counts as inner width, ExtendedIntervalsSource)."""
+
+    source: object
+    before: int
+    after: int
+
+
+@dataclass(frozen=True)
+class IWithin:
+    """Intervals of ``source`` within ``positions`` of a ``reference``
+    interval (Intervals.within == containedBy(source, extend(reference,
+    positions, positions)))."""
+
+    source: object
+    positions: int
+    reference: object
+
+
+def _children_of(node) -> List[object]:
+    if isinstance(node, (IOrdered, IUnordered, IOr)):
+        return list(node.children)
+    if isinstance(node, IContaining):
+        return [node.big, node.small]
+    if isinstance(node, IContainedBy):
+        return [node.small, node.big]
+    if isinstance(node, INotContaining):
+        return [node.minuend, node.subtrahend]
+    if isinstance(node, INotContainedBy):
+        return [node.small, node.big]
+    if isinstance(node, (IBefore, IAfter, IOverlapping)):
+        return [node.source, node.reference]
+    if isinstance(node, IExtend):
+        return [node.source]
+    if isinstance(node, IWithin):
+        return [node.source, node.reference]
+    raise TypeError(f"unknown interval node {type(node).__name__}")
+
+
 def leaf_terms(node) -> List[str]:
     if isinstance(node, ITerm):
         return [node.term]
-    if isinstance(node, (IOrdered, IUnordered)):
-        out: List[str] = []
-        for c in node.children:
-            out.extend(leaf_terms(c))
-        return out
-    if isinstance(node, IContaining):
-        return leaf_terms(node.big) + leaf_terms(node.small)
-    if isinstance(node, IContainedBy):
-        return leaf_terms(node.small) + leaf_terms(node.big)
-    raise TypeError(f"unknown interval node {type(node).__name__}")
+    out: List[str] = []
+    for c in _children_of(node):
+        out.extend(leaf_terms(c))
+    return out
+
+
+def required_terms(node) -> frozenset:
+    """Leaf terms a doc MUST contain to yield any interval — the sound
+    docid-conjunction set. OR requires no single term; a notContaining /
+    notContainedBy negative side is optional (its absence keeps
+    everything)."""
+    if isinstance(node, ITerm):
+        return frozenset([node.term])
+    if isinstance(node, IOr):
+        return frozenset()  # any child suffices
+    if isinstance(node, INotContaining):
+        return required_terms(node.minuend)
+    if isinstance(node, INotContainedBy):
+        return required_terms(node.small)
+    req = frozenset()
+    for c in _children_of(node):
+        req |= required_terms(c)
+    return req
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +331,61 @@ def eval_intervals(node, positions: Dict[str, np.ndarray]) -> List[Interval]:
         return _contained_by(
             eval_intervals(node.small, positions), eval_intervals(node.big, positions)
         )
+    if isinstance(node, IOr):
+        cands: List[Interval] = []
+        for c in node.children:
+            cands.extend(eval_intervals(c, positions))
+        return _minimalize(cands)
+    if isinstance(node, INotContaining):
+        minu = eval_intervals(node.minuend, positions)
+        sub = eval_intervals(node.subtrahend, positions)
+        keep = set((iv[0], iv[1]) for iv in _containing(minu, sub))
+        return [iv for iv in minu if (iv[0], iv[1]) not in keep]
+    if isinstance(node, INotContainedBy):
+        small = eval_intervals(node.small, positions)
+        big = eval_intervals(node.big, positions)
+        keep = set((iv[0], iv[1]) for iv in _contained_by(small, big))
+        return [iv for iv in small if (iv[0], iv[1]) not in keep]
+    if isinstance(node, IBefore):
+        src = eval_intervals(node.source, positions)
+        ref = eval_intervals(node.reference, positions)
+        if not ref:
+            return []
+        last_start = max(iv[0] for iv in ref)
+        return [iv for iv in src if iv[1] < last_start]
+    if isinstance(node, IAfter):
+        src = eval_intervals(node.source, positions)
+        ref = eval_intervals(node.reference, positions)
+        if not ref:
+            return []
+        first_end = min(iv[1] for iv in ref)
+        return [iv for iv in src if iv[0] > first_end]
+    if isinstance(node, IOverlapping):
+        src = eval_intervals(node.source, positions)
+        ref = eval_intervals(node.reference, positions)
+        return [
+            s for s in src
+            if any(r[0] <= s[1] and s[0] <= r[1] for r in ref)
+        ]
+    if isinstance(node, IExtend):
+        out = []
+        for s, e, inner in eval_intervals(node.source, positions):
+            ns = max(0, s - int(node.before))
+            ne = e + int(node.after)
+            # gaps unchanged: the extension counts as inner width
+            out.append((ns, ne, inner + (s - ns) + (ne - e)))
+        return out
+    if isinstance(node, IWithin):
+        src = eval_intervals(node.source, positions)
+        big = eval_intervals(
+            IExtend(node.reference, int(node.positions), int(node.positions)),
+            positions,
+        )
+        # extended lists may be non-minimal: brute containment check
+        return [
+            s for s in src
+            if any(b[0] <= s[0] and s[1] <= b[1] for b in big)
+        ]
     raise TypeError(f"unknown interval node {type(node).__name__}")
 
 
@@ -235,6 +400,7 @@ def make_intervals_fn(node):
     from .executor import _decode_rows, _decode_rows_pos, _live_mask
 
     distinct = sorted(set(leaf_terms(node)))
+    required = sorted(required_terms(node))
 
     def run(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -251,20 +417,33 @@ def make_intervals_fn(node):
             rows.setdefault(r["term"], []).append(r)
         for t in rows:
             rows[t].sort(key=lambda r: r["first_docid"])
-        if any(t not in rows for t in distinct):
+        if any(t not in rows for t in required):
             return empty
 
-        # phase 1: docid conjunction, rarest leads (every leaf term of an
-        # ordered/unordered/containing source must be present)
-        order = sorted(distinct, key=lambda t: sum(int(r["df"]) for r in rows[t]))
-        cand = None
-        for t in order:
-            parts = [_decode_rows(r, cand, counters) for r in rows[t]]
-            ids = np.concatenate([p[0] for p in parts])
-            if cand is not None and len(ids):
-                m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
-                ids = ids[m]
-            cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+        # phase 1: docid candidates. REQUIRED leaves (see required_terms)
+        # intersect, rarest leads; with no required leaf (pure OR) the
+        # candidate set is the union of every present leaf's docids.
+        if required:
+            order = sorted(required, key=lambda t: sum(int(r["df"]) for r in rows[t]))
+            cand = None
+            for t in order:
+                parts = [_decode_rows(r, cand, counters) for r in rows[t]]
+                ids = np.concatenate([p[0] for p in parts])
+                if cand is not None and len(ids):
+                    m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
+                    ids = ids[m]
+                cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+                if len(cand) == 0:
+                    return empty
+        else:
+            ids_u = [
+                np.concatenate([_decode_rows(r, None, counters)[0] for r in rows[t]])
+                for t in distinct
+                if t in rows
+            ]
+            if not ids_u:
+                return empty
+            cand = np.unique(np.concatenate(ids_u))
             if len(cand) == 0:
                 return empty
         live = _live_mask(cand, deleted)
@@ -273,9 +452,15 @@ def make_intervals_fn(node):
         if len(cand) == 0:
             return empty
 
-        # phase 2: positions for candidate blocks only
+        # phase 2: positions for candidate blocks only (absent optional
+        # terms contribute empty position lists)
+        zpos = np.empty(0, np.int64)
+        zb = np.zeros(len(cand) + 1, np.int64)
         per_term: Dict[str, tuple] = {}
         for t in distinct:
+            if t not in rows:
+                per_term[t] = (zpos, zb)
+                continue
             parts = [_decode_rows_pos(r, cand, counters) for r in rows[t]]
             ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
@@ -283,7 +468,10 @@ def make_intervals_fn(node):
             m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
             pos = pos[np.repeat(m, tfs)]
             ids, tfs = ids[m], tfs[m]
-            bounds = np.concatenate(([0], np.cumsum(tfs)))
+            # scatter per-candidate tf counts (an optional term may miss docs)
+            tf_full = np.zeros(len(cand), np.int64)
+            tf_full[np.searchsorted(cand, ids)] = tfs
+            bounds = np.concatenate(([0], np.cumsum(tf_full)))
             per_term[t] = (pos, bounds)
 
         out_doc, out_n, out_g, out_w = [], [], [], []
@@ -322,8 +510,9 @@ def search_intervals(index, node) -> DataFrame:
     from .executor import apply_per_segment
 
     distinct = sorted(set(leaf_terms(node)))
+    required = required_terms(node)
     stats = index.term_stats_for(distinct)
-    if any(t not in stats for t in distinct):
+    if any(t not in stats for t in required) or not any(t in stats for t in distinct):
         return index.spark.createDataFrame([], INTERVALS_SCHEMA)
     rows = index.seg_postings.filter(F.col("term").isin(distinct))
     return apply_per_segment(index, rows, make_intervals_fn(node), INTERVALS_SCHEMA)

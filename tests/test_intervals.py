@@ -199,3 +199,139 @@ def test_search_intervals_missing_term(built_index):
 
     node = IOrdered((ITerm("import"), ITerm("qqqzzz")))
     assert search_intervals(built_index, node).collect() == []
+
+
+# --- reference TestIntervals vectors (field1 corpus, queries/intervals) ------
+
+_FIELD1 = [
+    "Nothing of interest to anyone here",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot nine"
+    " days old.  Some like it hot, some like it cold, some like it in the pot"
+    " nine days old",
+    "Pease porridge cold, pease porridge hot, pease porridge in the pot twelve"
+    " days old.  Some like it cold, some like it hot, some like it in the"
+    " fraggle",
+    "Nor here, nowt hot going on in pease this one",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot nine"
+    " years old.  Some like it hot, some like it twelve",
+    "Porridge is great",
+    "",
+]
+
+
+def _field1_positions(doc: int):
+    from collections import defaultdict
+
+    from lucene_spark.analysis import analyze_with_positions
+
+    d = defaultdict(list)
+    for t, p in analyze_with_positions(_FIELD1[doc], frozenset()):
+        d[t].append(p)
+    return {t: np.array(ps, dtype=np.int64) for t, ps in d.items()}
+
+
+def _spans(node, doc):
+    from lucene_spark.search.intervals import eval_intervals
+
+    return [(s, e) for s, e, _ in eval_intervals(node, _field1_positions(doc))]
+
+
+def test_not_containing_reference_vector():
+    """TestIntervals.testNotContaining."""
+    from lucene_spark.search.intervals import INotContaining, IOrdered, ITerm
+
+    node = INotContaining(
+        IOrdered((ITerm("porridge"), ITerm("pease"))), ITerm("hot")
+    )
+    want = {0: [], 1: [(4, 6)], 2: [(1, 3)], 3: [], 4: [(4, 6)], 5: [], 6: []}
+    for doc, spans in want.items():
+        assert _spans(node, doc) == spans, doc
+
+
+def test_after_reference_vector():
+    """TestIntervals.testAfter."""
+    from lucene_spark.search.intervals import IAfter, IOrdered, ITerm
+
+    node = IAfter(ITerm("porridge"), IOrdered((ITerm("pease"), ITerm("cold"))))
+    want = {0: [], 1: [(7, 7)], 2: [(4, 4), (7, 7)], 3: [], 4: [(7, 7)], 5: []}
+    for doc, spans in want.items():
+        assert _spans(node, doc) == spans, doc
+
+
+def test_before_reference_vector():
+    """TestIntervals.testBefore."""
+    from lucene_spark.search.intervals import IBefore, ITerm
+
+    node = IBefore(ITerm("cold"), ITerm("twelve"))
+    want = {0: [], 1: [], 2: [(2, 2)], 3: [], 4: [(5, 5)], 5: []}
+    for doc, spans in want.items():
+        assert _spans(node, doc) == spans, doc
+
+
+def test_overlapping_reference_vector():
+    """TestIntervals.testOverlapping."""
+    from lucene_spark.search.intervals import IOverlapping, ITerm, IUnordered
+
+    node = IOverlapping(
+        IUnordered((ITerm("hot"), ITerm("porridge"))),
+        IUnordered((ITerm("cold"), ITerm("pease"))),
+    )
+    want = {
+        0: [], 1: [(2, 4), (7, 17)], 2: [(5, 7), (7, 21)], 3: [],
+        4: [(2, 4)], 5: [],
+    }
+    for doc, spans in want.items():
+        assert _spans(node, doc) == spans, doc
+
+
+def test_within_and_or_reference_vector():
+    """TestIntervals.testWithin (exercises or + extend + containedBy)."""
+    from lucene_spark.search.intervals import IOr, ITerm, IWithin
+
+    node = IWithin(ITerm("hot"), 6, IOr((ITerm("porridge"), ITerm("fraggle"))))
+    want = {
+        0: [], 1: [(2, 2)], 2: [(5, 5), (21, 21)], 3: [], 4: [(2, 2)], 5: [],
+    }
+    for doc, spans in want.items():
+        assert _spans(node, doc) == spans, doc
+
+
+def test_or_union_candidates_end_to_end(spark, tmp_path):
+    """Pure-OR interval source: the docid phase must take the UNION of
+    leaf docids (no single term is required) — verified end-to-end vs a
+    brute-force evaluation over the same corpus."""
+    from collections import defaultdict
+
+    from lucene_spark.analysis import analyze_with_positions
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index
+    from lucene_spark.search.intervals import (
+        IOr, IOrdered, ITerm, eval_intervals, search_intervals,
+    )
+
+    rows = make_corpus(200, seed=31)
+    rows_sorted = sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    idx = Index(
+        spark,
+        build_index(spark, docs, str(tmp_path / "ivor"),
+                    IndexConfig(num_segments=3, hot_df_threshold=60,
+                                index_positions=True)),
+    )
+    node = IOr((IOrdered((ITerm("import"), ITerm("return"))), ITerm("vector")))
+    got = {
+        r["docid"]: r["n_intervals"]
+        for r in search_intervals(idx, node).collect()
+    }
+    want = {}
+    for i, r in enumerate(rows_sorted):
+        d = defaultdict(list)
+        for t, p in analyze_with_positions(r[4]):
+            d[t].append(p)
+        ivs = eval_intervals(node, {t: np.array(ps) for t, ps in d.items()})
+        if ivs:
+            want[i] = len(ivs)
+    assert got == want and len(want) > 0
