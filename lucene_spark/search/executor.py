@@ -1272,6 +1272,36 @@ def make_multiphrase_fn(
     return topk_fn
 
 
+def ngram_phrase_rewrite(terms: Sequence[str], n: int) -> List[Tuple[str, int]]:
+    """NGramPhraseQuery rewrite (search/NGramPhraseQuery.java:45-75): an
+    exact phrase of ADJACENT n-grams is equivalent to matching only every
+    n-th gram plus the last, at their original offsets — kept grams pin the
+    underlying characters, which pin the skipped grams (an invariant of an
+    n-gram analyzer's index). Applies when n >= 2 and the phrase has >= 3
+    consecutive single-term positions; otherwise returns the phrase as-is.
+    Like the reference rewrite, the optimized query REPLACES the original,
+    so scores come from the smaller term set; the match set is identical."""
+    if n < 2 or len(terms) < 3:
+        return [(t, i) for i, t in enumerate(terms)]
+    return [
+        (t, i)
+        for i, t in enumerate(terms)
+        if i % n == 0 or i == len(terms) - 1
+    ]
+
+
+def search_ngram_phrase(
+    index: Index, gram_terms: Sequence[str], n: int, k: int = 10,
+    boost: float = 1.0, quantize: bool = True, dtype=np.float32,
+) -> DataFrame:
+    """Exact phrase over an n-gram-analyzed field with the NGramPhraseQuery
+    term-skipping rewrite applied."""
+    return search_phrase(
+        index, ngram_phrase_rewrite(list(gram_terms), n), slop=0, k=k,
+        boost=boost, quantize=quantize, dtype=dtype,
+    )
+
+
 def search_multi_phrase(
     index: Index,
     slots: Sequence,

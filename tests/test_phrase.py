@@ -412,3 +412,62 @@ def test_multi_phrase_multiterm_repeats_matches_pyref(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], (slots, slop)
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-6), (slots, slop)
+
+
+def test_ngram_phrase_rewrite_rule():
+    """NGramPhraseQuery.rewrite: keep every n-th gram + the last; no-op for
+    short phrases or n < 2 (NGramPhraseQuery.java:45-75)."""
+    from lucene_spark.search.executor import ngram_phrase_rewrite
+
+    assert ngram_phrase_rewrite(list("abcdefg"), 3) == [
+        ("a", 0), ("d", 3), ("g", 6)
+    ]
+    assert ngram_phrase_rewrite(["ab", "bc", "cd", "de"], 2) == [
+        ("ab", 0), ("cd", 2), ("de", 3)
+    ]
+    assert ngram_phrase_rewrite(["ab", "bc"], 2) == [("ab", 0), ("bc", 1)]
+    assert ngram_phrase_rewrite(["a", "b", "c"], 1) == [("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_ngram_phrase_same_matches_fewer_terms(spark, tmp_path):
+    """On an n-gram-analyzed corpus the rewritten query must find EXACTLY
+    the docs of the full gram phrase while decoding fewer terms (the
+    optimization's point); scores come from the rewritten term set."""
+    import random
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import (
+        Index, ngram_phrase_rewrite, search_ngram_phrase, search_phrase,
+    )
+
+    N = 3
+    rng = random.Random(41)
+    alphabet = "abcd"
+
+    def grams(s):
+        return [s[i : i + N] for i in range(len(s) - N + 1)]
+
+    rows = []
+    for i in range(300):
+        s = "".join(rng.choices(alphabet, k=rng.randrange(N + 2, 18)))
+        rows.append((i, " ".join(grams(s)), s))
+    docs = spark.createDataFrame(rows, "docid long, content string, raw string")
+    idx = Index(
+        spark,
+        build_index(
+            spark, docs.select("docid", "content"), str(tmp_path / "ng"),
+            IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=2,
+                        hot_df_threshold=5000, index_positions=True),
+        ),
+    )
+    hits = 0
+    for _ in range(12):
+        needle = "".join(rng.choices(alphabet, k=rng.randrange(N + 3, 9)))
+        q = grams(needle)
+        full = {r["docid"] for r in search_phrase(idx, q, k=1000).collect()}
+        opt = {r["docid"] for r in search_ngram_phrase(idx, q, N, k=1000).collect()}
+        brute = {i for i, _, raw in rows if needle in raw}
+        assert full == opt == brute, needle
+        assert len(ngram_phrase_rewrite(q, N)) < len(q)
+        hits += len(brute)
+    assert hits > 0  # the differential actually exercised matches
