@@ -335,3 +335,64 @@ def test_or_union_candidates_end_to_end(spark, tmp_path):
         if ivs:
             want[i] = len(ivs)
     assert got == want and len(want) > 0
+
+
+def test_new_combinators_match_brute_randomized():
+    """or/notContaining/notContainedBy/before/after/overlapping vs naive
+    O(n^2) models over random position sets (400 cases)."""
+    from lucene_spark.search.intervals import (
+        IAfter, IBefore, INotContaining, INotContainedBy, IOr, IOrdered,
+        IOverlapping, ITerm, eval_intervals,
+    )
+
+    rng = np.random.default_rng(59)
+
+    def brute_minimal(ivs):
+        return [
+            a for a in set(ivs)
+            if not any(b != a and b[0] >= a[0] and b[1] <= a[1] for b in set(ivs))
+        ]
+
+    for _ in range(400):
+        pos = {
+            t: np.sort(rng.choice(30, size=int(rng.integers(0, 7)), replace=False))
+            for t in "abc"
+        }
+        ta, tb, tc = ITerm("a"), ITerm("b"), ITerm("c")
+        iv = lambda n: eval_intervals(n, pos)
+        spans = lambda n: sorted((s, e) for s, e, _ in iv(n))
+
+        # or == minimal(union of single positions)
+        want_or = sorted(
+            (p, p) for p in set(pos["a"].tolist()) | set(pos["b"].tolist())
+        )
+        assert spans(IOr((ta, tb))) == want_or
+
+        src = iv(IOrdered((ta, tb)))
+        refs = [(int(p), int(p)) for p in pos["c"]]
+        # notContaining: minuend intervals covering no c position
+        want_nc = sorted(
+            (s, e) for s, e, _ in src
+            if not any(s <= p <= e for p, _ in refs)
+        )
+        assert spans(INotContaining(IOrdered((ta, tb)), tc)) == want_nc
+        # notContainedBy vs big = ordered(a, b): c positions outside every window
+        want_ncb = sorted(
+            (p, p) for p, _ in refs
+            if not any(s <= p and p <= e for s, e, _ in src)
+        )
+        assert spans(INotContainedBy(tc, IOrdered((ta, tb)))) == want_ncb
+        # before / after / overlapping vs exists-quantified models
+        want_bef = sorted(
+            (s, e) for s, e, _ in src if any(e < p for p, _ in refs)
+        )
+        assert spans(IBefore(IOrdered((ta, tb)), tc)) == want_bef
+        want_aft = sorted(
+            (s, e) for s, e, _ in src if any(s > p for p, _ in refs)
+        )
+        assert spans(IAfter(IOrdered((ta, tb)), tc)) == want_aft
+        want_ovl = sorted(
+            (s, e) for s, e, _ in src
+            if any(s <= p <= e for p, _ in refs)
+        )
+        assert spans(IOverlapping(IOrdered((ta, tb)), tc)) == want_ovl
