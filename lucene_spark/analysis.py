@@ -82,10 +82,23 @@ _KATA = "\u30a1-\u30fa\u30fc-\u30ff\u31f0-\u31ff\uff66-\uff9d"
 
 # --- emoji sequences (UTS#51 subset per the jflex grammar, :60-79,196-207)
 _RI = "\U0001f1e6-\U0001f1ff"  # regional indicators (pairs only)
-# Extended_Pictographic-ish main ranges, EXCLUDING the RI block
+# Extended_Pictographic main ranges, EXCLUDING the RI block. The BMP arrow
+# and symbol blocks follow the actual Extended_Pictographic set (emoji-data
+# Extended_Pictographic): 2194-2199 + 21A9-21AA (NOT 219A-21A8 \u2014 plain
+# arrows like U+219A are dropped by the reference tokenizer), 231A-231B /
+# 2328 / 23CF / 23E9-23F3 / 23F8-23FA for the technical block, and
+# 2B05-2B07 / 2B1B-2B1C / 2B50 / 2B55 only from the 2B00 block (the rest
+# of 2B00-2BFF is non-pictographic and must not emit emoji tokens).
+# DOCUMENTED OVER-MATCH (like the FE0E tag-seq caveat): 25AA-25FE and
+# 2600-27BF are kept as whole runs although Ext_Pict carves small holes
+# (25AC-25B5 etc., 2606, 260D, 2613...) \u2014 those code points over-match as
+# emoji here; the SMP planes keep whole blocks (Ext_Pict covers their
+# unassigned points by design).
 _PICT = (
-    "\u00a9\u00ae\u203c\u2049\u2122\u2139\u2194-\u21aa\u231a-\u23fa\u24c2"
-    "\u25aa-\u25fe\u2600-\u27bf\u2934\u2935\u2b00-\u2bff\u3030\u303d"
+    "\u00a9\u00ae\u203c\u2049\u2122\u2139\u2194-\u2199\u21a9\u21aa"
+    "\u231a\u231b\u2328\u23cf\u23e9-\u23f3\u23f8-\u23fa\u24c2"
+    "\u25aa-\u25fe\u2600-\u27bf\u2934\u2935"
+    "\u2b05-\u2b07\u2b1b\u2b1c\u2b50\u2b55\u3030\u303d"
     "\u3297\u3299\U0001f000-\U0001f1e5\U0001f200-\U0001faff"
 )
 _MOD = "\U0001f3fb-\U0001f3ff"  # Emoji_Modifier (skin tones)

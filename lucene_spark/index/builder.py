@@ -53,6 +53,14 @@ from . import fsio
 
 from contextlib import contextmanager
 
+# On-disk index format version, stamped into field_stats.json at commit and
+# validated at Index.open (SegmentInfos version-check analog,
+# lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:305 —
+# Lucene refuses to open indexes written by a newer/incompatible codec).
+# v5: parquet per-segment tombstones; v4 and earlier used numbered
+# tombstones/delete-*.json files, migrated at open.
+INDEX_FORMAT_VERSION = 5
+
 
 @contextmanager
 def _no_coalesce(spark: SparkSession):
@@ -656,6 +664,7 @@ def finalize_index(
         "sum_doc_freq": int(sum(r["num_postings"] for r in manifest_rows)),
         "num_segments": len(manifest_rows),
         "generation": generation,
+        "format_version": INDEX_FORMAT_VERSION,
     }
     fsio.write_json_atomic(paths.fs, paths.fs_path(paths.field_stats), fs)
     if profile:

@@ -24,17 +24,25 @@ Off by default — enable per Index with ``Index.enable_query_cache()``.
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Callable, Dict
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
 class QueryCache:
-    def __init__(self, max_entries: int = 32, min_frequency: int = 2):
+    def __init__(self, max_entries: int = 32, min_frequency: int = 2,
+                 history_size: int = 256):
         self.max_entries = max_entries
         self.min_frequency = min_frequency
-        self._freq: Dict[str, int] = {}
+        # Bounded recent-history of key sightings (LRU of the last
+        # ``history_size`` distinct keys), mirroring the reference policy's
+        # fixed ring buffer (UsageTrackingQueryCachingPolicy.java:33,
+        # FrequencyTrackingRingBuffer) — a long-lived searcher issuing many
+        # one-off filters must not grow driver memory, and a key that
+        # recurred long ago ages out of persist-eligibility (ADVICE r3).
+        self.history_size = history_size
+        self._freq: "OrderedDict[str, int]" = OrderedDict()
         self._cache: "OrderedDict[str, DataFrame]" = OrderedDict()
         self.hits = 0
         self.misses = 0
@@ -42,7 +50,8 @@ class QueryCache:
 
     def get_or_compute(self, key: str, compute: Callable[[], DataFrame]) -> DataFrame:
         """Cached docid-set DataFrame for ``key``, computing (and — once
-        the key has recurred ``min_frequency`` times — persisting) it."""
+        the key has recurred ``min_frequency`` times within the recent
+        history window — persisting) it."""
         hit = self._cache.get(key)
         if hit is not None:
             self.hits += 1
@@ -50,6 +59,9 @@ class QueryCache:
             return hit
         self.misses += 1
         self._freq[key] = self._freq.get(key, 0) + 1
+        self._freq.move_to_end(key)
+        while len(self._freq) > self.history_size:
+            self._freq.popitem(last=False)
         df = compute()
         if self._freq[key] >= self.min_frequency:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)

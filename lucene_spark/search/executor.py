@@ -72,6 +72,19 @@ class Index:
         self.spark = spark
         self.paths = paths
         fs = fsio.read_json(paths.fs, paths.fs_path(paths.field_stats))
+        from ..index.builder import INDEX_FORMAT_VERSION
+
+        # SegmentInfos-style version gate (SegmentInfos.java:305): refuse
+        # indexes stamped by a NEWER format; older stamps (or pre-stamp
+        # indexes) are fine — the only cross-version artifact is the
+        # tombstone store, migrated below.
+        stamped = int(fs.get("format_version", 0))
+        if stamped > INDEX_FORMAT_VERSION:
+            raise RuntimeError(
+                f"index at {paths.root} has format_version {stamped}, newer than "
+                f"this engine's {INDEX_FORMAT_VERSION}; upgrade the engine"
+            )
+        self._migrate_legacy_tombstones()
         self.field_stats = FieldStats(
             fs["max_doc"], fs["doc_count"], fs["sum_total_term_freq"], fs["sum_doc_freq"]
         )
@@ -107,6 +120,32 @@ class Index:
     # and consumed either cogrouped per segment (pruned top-k paths) or via
     # a distributed anti-join (exhaustive path) — no query path materializes
     # the delete set on the driver or ships it inside task closures.
+
+    def _migrate_legacy_tombstones(self) -> None:
+        """v4 -> v5 tombstone migration: pre-v5 indexes stored deletes as
+        numbered ``tombstones/delete-*.json`` files (``{"docids": [...]}``);
+        v5 readers scan only ``*.parquet``, so without migration a legacy
+        index would silently resurface every deleted doc (ADVICE r3). Each
+        JSON file is folded into the parquet tombstone table (same
+        segment-bucketing path as a live delete) and then removed; the
+        rewrite is idempotent — a crash mid-migration re-runs it, and
+        duplicate tombstone rows are harmless (delete sets are unioned)."""
+        from ..index import fsio
+
+        tdir = self.paths.fs_path(self.paths.tombstones)
+        legacy = fsio.list_files(self.paths.fs, tdir, prefix="delete-", suffix=".json")
+        if not legacy:
+            return
+        ids: List[int] = []
+        for f in legacy:
+            ids.extend(int(d) for d in fsio.read_json(self.paths.fs, f)["docids"])
+        if ids:
+            self.delete_docs_df(
+                self.spark.createDataFrame([(d,) for d in sorted(set(ids))], "docid long")
+            )
+        for f in legacy:
+            self.paths.fs.delete_file(f)
+        self._has_deletes = None
 
     @property
     def has_deletes(self) -> bool:

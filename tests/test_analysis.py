@@ -123,3 +123,20 @@ def test_emoji_reference_vectors():
     assert tokenize("💩中國💩") == ["💩", "中", "國", "💩"]
     # emoji survive the lowercase + stop chain untouched
     assert analyze("The 💩 Fox") == ["💩", "fox"]
+
+
+def test_pictographic_ranges_tightened():
+    """Extended_Pictographic precision (ADVICE r3): plain arrows U+219A /
+    U+21C4 and non-pictographic 2B00-block chars (U+2B0C, U+2B4D) are NOT
+    emoji — the reference StandardTokenizer drops them; the genuinely
+    pictographic members (2194-2199, 21A9-21AA, 2B05-2B07, 2B1B-2B1C,
+    2B50, 2B55) still tokenize as emoji."""
+    assert tokenize("a ↚ b") == ["a", "b"]      # ↚ not Ext_Pict
+    assert tokenize("a ⇄ b") == ["a", "b"]      # ⇄ not Ext_Pict
+    assert tokenize("a ⬌ b") == ["a", "b"]      # ⬌ not Ext_Pict
+    assert tokenize("a ⭍ b") == ["a", "b"]      # ⭍ not Ext_Pict
+    assert tokenize("a ↔ b") == ["a", "↔", "b"]  # ↔ Ext_Pict
+    assert tokenize("a ↩ b") == ["a", "↩", "b"]  # ↩ Ext_Pict
+    assert tokenize("a ⬅ b") == ["a", "⬅", "b"]  # ⬅ Ext_Pict
+    assert tokenize("a ⭐ b") == ["a", "⭐", "b"]  # ⭐ Ext_Pict
+    assert tokenize("a ⭕ b") == ["a", "⭕", "b"]  # ⭕ Ext_Pict

@@ -141,3 +141,51 @@ def test_purge_rewrites_segments(spark, deletable_index):
     got = [(r["docid"], r["score"]) for r in search_topk(idx2, q, k=10).collect()]
     want = [(r["docid"], r["score"]) for r in search_topk(ref, q, k=10).collect()]
     assert got == want
+
+
+def test_legacy_json_tombstones_migrate_on_open(deletable_index, spark):
+    """v4 indexes stored deletes as tombstones/delete-*.json; a v5 open must
+    fold them into the parquet tombstone table (not silently resurface the
+    deleted docs) and remove the legacy files (ADVICE r3; SegmentInfos-style
+    version gating, SegmentInfos.java:305)."""
+    from lucene_spark.index import fsio
+    from lucene_spark.search.executor import Index, search_topk
+
+    idx, _ = deletable_index
+    q = normalize(should=["import"])
+    victims = [r["docid"] for r in search_topk(idx, q, k=4).collect()][:2]
+
+    tdir = idx.paths.fs_path(idx.paths.tombstones)
+    fsio.mkdirs(idx.paths.fs, tdir)
+    fsio.write_json_atomic(
+        idx.paths.fs, tdir + "/delete-00000.json",
+        {"docids": [int(victims[0])]},
+    )
+    fsio.write_json_atomic(
+        idx.paths.fs, tdir + "/delete-00001.json",
+        {"docids": [int(v) for v in victims]},  # overlap: dedup must hold
+    )
+
+    idx2 = Index(spark, idx.paths)  # reopen triggers the migration
+    assert set(idx2.deleted) == set(int(v) for v in victims)
+    assert not fsio.list_files(idx2.paths.fs, tdir, suffix=".json")
+    hits = [r["docid"] for r in search_topk(idx2, q, k=10).collect()]
+    assert not set(hits) & set(victims)
+    # idempotent: a second open finds nothing to migrate and the delete
+    # set is unchanged
+    idx3 = Index(spark, idx.paths)
+    assert set(idx3.deleted) == set(int(v) for v in victims)
+
+
+def test_newer_format_version_refuses_to_open(deletable_index, spark):
+    from lucene_spark.index import fsio
+    from lucene_spark.search.executor import Index
+
+    idx, _ = deletable_index
+    p = idx.paths.fs_path(idx.paths.field_stats)
+    fs = fsio.read_json(idx.paths.fs, p)
+    assert fs["format_version"] >= 5  # stamped at commit
+    fsio.write_json_atomic(idx.paths.fs, p, {**fs, "format_version": 99})
+    with pytest.raises(RuntimeError, match="format_version 99"):
+        Index(spark, idx.paths)
+    fsio.write_json_atomic(idx.paths.fs, p, fs)

@@ -371,3 +371,36 @@ def test_query_cache_hits_and_delete_correctness(spark, tmp_path):
         search_tree(idx, n2, k=None).collect()
     st = cache.stats()
     assert st["entries"] <= 4 and st["evictions"] >= 1
+
+
+def test_query_cache_frequency_history_is_bounded():
+    """The persist-eligibility tracker must be a bounded recent-history
+    window (FrequencyTrackingRingBuffer analog,
+    UsageTrackingQueryCachingPolicy.java:33): many one-off keys cannot grow
+    driver memory, and a key seen long ago ages out of eligibility
+    (ADVICE r3)."""
+    from lucene_spark.search.cache import QueryCache
+
+    class FakeDF:
+        def persist(self, *_):
+            return self
+
+        def unpersist(self):
+            return self
+
+    c = QueryCache(max_entries=4, min_frequency=2, history_size=10)
+    for i in range(1000):
+        c.get_or_compute(f"oneoff-{i}", FakeDF)
+    assert len(c._freq) <= 10  # bounded despite 1000 distinct keys
+    assert len(c._cache) == 0  # nothing recurred -> nothing persisted
+
+    # a key that recurs within the window becomes persist-eligible...
+    c.get_or_compute("hot", FakeDF)
+    c.get_or_compute("hot", FakeDF)
+    assert "hot" in c._cache
+    # ...but one-off churn ages a non-cached key's history out
+    c2 = QueryCache(max_entries=4, min_frequency=2, history_size=10)
+    c2.get_or_compute("stale", FakeDF)
+    for i in range(20):
+        c2.get_or_compute(f"churn-{i}", FakeDF)
+    assert "stale" not in c2._freq
