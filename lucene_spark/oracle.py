@@ -291,25 +291,40 @@ def _qt_values(qtf: Dict[str, float]) -> str:
     )
 
 
-def bm25_scored_cte(qtf: Dict[str, int]) -> str:
-    """CTEs ending in ``agg(doc_id, score, nt)`` over the query terms."""
+def bm25_scored_cte(
+    qtf: Dict[str, int], opt_counts: Optional[Dict[str, int]] = None
+) -> str:
+    """CTEs ending in ``agg(doc_id, score, nt, n_should)`` over the query
+    terms; ``opt_counts`` maps each SHOULD term to the clause instances it
+    credits toward minimumNumberShouldMatch (0/absent for MUST-only
+    terms)."""
+    oc = opt_counts or {}
+    qt_vals = ", ".join(
+        (
+            f"('{t}', {float(w)!r}, {int(oc.get(t, 0))})"
+            if isinstance(w, float)
+            else f"('{t}', {int(w)}, {int(oc.get(t, 0))})"
+        )
+        for t, w in sorted(qtf.items())
+    )
     return (
         "WITH "
         + BM25_CTES
         + f""",
-qt(term, qtf) AS (VALUES {_qt_values(qtf)}),
+qt(term, qtf, oc) AS (VALUES {qt_vals}),
 dfreq AS (SELECT term, count(*) AS df FROM tf
           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
-w AS (SELECT q.term,
+w AS (SELECT q.term, q.oc,
              q.qtf * ln(1 + (fs.doc_cnt - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
       FROM qt q JOIN dfreq ON q.term = dfreq.term CROSS JOIN fs),
 scored AS (
-  SELECT tf.doc_id, w.term,
+  SELECT tf.doc_id, w.term, w.oc,
          w.w - w.w / (1 + CAST(tf.tf AS DOUBLE)
                           * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))) AS s
   FROM tf JOIN w ON tf.term = w.term
           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs),
-agg AS (SELECT doc_id, sum(s) AS score, count(*) AS nt FROM scored GROUP BY 1)"""
+agg AS (SELECT doc_id, sum(s) AS score, count(*) AS nt,
+               sum(oc) AS n_should FROM scored GROUP BY 1)"""
     )
 
 
@@ -327,9 +342,13 @@ def bm25_topk_sql(
     k: int = 10,
     required: Sequence[str] = (),
     excluded: Sequence[str] = (),
+    min_should_match: int = 0,
+    opt_counts: Optional[Dict[str, int]] = None,
 ) -> str:
     """Top-k BM25: OR over qt terms; AND when `required` lists all terms
-    that must match; NOT via excluded."""
+    that must match; NOT via excluded; ``min_should_match`` demands that
+    many matched SHOULD clause instances (counts from ``opt_counts``,
+    defaulting to 1 per non-required qt term)."""
     if required:
         req = ", ".join(f"'{t}'" for t in sorted(set(required)))
         and_f = (
@@ -338,11 +357,15 @@ def bm25_topk_sql(
         )
     else:
         and_f = ""
+    oc = opt_counts
+    if min_should_match > 0 and oc is None:
+        oc = {t: 1 for t in qtf if t not in set(required)}
+    msm_f = f" AND n_should >= {int(min_should_match)}" if min_should_match > 0 else ""
     return (
-        bm25_scored_cte(qtf)
+        bm25_scored_cte(qtf, opt_counts=oc)
         + f"""
 SELECT doc_id AS docid, round(score, 4) AS score
-FROM agg WHERE 1=1{and_f}{_not_clause(excluded)}
+FROM agg WHERE 1=1{and_f}{_not_clause(excluded)}{msm_f}
 ORDER BY agg.score DESC, docid ASC LIMIT {k}"""
     )
 

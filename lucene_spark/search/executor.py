@@ -477,8 +477,16 @@ def search_exhaustive(
 
         dec = dec.withColumn("doclen", quantize_len("doclen"))
 
+    # oc = SHOULD clause instances the term credits toward msm (its SHOULD
+    # qtf; 0 for pure-MUST terms) — matching the un-merged clause count
+    opt_counts = dict(q.optional)
+    if q.min_should_match > sum(opt_counts.get(t, 0) for t in weights):
+        return spark.createDataFrame([], "docid long, score double")
     wdf = F.broadcast(
-        spark.createDataFrame([(t, float(w)) for t, w in weights.items()], "term string, w double")
+        spark.createDataFrame(
+            [(t, float(w), int(opt_counts.get(t, 0))) for t, w in weights.items()],
+            "term string, w double, oc int",
+        )
     )
     avgdl = float(index.field_stats.avgdl())
     k1, b = 1.2, 0.75
@@ -489,9 +497,14 @@ def search_exhaustive(
     agg = scored.groupBy("docid").agg(
         F.sum("s").alias("score"),
         F.count(F.when(F.col("term").isin(req), True)).alias("n_req") if req else F.lit(0).alias("n_req"),
+        F.sum("oc").alias("n_should"),
     )
     if req:
         agg = agg.filter(F.col("n_req") == len(req))
+    if q.min_should_match > 0:
+        # minimumNumberShouldMatch (BooleanQuery.java:125): a doc needs at
+        # least msm matched SHOULD clause instances on top of the MUSTs
+        agg = agg.filter(F.col("n_should") >= q.min_should_match)
     out = agg.select("docid", "score")
     if q.excluded:
         excl = decoded_postings(index, list(q.excluded)).select("docid").distinct()
@@ -534,6 +547,9 @@ def make_topk_fn(
     quantize: bool,
     dtype,
     cursor: Optional[Tuple[float, int]] = None,
+    opt_counts: Optional[Dict[str, int]] = None,
+    msm: int = 0,
+    theta_seed: float = 0.0,
 ):
     """Build the per-segment applyInPandas function.
 
@@ -548,10 +564,29 @@ def make_topk_fn(
     MUST_NOT     -> decoded-docid set subtraction (ReqExclScorer.java:26).
     Final scores are re-summed in sorted-term order (canonical float32
     order) for cross-path exactness; pruning uses PRUNE_SCALE slack.
+
+    ``msm`` > 0 adds the minimumNumberShouldMatch constraint — the batched
+    analog of freq-counting WAND (WANDScorer.java:55 scorerMode FREQS,
+    BooleanScorerSupplier.java:297-306): per-doc matched-clause counts
+    accumulate alongside scores (``opt_counts`` maps each SHOULD term to
+    the clause instances it credits), theta only seeds from docs already
+    GUARANTEED to qualify (counts only grow, so qualification is
+    monotone), candidate retention additionally keeps any doc whose count
+    could still reach msm, and blocks are skipped for NEW docs once the
+    remaining terms' total clause credit cannot reach msm.
+
+    ``theta_seed`` > 0 pre-loads every segment's pruning threshold with a
+    lower bound of the GLOBAL k-th score (MaxScoreAccumulator analog,
+    search/MaxScoreAccumulator.java:23 — concurrent leaf collectors share
+    the max over their local minimum competitive scores; here the driver
+    seeds it once from a cheap partial-query pass). Sound because any true
+    lower bound of the final k-th full score may prune.
     """
     req = sorted(set(required))
     excl = sorted(set(excluded))
     scale = PRUNE_SCALE[dtype]
+    oc = {t: int(c) for t, c in (opt_counts or {}).items() if c > 0}
+    msm = int(msm)
     # resolved driver-side at plan time and captured in the closure, so the
     # worker-side run() never consults module state
     chunk_blocks = int(MAXSCORE_CHUNK)
@@ -621,10 +656,16 @@ def make_topk_fn(
                 if len(cand) == 0:
                     return _Z, _Z.astype(np.float64), counters
             opt = [t for t in scoring if t not in req]
+            nm = np.zeros(len(cand), np.int64) if msm > 0 else None
             for t in opt:
                 ids, tfs, dls = decode_term(t, sel=cand)  # ReqOptSumScorer probe
                 contrib[t][ids - base] = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
-            matched = cand
+                if nm is not None and len(ids):
+                    nm[np.searchsorted(cand, ids)] += oc.get(t, 0)
+            # minShouldMatch on top of the conjunction: keep candidates
+            # with >= msm matched SHOULD clause instances
+            # (BooleanScorerSupplier.java:297-306 req+minShouldMatch path)
+            matched = cand if nm is None else cand[nm >= msm]
         else:
             # --- pure disjunction: block-max MAXSCORE over descending
             # max-score terms, with PER-BLOCK upper bounds and progressive
@@ -640,9 +681,15 @@ def make_topk_fn(
             order = sorted(scoring, key=lambda t: -umax(t))
             umaxes = np.array([umax(t) for t in order], dtype=np.float64)
             suffix = np.concatenate((np.cumsum(umaxes[::-1])[::-1], [0.0]))
+            # remaining SHOULD-clause credit from term i onward (freq-counting
+            # WAND upper bound, WANDScorer.java:55): cnt_suffix[i] bounds how
+            # much a doc's matched-clause count can still grow
+            counts = np.array([oc.get(t, 0) for t in order], dtype=np.int64)
+            cnt_suffix = np.concatenate((np.cumsum(counts[::-1])[::-1], [0]))
+            nmatch = np.zeros(n, dtype=np.int64) if msm > 0 else None
             acc = np.zeros(n, dtype=np.float64)
             seen = np.zeros(n, dtype=bool)
-            theta = -np.inf
+            theta = float(theta_seed) if theta_seed > 0 else -np.inf
             # cursor mode (pruned searchAfter): scores only grow as terms
             # accumulate, so a candidate whose partial sum already exceeds
             # the cursor score can never re-enter the page and is dropped
@@ -657,6 +704,10 @@ def make_topk_fn(
 
             def kth(vals: np.ndarray) -> float:
                 return float(np.partition(vals, len(vals) - k)[len(vals) - k])
+
+            def ids_seen() -> np.ndarray:
+                # candidate fallback before theta is live: every seen doc
+                return np.flatnonzero(seen) + base
 
             for i, t in enumerate(order):
                 rest = float(suffix[i + 1])
@@ -683,6 +734,10 @@ def make_topk_fn(
                     if theta <= 0 or (sel is not None and theta <= sel_theta * 1.05):
                         return
                     mask = seen & (acc + suffix[i] >= theta * scale)
+                    if nmatch is not None:
+                        # count-hopeless docs can be dropped outright: the
+                        # remaining clause credit cannot lift them to msm
+                        mask &= nmatch + cnt_suffix[i] >= msm
                     if after_bound is not None:
                         mask &= acc <= after_bound * slack
                     sel = np.flatnonzero(mask) + base
@@ -702,14 +757,29 @@ def make_topk_fn(
                         w, avgdl, quantize, dtype,
                     ).astype(np.float64)
                     border = np.argsort(-ub, kind="stable")
+                    # once the remaining clause credit (this term included)
+                    # cannot reach msm, blocks only matter for docs already
+                    # in the candidate set — NEW docs cannot qualify
+                    new_docs_ok = nmatch is None or cnt_suffix[i] >= msm
                     for j in range(0, nb, CHUNK):
                         cidx = border[j : j + CHUNK]
-                        if theta > 0:
+                        if theta > 0 or not new_docs_ok:
                             refresh_sel()
-                            keep = ub[cidx] + rest >= theta * scale
+                            if new_docs_ok and theta > 0:
+                                keep = ub[cidx] + rest >= theta * scale
+                            elif new_docs_ok:
+                                keep = np.ones(len(cidx), dtype=bool)
+                            else:
+                                keep = np.zeros(len(cidx), dtype=bool)
                             if sel is not None and len(sel):
                                 lo = np.searchsorted(sel, bf[cidx], "left")
                                 hi = np.searchsorted(sel, bl[cidx], "right")
+                                keep |= hi > lo
+                            elif sel is None and not new_docs_ok:
+                                # theta not live yet: every seen doc is
+                                # still a candidate
+                                lo = np.searchsorted(ids_seen(), bf[cidx], "left")
+                                hi = np.searchsorted(ids_seen(), bl[cidx], "right")
                                 keep |= hi > lo
                             cidx = cidx[keep]
                         counters[1] += len(cidx)
@@ -728,14 +798,26 @@ def make_topk_fn(
                         contrib[t][ids - base] = s
                         acc[ids - base] += s.astype(np.float64)
                         seen[ids - base] = True
-                        if after_bound is None and int(seen.sum()) >= k:
-                            theta = max(theta, kth(acc[seen]))
+                        if nmatch is not None:
+                            nmatch[ids - base] += counts[i]
+                        if after_bound is None:
+                            # theta may only rise from docs GUARANTEED to
+                            # satisfy msm (counts are monotone, so already-
+                            # qualified docs stay qualified)
+                            qual = seen if nmatch is None else seen & (nmatch >= msm)
+                            if int(qual.sum()) >= k:
+                                theta = max(theta, kth(acc[qual]))
                 if after_bound is not None:
                     guaranteed = seen & (acc + rest <= after_bound)
+                    if nmatch is not None:
+                        guaranteed &= nmatch >= msm
                     vals = acc[guaranteed]
                     if len(vals) >= k:
                         theta = max(theta, kth(vals))
-            matched = np.flatnonzero(seen) + base
+            if nmatch is None:
+                matched = np.flatnonzero(seen) + base
+            else:
+                matched = np.flatnonzero(seen & (nmatch >= msm)) + base
 
         if len(matched) == 0:
             return _Z, _Z.astype(np.float64), counters
@@ -800,8 +882,13 @@ def search_topk(
     quantize: bool = True,
     dtype=np.float32,
     with_metrics: bool = False,
+    theta_seed: float = 0.0,
 ) -> DataFrame:
-    """Top-k via per-segment block-max pruning + global ordered merge."""
+    """Top-k via per-segment block-max pruning + global ordered merge.
+
+    ``theta_seed``: pre-seed every segment's pruning threshold with a global
+    lower bound of the k-th score (MaxScoreAccumulator.java:23 analog); see
+    ``seed_theta`` for the cheap driver-side way to obtain one."""
     spark = index.spark
     empty = spark.createDataFrame([], TOPK_SCHEMA if with_metrics else "docid long, score double")
     if q.is_match_none:
@@ -812,7 +899,8 @@ def search_topk(
     weights, req, rows = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
-        quantize, dtype,
+        quantize, dtype, opt_counts=dict(q.optional), msm=q.min_should_match,
+        theta_seed=theta_seed,
     )
     per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
@@ -826,9 +914,47 @@ def _topk_plan(index: Index, q: NormalizedQuery, boost: float, dtype):
     req = [t for t, _ in q.required]
     if not weights or any(t not in weights for t in req):
         return None
+    if q.min_should_match > sum(c for t, c in q.optional if t in weights):
+        return None  # terms absent from the index can never credit msm
     all_terms = sorted(set(weights) | set(q.excluded))
     rows = index.seg_postings.filter(F.col("term").isin(all_terms))
     return weights, req, rows
+
+
+def seed_theta(
+    index: Index,
+    q: NormalizedQuery,
+    k: int = 10,
+    boost: float = 1.0,
+    quantize: bool = True,
+    dtype=np.float32,
+) -> float:
+    """Cross-segment pruning-threshold seed (MaxScoreAccumulator analog,
+    search/MaxScoreAccumulator.java:23): the k-th best score of the RAREST
+    scoring term alone. Every doc's full score is >= its partial score, so
+    at least k docs beat this value — a sound global lower bound of the
+    k-th full score, obtained from one cheap pass over the SMALLEST posting
+    list. Each segment then starts pruning immediately instead of waiting
+    for its local top-k to fill. Only valid for pure disjunctions without
+    minShouldMatch (with MUST or msm the qualifying set is a subset of the
+    rare term's postings, so its k-th partial score is NOT a lower bound);
+    returns 0.0 (no seed) otherwise."""
+    if q.required or q.min_should_match > 0 or not q.optional:
+        return 0.0
+    weights = _weights_for(index, q, boost, dtype)
+    if not weights:
+        return 0.0
+    stats = index.term_stats_for(list(weights))
+    rarest = min(weights, key=lambda t: stats[t][0])
+    qtf = dict(q.optional).get(rarest, 1)
+    sub = NormalizedQuery(optional=((rarest, qtf),))
+    rows = search_topk(
+        index, sub, k=k, boost=boost, quantize=quantize, dtype=dtype
+    ).collect()
+    if len(rows) < k:
+        return 0.0
+    # tiny downward slack covers float re-association across paths
+    return float(rows[-1]["score"]) * PRUNE_SCALE[dtype]
 
 
 def block_skip_metrics(
@@ -838,6 +964,7 @@ def block_skip_metrics(
     boost: float = 1.0,
     quantize: bool = True,
     dtype=np.float32,
+    theta_seed: float = 0.0,
 ) -> dict:
     """Exact block-skip effectiveness of the top-k path: one metrics row per
     segment (no dedup-by-value collapse, no dependence on which rows survive
@@ -850,7 +977,8 @@ def block_skip_metrics(
     weights, req, rows = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
-        quantize, dtype,
+        quantize, dtype, opt_counts=dict(q.optional), msm=q.min_should_match,
+        theta_seed=theta_seed,
     )
     per_seg = apply_per_segment(index, rows, fn.metrics_fn, METRICS_SCHEMA)
     row = per_seg.agg(
@@ -1664,6 +1792,7 @@ def search_after(
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
         quantize, dtype, cursor=(float(after_score), int(after_docid)),
+        opt_counts=dict(q.optional), msm=q.min_should_match,
     )
     per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     return (

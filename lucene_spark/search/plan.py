@@ -46,12 +46,20 @@ class NormalizedQuery:
     - ``optional``: (term, qtf) SHOULD clauses; qtf = linear weight from
       duplicate dedup
     - ``excluded``: MUST_NOT terms
+    - ``min_should_match``: EFFECTIVE minimumNumberShouldMatch
+      (BooleanQuery.java:125): a doc must match at least this many SHOULD
+      clause instances (a term's qtf counts each duplicate clause, exactly
+      like the un-merged clause list). The value is post-normalization:
+      SHOULD clauses folded into MUST terms are auto-credited (every doc
+      passing MUST matches them), and a no-MUST query with msm <= 1 stores
+      0 (identical match semantics to the default disjunction).
     An empty query (all clauses dropped) is MatchNone.
     """
 
     required: Tuple[Tuple[str, int], ...] = ()
     optional: Tuple[Tuple[str, int], ...] = ()
     excluded: Tuple[str, ...] = ()
+    min_should_match: int = 0
 
     @property
     def is_match_none(self) -> bool:
@@ -71,15 +79,25 @@ def normalize(
     must_not: Sequence[str] = (),
     stop_words=ENGLISH_STOP_WORDS,
     pre_analyzed: bool = False,
+    min_should_match: int = 0,
 ) -> NormalizedQuery:
     """Analyze + apply the BooleanQuery.rewrite normalizations.
 
     Rules (BooleanQuery.java):
       :269-276  empty / pure-negative boolean -> MatchNone
+      :289-293  minimumNumberShouldMatch > #SHOULD clauses -> MatchNone
       :344-363  dedup MUST_NOT
       :365-375  term both MUST and MUST_NOT -> MatchNone
       :429-446  duplicate SHOULD terms -> single clause with qtf weight;
                 duplicate MUST terms -> qtf weight on the required term
+
+    ``min_should_match`` mirrors BooleanQuery.Builder
+    .setMinimumNumberShouldMatch (BooleanQuery.java:125). The merged
+    (term, qtf) representation preserves BOTH semantics of the un-merged
+    clause list: scores sum identically (BM25 is linear in qtf) and a
+    matched term credits qtf clause instances toward msm. A SHOULD clause
+    folded into a MUST term is auto-credited here (every doc passing MUST
+    matches it), so the stored value is the residual requirement.
     """
 
     def norm_terms(words: Sequence[str]) -> List[str]:
@@ -95,21 +113,37 @@ def normalize(
     not_n = norm_terms(must_not)
 
     must_c = Counter(must_n)
-    # a SHOULD that is also MUST adds its qtf to the required clause
+    # a SHOULD that is also MUST adds its qtf to the required clause; with
+    # msm > 0 each folded clause instance is auto-credited (a doc passing
+    # MUST necessarily matches it)
     should_c = Counter(should_n)
+    folded = 0
     for t in list(should_c):
         if t in must_c:
-            must_c[t] += should_c.pop(t)
+            n = should_c.pop(t)
+            must_c[t] += n
+            folded += n
     not_set = tuple(sorted(set(not_n)))
 
     if any(t in not_set for t in must_c):  # MUST & MUST_NOT -> MatchNone
         return NormalizedQuery()
+    # a SHOULD that is also MUST_NOT can never match: zero score and zero
+    # msm credit either way, so dropping the clause is semantics-preserving
     should_c = Counter({t: w for t, w in should_c.items() if t not in not_set})
+
+    msm = max(0, int(min_should_match) - folded)
+    if msm > sum(should_c.values()):
+        # more SHOULD matches demanded than clauses that can still match
+        # (BooleanQuery.java:289-293 -> MatchNoDocsQuery)
+        return NormalizedQuery()
+    if not must_c and msm <= 1:
+        msm = 0  # a pure disjunction already demands >= 1 SHOULD match
 
     return NormalizedQuery(
         required=tuple(sorted(must_c.items())),
         optional=tuple(sorted(should_c.items())),
         excluded=not_set,
+        min_should_match=msm,
     )
 
 
