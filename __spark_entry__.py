@@ -172,30 +172,39 @@ def q_count_single_term(spark, sf):
 
 
 def q_prefix_count(spark, sf):
+    """PrefixQuery count, fully distributed: the in-range vocabulary stays
+    a DataFrame broadcast-joined against the postings (VERDICT r3 #3 —
+    a broad prefix is millions of terms at corpus scale; none of them may
+    pass through driver memory)."""
     idx = _index(spark, sf)
-    terms = idx.expand_terms(prefix="wi")
-    if not terms:
-        return _scalar(spark, 0)
-    n = decoded_postings(idx, terms).select("docid").distinct().count()
-    return _scalar(spark, n)
+    return _scalar(spark, idx.multi_term_doc_count(idx.expand_terms_df(prefix="wi")))
 
 
 def q_fuzzy_count(spark, sf):
+    """FuzzyQuery count with Lucene's DEFAULT transposition semantics
+    (Damerau — adjacent swap costs one edit, FuzzyQuery.java:57); the
+    oracle uses DuckDB's damerau_levenshtein, sharing the definition."""
     idx = _index(spark, sf)
-    terms = idx.expand_terms(fuzzy=("sparc", 1))
-    if not terms:
-        return _scalar(spark, 0)
-    n = decoded_postings(idx, terms).select("docid").distinct().count()
-    return _scalar(spark, n)
+    return _scalar(
+        spark, idx.multi_term_doc_count(idx.expand_terms_df(fuzzy=("sparc", 1)))
+    )
 
 
 def q_wildcard_count(spark, sf):
     idx = _index(spark, sf)
-    terms = idx.expand_terms(regex="^me.*e$")
-    if not terms:
-        return _scalar(spark, 0)
-    n = decoded_postings(idx, terms).select("docid").distinct().count()
-    return _scalar(spark, n)
+    return _scalar(spark, idx.multi_term_doc_count(idx.expand_terms_df(regex="^me.*e$")))
+
+
+SPELL_TERM = "tabel"  # misspelling of 'table'
+
+
+def q_spell_suggest(spark, sf):
+    """DirectSpellChecker analog: Damerau candidates from the live term
+    dictionary, minPrefix 1, ranked (dist, df desc, term)
+    (suggest/spell/DirectSpellChecker.java)."""
+    from lucene_spark.search.suggest import spell_suggest
+
+    return spell_suggest(_index(spark, sf), SPELL_TERM, max_edits=2, k=5)
 
 
 def q_term_in_set_facet(spark, sf):
@@ -913,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "min_should_match_topk": q_min_should_match_topk,
         "min_should_match_req_topk": q_min_should_match_req_topk,
+        "spell_suggest": q_spell_suggest,
         "sloppy_rpt_phrase_topk": q_sloppy_rpt_phrase_topk,
         "sloppy_aba_phrase_topk": q_sloppy_aba_phrase_topk,
         "interval_ordered_topk": q_interval_ordered_topk,
@@ -1305,8 +1315,20 @@ ORDER BY n_intervals DESC, docid ASC LIMIT 10""",
         "SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE term = 'spark'",
         "prefix_count": f"WITH {TOKS_CTE.strip()} "
         "SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE term LIKE 'wi%'",
+        # Damerau (transpositions=true, the FuzzyQuery default): DuckDB's
+        # damerau_levenshtein shares the unrestricted-DL definition
         "fuzzy_count": f"WITH {TOKS_CTE.strip()} "
-        "SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE levenshtein(term, 'sparc') <= 1",
+        "SELECT count(DISTINCT doc_id) AS n_docs FROM toks "
+        "WHERE damerau_levenshtein(term, 'sparc') <= 1",
+        "spell_suggest": f"""
+WITH {TOKS_CTE.strip()},
+td AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+SELECT term, CAST(damerau_levenshtein(term, '{SPELL_TERM}') AS INT) AS dist, df
+FROM td
+WHERE term LIKE '{SPELL_TERM[0]}%'
+  AND damerau_levenshtein(term, '{SPELL_TERM}') BETWEEN 1 AND 2
+  AND df > coalesce((SELECT df FROM td WHERE term = '{SPELL_TERM}'), -1)
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5""",
         "wildcard_count": f"WITH {TOKS_CTE.strip()} "
         "SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE regexp_matches(term, '^me.*e$')",
         "term_in_set_facet": f"WITH {TOKS_CTE.strip()} "

@@ -174,6 +174,9 @@ class QFuzzy:
     term: str
     max_edits: int = 2  # FuzzyQuery.defaultMaxEdits [FuzzyQuery.java:52-64]
     boost: float = 1.0
+    # Lucene defaults transpositions=true: an adjacent swap is ONE edit
+    # (Damerau; FuzzyQuery.java:57, LevenshteinAutomata.java:31)
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)

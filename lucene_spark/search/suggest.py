@@ -1,0 +1,57 @@
+"""Spell suggestion over the term dictionary.
+
+DirectSpellChecker analog (lucene/suggest/src/java/org/apache/lucene/
+search/suggest/spell/DirectSpellChecker.java): candidates come straight
+from the live term dictionary via the fuzzy (Damerau) scan — no separate
+spell index — with the reference's candidate gates:
+
+  - maxEdits <= 2 (DirectSpellChecker.java:47 maxEdits, same automaton
+    seam as FuzzyQuery);
+  - minPrefix = 1: candidates share the first character
+    (DirectSpellChecker.java:56 — "people don't usually get the first
+    letter wrong", halves the scan);
+  - the query term itself (distance 0) is never suggested;
+  - candidates seen in fewer docs than the misspelling are dropped when
+    the misspelling exists (suggestMode MORE_POPULAR analog).
+
+Ranking is (distance asc, df desc, term asc) — the reference orders by
+normalized string similarity then docFreq (SuggestWordQueue comparator);
+with integer edit distances at maxEdits <= 2 the distance bucket ordering
+is identical, and df breaks ties inside a bucket. Runs as one distributed
+term-dictionary scan: band + prefix prune first (Catalyst, parquet
+row-group pruning on the term-sorted files), the DP only on survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.fuzzy import band_filter, damerau_distance_col
+
+
+def spell_suggest(
+    index,
+    term: str,
+    max_edits: int = 2,
+    k: int = 5,
+    min_prefix: int = 1,
+    more_popular_than_query: bool = True,
+) -> DataFrame:
+    """Top-k correction candidates for ``term``: columns
+    (term, dist, df), ordered (dist asc, df desc, term asc)."""
+    if max_edits < 1:
+        raise ValueError("max_edits must be >= 1")
+    ts = index.term_stats.filter(band_filter(F.col("term"), term, max_edits))
+    if min_prefix > 0 and len(term) >= min_prefix:
+        ts = ts.filter(F.col("term").startswith(term[:min_prefix]))
+    if more_popular_than_query:
+        stats = index.term_stats_for([term])
+        if term in stats:
+            ts = ts.filter(F.col("df") > int(stats[term][0]))
+    scored = ts.withColumn("dist", damerau_distance_col(F.col("term"), term))
+    return (
+        scored.filter((F.col("dist") <= max_edits) & (F.col("dist") > 0))
+        .select("term", "dist", "df")
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
