@@ -889,6 +889,26 @@ def q_interval_not_containing_count(spark, sf):
     )
 
 
+HL_TERMS, HL_WIDTH = ["spark", "join"], 15
+
+
+def q_highlight_topk(spark, sf):
+    """UnifiedHighlighter-lite (uhighlight/UnifiedHighlighter.java:103):
+    best fixed-width position window per top-10 hit, scored by summed idf
+    of the query-term occurrences inside it (PassageScorer simplification
+    documented in lucene_spark/search/highlight.py)."""
+    from lucene_spark.search.highlight import highlight_topk
+    from lucene_spark.search.plan import normalize as _n
+
+    res = highlight_topk(
+        _index(spark, sf), _n(should=HL_TERMS), k=10, width=HL_WIDTH
+    )
+    return res.select(
+        "docid", F.round("score", 4).alias("score"), "passage_start",
+        "passage_end", "n_hits", F.round("passage_score", 4).alias("passage_score"),
+    )
+
+
 PERCOLATE_QUERIES = [
     (1, ["spark", "join"], 2),
     (2, ["window", "hash", "table"], 2),
@@ -935,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match_req_topk": q_min_should_match_req_topk,
         "spell_suggest": q_spell_suggest,
         "interval_topk": q_interval_topk,
+        "highlight_topk": q_highlight_topk,
         "sloppy_rpt_phrase_topk": q_sloppy_rpt_phrase_topk,
         "sloppy_aba_phrase_topk": q_sloppy_aba_phrase_topk,
         "interval_ordered_topk": q_interval_ordered_topk,
@@ -1260,6 +1281,44 @@ WHERE n > 0 ORDER BY n_intervals DESC, docid ASC LIMIT 10"""
     )
 
 
+def _highlight_sql() -> str:
+    """Best passage per top-10 hit: anchors at every query-term occurrence,
+    window [a, a+W), score = position-ascending sum of occurrence idfs
+    rounded to 6 before the (score desc, start asc) tie-break — the same
+    canonicalization the engine applies."""
+    W = HL_WIDTH
+    lst = ", ".join(f"'{t}'" for t in sorted(HL_TERMS))
+    win = f"list_filter(sl, x -> x.p >= a AND x.p < a + {W})"
+    return (
+        bm25_matches_cte({t: 1 for t in HL_TERMS})
+        + f""",
+top AS (SELECT doc_id, score FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10),
+"""
+        + TPOS_CTE.strip()
+        + f""",
+wp AS (SELECT dfreq.term, ln(1 + (fs.doc_cnt - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
+       FROM dfreq CROSS JOIN fs),
+occ AS (SELECT t.doc_id, t.pos, wp.w
+        FROM tpos t JOIN wp ON t.term = wp.term
+        WHERE t.term IN ({lst}) AND t.doc_id IN (SELECT doc_id FROM top)),
+pl AS (SELECT doc_id, list_sort(list({{'p': pos, 'w': w}})) AS sl FROM occ GROUP BY doc_id),
+cand AS (
+  SELECT doc_id, a AS start,
+         round(coalesce(list_aggregate(list_transform({win}, x -> x.w), 'sum'), 0), 6) AS pscore,
+         list_max(list_transform({win}, x -> x.p)) AS pend,
+         len({win}) AS nh
+  FROM (SELECT doc_id, sl, unnest(list_transform(sl, x -> x.p)) AS a FROM pl)),
+best AS (SELECT doc_id, start, pend, nh, pscore,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pscore DESC, start ASC) AS rn
+         FROM cand)
+SELECT t.doc_id AS docid, round(t.score, 4) AS score,
+       CAST(b.start AS INT) AS passage_start, CAST(b.pend AS INT) AS passage_end,
+       CAST(b.nh AS INT) AS n_hits, round(b.pscore, 4) AS passage_score
+FROM top t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
+ORDER BY t.score DESC, docid ASC"""
+    )
+
+
 def _interval_topk_sql(term_a: str, term_b: str, max_gaps: int) -> str:
     """BM25-scored ordered-interval query: freq = the minimal ordered-pair
     count (same mutual-closeness predicate as _interval_ordered_sql),
@@ -1307,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql = {
         "interval_topk": _interval_topk_sql("spark", "join", 4),
+        "highlight_topk": _highlight_sql(),
         "interval_ordered_topk": _interval_ordered_sql("spark", "join", 4),
         "interval_near_topk": _interval_near_sql("spark", "join", 6),
         "interval_before_count": """
