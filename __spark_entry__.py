@@ -951,11 +951,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries with the freshest prior green row (r2 capped the sweep at 50 of
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
     return {
+        # --- r4 additions: never driver-checked yet
         "min_should_match_topk": q_min_should_match_topk,
         "min_should_match_req_topk": q_min_should_match_req_topk,
         "spell_suggest": q_spell_suggest,
         "interval_topk": q_interval_topk,
         "highlight_topk": q_highlight_topk,
+        # --- last driver-checked in r2 (r3's 50-entry cap skipped them)
+        "count_lower_bound": q_count_lower_bound,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "dedup_exact": q_dedup_exact,
+        "minhash_band_buckets": q_minhash_band_buckets,
+        "simhash_values": q_simhash_values,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "cosine_neardup": q_cosine_neardup,
+        # --- driver-checked green in r3 (freshest rows run last)
         "sloppy_rpt_phrase_topk": q_sloppy_rpt_phrase_topk,
         "sloppy_aba_phrase_topk": q_sloppy_aba_phrase_topk,
         "interval_ordered_topk": q_interval_ordered_topk,
@@ -1006,19 +1022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase_topk": q_multi_phrase_topk,
         "blended_term_topk": q_blended_term_topk,
         "function_score_topk": q_function_score_topk,
-        "count_lower_bound": q_count_lower_bound,
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "dedup_exact": q_dedup_exact,
-        "minhash_band_buckets": q_minhash_band_buckets,
-        "simhash_values": q_simhash_values,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "cosine_neardup": q_cosine_neardup,
     }
 
 
