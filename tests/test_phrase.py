@@ -471,3 +471,59 @@ def test_ngram_phrase_same_matches_fewer_terms(spark, tmp_path):
         assert len(ngram_phrase_rewrite(q, N)) < len(q)
         hits += len(brute)
     assert hits > 0  # the differential actually exercised matches
+
+
+def test_batched_nterm_sloppy_matches_scalar_randomized():
+    """sloppy_nterm_doc_freqs (synchronized micro-step walk) is
+    BIT-IDENTICAL to the per-doc greedy pq matcher across random docs,
+    term counts, offsets, and slops (VERDICT r3 #6 done-criterion).
+    Per-doc positions are split from one distinct draw — distinct terms
+    never share a position, as in a real index."""
+    import numpy as np
+
+    from lucene_spark.functions.phrase import (
+        sloppy_nterm_doc_freqs, sloppy_phrase_freq,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(300):
+        n = int(rng.integers(2, 5))
+        ndocs = int(rng.integers(1, 8))
+        offsets = sorted(rng.choice(10, size=n, replace=False).tolist())
+        per_doc = [[] for _ in range(n)]
+        for _ in range(ndocs):
+            lens = rng.integers(1, 7, size=n)
+            draw = rng.choice(80, size=int(lens.sum()), replace=False)
+            cuts = np.cumsum(lens)[:-1]
+            for t, seg in enumerate(np.split(draw, cuts)):
+                per_doc[t].append(np.sort(seg).astype(np.int64))
+        plists = [np.concatenate(per_doc[t]) for t in range(n)]
+        bounds = [
+            np.concatenate(([0], np.cumsum([len(s) for s in per_doc[t]]))).astype(np.int64)
+            for t in range(n)
+        ]
+        slop = int(rng.integers(0, 12))
+        rows, freqs = sloppy_nterm_doc_freqs(plists, bounds, offsets, slop)
+        got = dict(zip(rows.tolist(), freqs.tolist()))
+        want = {}
+        for d in range(ndocs):
+            f = sloppy_phrase_freq(
+                [per_doc[t][d] for t in range(n)], offsets, slop
+            )
+            if f > 0:
+                want[d] = float(f)
+        assert got == want, (trial, n, slop)
+
+
+def test_engine_3term_sloppy_phrase_end_to_end(built_index, ref_index):
+    """3-distinct-term sloppy phrase through the full engine (the batched
+    matcher path) vs the python reference walk."""
+    from lucene_spark.pyref import search_phrase as ref_phrase
+    from lucene_spark.search.executor import search_phrase
+
+    spec = [("import", 0), ("return", 1), ("class", 2)]
+    got = search_phrase(built_index, spec, slop=6, k=15).collect()
+    want = ref_phrase(ref_index, spec, slop=6, k=15)
+    assert [r["docid"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(float(s), rel=1e-6)
