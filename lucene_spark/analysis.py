@@ -238,6 +238,21 @@ def analyze_with_positions(
     return out
 
 
+def analyze_stemmed(text: str, stop_words: frozenset = ENGLISH_STOP_WORDS) -> List[str]:
+    """Query-time EnglishAnalyzer chain incl. the stemming tail (tokenize ->
+    possessive strip -> lowercase -> stop -> Porter) — use for queries
+    against an index built with ``IndexConfig(stemmer='porter')``, passing
+    the result to ``normalize(..., pre_analyzed=True)``."""
+    from .functions.stem import porter_stem, strip_possessive
+
+    out: List[str] = []
+    for tok in tokenize(text):
+        low = strip_possessive(_lower_cp(tok))
+        if low and low not in stop_words:
+            out.append(porter_stem(low))
+    return out
+
+
 def analyze_batch(texts: pd.Series, stop_words: frozenset = ENGLISH_STOP_WORDS) -> pd.Series:
     """Arrow-batch analyze: pd.Series[str] -> pd.Series[list[str]].
 

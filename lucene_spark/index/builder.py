@@ -123,6 +123,10 @@ class IndexConfig:
     merge_bucket_segments: int = 8  # segments per salt bucket for hot terms
     keep_content: bool = True  # store content in docs table for hydration
     index_positions: bool = False  # store per-posting positions (phrase queries)
+    # "porter" -> EnglishAnalyzer tail (possessive strip -> stop re-check ->
+    # PorterStemFilter, analysis/common/.../en/PorterStemFilter.java:51);
+    # applied to the dictionary-encoded vocab, O(unique terms) Python
+    stemmer: Optional[str] = None
 
 
 @dataclass
@@ -348,6 +352,22 @@ def _invert_group(
     else:
         codes, flat_docix, vocab = flat_code_tokens(table[cfg.content_col], cfg.stop_words)
         flat_pos = None
+    if cfg.stemmer:
+        if cfg.stemmer != "porter":
+            raise ValueError(f"unknown stemmer {cfg.stemmer!r} (supported: porter)")
+        from ..functions.stem import stem_vocab_remap
+
+        # stem the VOCAB and remap codes: per-token cost stays Arrow-side;
+        # post-possessive stopwords drop out (and keep their position hole,
+        # StopFilter position-increment semantics)
+        code_map, vocab = stem_vocab_remap(vocab, cfg.stop_words)
+        codes = code_map[codes]
+        live_tok = codes >= 0
+        if not live_tok.all():
+            codes = codes[live_tok]
+            flat_docix = flat_docix[live_tok]
+            if flat_pos is not None:
+                flat_pos = flat_pos[live_tok]
     doclens = np.bincount(flat_docix, minlength=n_rows).astype(np.int64)
     # remap codes so code order == sorted term order (term-sorted output
     # rows -> parquet min/max row-group pruning on term)

@@ -298,6 +298,7 @@ class Index:
         regex: Optional[str] = None,
         fuzzy: Optional[Tuple[str, int]] = None,
         transpositions: bool = True,
+        lucene_regexp: Optional[str] = None,
     ) -> DataFrame:
         """Term-dictionary scan as a DISTRIBUTED DataFrame (term, df, ttf) —
         the MultiTermQuery rewrite seam (search/ScoringRewrite.java) without
@@ -312,6 +313,13 @@ class Index:
         ts = self.term_stats
         if prefix is not None:
             ts = ts.filter(F.col("term").startswith(prefix))
+        if lucene_regexp is not None:
+            # RegexpQuery syntax (util/automaton/RegExp.java:31): translated
+            # to an ANCHORED Java regex — anchoring, @/#/"..."/<n-m>
+            # handled; automaton-only ~/& rejected (functions/regexp.py)
+            from ..functions.regexp import lucene_regexp_to_java
+
+            ts = ts.filter(F.col("term").rlike(lucene_regexp_to_java(lucene_regexp)))
         if regex is not None:
             ts = ts.filter(F.col("term").rlike(regex))
         if fuzzy is not None:
@@ -331,13 +339,14 @@ class Index:
         fuzzy: Optional[Tuple[str, int]] = None,
         max_terms: Optional[int] = None,
         transpositions: bool = True,
+        lucene_regexp: Optional[str] = None,
     ) -> List[str]:
         """Driver-side term enumeration for SCORING rewrites
         (TopTermsRewrite.java keeps the best ``max_terms``, lowest-df
         first) — always pass a cap on a query path; the uncapped form is
         for tests/diagnostics. Counting paths must use ``expand_terms_df``
         instead (no driver materialization)."""
-        ts = self.expand_terms_df(prefix, regex, fuzzy, transpositions)
+        ts = self.expand_terms_df(prefix, regex, fuzzy, transpositions, lucene_regexp)
         if max_terms is None:
             rows = ts.select("term").collect()
             return sorted(r["term"] for r in rows)
