@@ -764,6 +764,36 @@ def q_ann_lsh_multiprobe(spark, sf):
     )
 
 
+IVF_NLIST, IVF_NPROBE = 16, 4
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached on disk) the centroid-partitioned IVF ANN index
+    for this sf's embeddings (k-means coarse quantizer, FAISS IVF-Flat
+    shape)."""
+    from lucene_spark.pipeline.similarity import build_ivf_index
+
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_ivf{IVF_NLIST}"
+    if not os.path.exists(os.path.join(d, "centroids.json")):
+        build_ivf_index(_emb(spark, sf_dir), d, dim=64, nlist=IVF_NLIST, seed=42)
+    return d
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN: exact cosine top-10 within the nprobe nearest centroid
+    partitions of the persisted k-means-quantized index. No SQL oracle —
+    the coarse quantizer is an iterative algorithm (driver records the
+    rows-only check); recall vs brute force is pytest-asserted
+    (tests/test_pipeline_ops.py)."""
+    from lucene_spark.pipeline.similarity import ivf_index_topk
+
+    return ivf_index_topk(
+        spark, _ivf_index_dir(spark, sf), _ann_query_vec(spark, sf),
+        k=10, nprobe=IVF_NPROBE,
+    )
+
+
 def q_multimodal_meta(spark, sf):
     """Real media decode: synthesize valid PNG/WAV/MP4 payloads, then PARSE
     their actual container headers; the oracle recomputes the expected dims
@@ -962,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell_suggest,
         "interval_topk": q_interval_topk,
         "highlight_topk": q_highlight_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: no SQL oracle (iterative k-means)
         # --- last driver-checked in r2 (r3's 50-entry cap skipped them)
         "count_lower_bound": q_count_lower_bound,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,

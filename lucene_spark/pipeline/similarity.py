@@ -179,3 +179,75 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95, vec_col: str = 
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + centroid-partitioned
+# index — the classic scale path alongside the LSH variant (FAISS IVF-Flat
+# shape; public algorithm). Build: Spark ML KMeans assigns every vector to
+# its nearest centroid; vectors land in centroid-partitioned parquet and
+# the (tiny) centroid table persists beside them. Probe: rank centroids by
+# cosine to the query DRIVER-SIDE (nlist floats — never data-sized), read
+# only the nprobe nearest partitions (partition pruning), exact cosine
+# within. Recall/latency knob = nprobe, like LSH's probe_bits.
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    df: DataFrame,
+    out_dir: str,
+    dim: int = 64,
+    nlist: int = 32,
+    seed: int = 42,
+    max_iter: int = 20,
+    vec_col: str = "embedding",
+) -> None:
+    """Fit the coarse quantizer and write the centroid-partitioned index.
+    Deterministic for a fixed seed/input (KMeans with pinned seed + init)."""
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__vec__", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="__vec__",
+        predictionCol="centroid",
+    ).fit(feat)
+    out = model.transform(feat).drop("__vec__")
+    out.write.mode("overwrite").partitionBy("centroid").parquet(out_dir)
+    cents = [c.tolist() for c in model.clusterCenters()]
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump({"dim": dim, "nlist": nlist, "seed": seed, "centroids": cents}, f)
+
+
+def ivf_probe_centroids(index_dir: str, query_vec, nprobe: int = 4):
+    """The nprobe centroid ids nearest (cosine) to the query — a
+    driver-side O(nlist * dim) numpy step."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)
+    order = np.argsort(-sims, kind="stable")
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k within the nprobe nearest centroid partitions —
+    the centroid filter lands in PartitionFilters, so only those
+    directories are read."""
+    probes = ivf_probe_centroids(index_dir, query_vec, nprobe)
+    cand = spark.read.parquet(index_dir).filter(F.col("centroid").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

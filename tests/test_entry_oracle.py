@@ -55,12 +55,23 @@ def _all_names():
     return sorted(entry.queries())
 
 
+# entries whose operator is an iterative algorithm with no ANSI-SQL
+# equivalent: the driver records a rows-only check for these (the brief's
+# documented weaker path); everything else MUST have an oracle
+NO_ORACLE = {"ann_ivf_topk"}
+
+
 @pytest.mark.parametrize("name", _all_names())
 def test_query_matches_oracle(spark, duck, name):
     import __spark_entry__ as entry
 
     fn = entry.queries()[name]
     sql = entry.oracle_sql().get(name)
+    if name in NO_ORACLE:
+        assert sql is None
+        got = fn(spark, SF_DIR).toPandas()
+        assert len(got) > 0, f"{name}: rows-only check found no rows"
+        return
     assert sql is not None, f"{name} has no oracle"
     got = fn(spark, SF_DIR).toPandas()
     want = duck.execute(sql).fetchdf()

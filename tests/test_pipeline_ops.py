@@ -348,3 +348,32 @@ def test_resize_png_and_transform(spark, docs):
             assert r["out_width"] == 0
         else:
             assert r["n_frames"] == 0 and r["mean_px"] == 0
+
+
+def test_ivf_ann_recall_and_partition_probe(spark, tmp_path):
+    """IVF ANN: deterministic build, partition-pruned probe, recall vs
+    brute force at nprobe=4/16 on the sf0.01 embeddings."""
+    import os
+
+    from lucene_spark.pipeline.similarity import (
+        build_ivf_index, cosine_topk, ivf_index_topk, ivf_probe_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    build_ivf_index(emb, d, dim=64, nlist=16, seed=42)
+    assert os.path.exists(os.path.join(d, "centroids.json"))
+    n_dirs = len([e for e in os.listdir(d) if e.startswith("centroid=")])
+    assert n_dirs <= 16
+
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    probes = ivf_probe_centroids(d, qv, nprobe=4)
+    assert len(probes) == 4 and len(set(probes)) == 4
+
+    got = [r["vec_id"] for r in ivf_index_topk(spark, d, qv, k=10, nprobe=4).collect()]
+    want = [r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()]
+    recall = len(set(got) & set(want)) / 10.0
+    assert recall >= 0.5, (recall, got, want)
+    # full probe == brute force exactly
+    got_all = [r["vec_id"] for r in ivf_index_topk(spark, d, qv, k=10, nprobe=16).collect()]
+    assert got_all == want
