@@ -74,6 +74,14 @@ def main() -> None:
         build_ref_index([(i, r[4]) for i, r in enumerate(rows)])
         return round(time.perf_counter() - t0, 3)
 
+    # one UNTIMED warmup build first: JVM codegen + page-cache first-touch
+    # dominate the first rep (observed 24.9 -> 12.7 -> 8.7 s with a flat
+    # control — warmup, not weather); timed reps start from a warm state
+    shutil.rmtree(build_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(spark, docs, build_dir, cfg)
+    warmup_sec = round(time.perf_counter() - t0, 3)
+
     build_reps, control_secs = [], []
     for _ in range(max(1, repeats)):
         control_secs.append(fixed_work_control())
@@ -85,7 +93,7 @@ def main() -> None:
     build_sec = min(build_reps)
     contended = (
         max(control_secs) / min(control_secs) > 1.5
-        or max(build_reps) / min(build_reps) > 2.0
+        or max(build_reps) / min(build_reps) > 1.5
     )
 
     # --- query latency over the sf corpus (documents.parquet)
@@ -292,6 +300,7 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "build_reps": build_reps,
+        "build_warmup_sec": warmup_sec,
         "control_secs": control_secs,
         "contended": contended,
         "cpus": cpus,
