@@ -34,6 +34,7 @@ from lucene_spark.oracle import (
     phrase_sloppy_sql,
     phrase_sloppy_rpt_sql,
     phrase_sloppy_aba_sql,
+    similarity_topk_sql,
 )
 from lucene_spark.search.executor import (
     Index,
@@ -111,9 +112,11 @@ def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-def _topk(idx: Index, k=10, **clauses) -> DataFrame:
+def _topk(idx: Index, k=10, similarity=None, **clauses) -> DataFrame:
     q = normalize(**clauses)
-    res = search_topk(idx, q, k=k, quantize=False, dtype=np.float64)
+    res = search_topk(
+        idx, q, k=k, quantize=False, dtype=np.float64, similarity=similarity
+    )
     return res.select("docid", F.round("score", 4).alias("score"))
 
 
@@ -547,6 +550,40 @@ def q_min_should_match_req_topk(spark, sf):
         _index(spark, sf), must=MSM_REQ, should=MSM_REQ_OPT,
         min_should_match=MSM_REQ_N,
     )
+
+
+SIM_TERMS = {"spark": 1, "join": 1, "window": 1}
+
+
+def _sim_topk(spark, sf, kind):
+    return _topk(_index(spark, sf), similarity=kind, should=list(SIM_TERMS))
+
+
+def q_classic_topk(spark, sf):
+    """ClassicSimilarity (TF-IDF) top-k through the PRUNED block-max path —
+    sqrt(tf) * (boost*idf) / sqrt(doclen), idf = ln((N+1)/(df+1)) + 1
+    (ClassicSimilarity.java:44-71, TFIDFSimilarity.java:467-472); block
+    impact bounds stay sound (monotone in tf/doclen)."""
+    return _sim_topk(spark, sf, "classic")
+
+
+def q_boolean_sim_topk(spark, sf):
+    """BooleanSimilarity: score = boost per matched clause
+    (BooleanSimilarity.java:48-51); docs matching more clauses sum higher,
+    ties broken docid-asc."""
+    return _sim_topk(spark, sf, "boolean")
+
+
+def q_lm_dirichlet_topk(spark, sf):
+    """LMDirichletSimilarity (mu=2000): Bayesian-smoothed language model,
+    floored at 0 (LMDirichletSimilarity.java:76-82)."""
+    return _sim_topk(spark, sf, "lm_dirichlet")
+
+
+def q_lm_jelinek_topk(spark, sf):
+    """LMJelinekMercerSimilarity (lambda=0.1)
+    (LMJelinekMercerSimilarity.java:68-74)."""
+    return _sim_topk(spark, sf, "lm_jelinek_mercer")
 
 
 MULTI_PHRASE_SLOTS = [(0, ["table", "part"]), (1, ["hash", "filter"])]
@@ -987,6 +1024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
     return {
         # --- r4 additions: never driver-checked yet
+        "classic_topk": q_classic_topk,
+        "boolean_sim_topk": q_boolean_sim_topk,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_jelinek_topk": q_lm_jelinek_topk,
         "min_should_match_topk": q_min_should_match_topk,
         "min_should_match_req_topk": q_min_should_match_req_topk,
         "spell_suggest": q_spell_suggest,
@@ -1430,6 +1471,10 @@ ORDER BY n_intervals DESC, docid ASC LIMIT 10""",
         "interval_containing_topk": _interval_ordered_sql(
             "spark", "join", 4, containing="table"
         ),
+        "classic_topk": similarity_topk_sql("classic", SIM_TERMS),
+        "boolean_sim_topk": similarity_topk_sql("boolean", SIM_TERMS),
+        "lm_dirichlet_topk": similarity_topk_sql("lm_dirichlet", SIM_TERMS),
+        "lm_jelinek_topk": similarity_topk_sql("lm_jelinek_mercer", SIM_TERMS),
         "min_should_match_topk": bm25_topk_sql(
             {t: 1 for t in MSM_TERMS}, min_should_match=MSM_N
         ),

@@ -328,6 +328,55 @@ agg AS (SELECT doc_id, sum(s) AS score, count(*) AS nt,
     )
 
 
+def similarity_topk_sql(kind: str, qtf: Dict[str, int], k: int = 10) -> str:
+    """Top-k OR query under an alternative similarity (Similarity seam,
+    lucene/core/src/java/org/apache/lucene/search/similarities/): same
+    tokenize/tf/dl/fs CTEs as BM25, different per-clause score expression —
+    mirrors the engine's float64 unquantized mode expression shapes.
+
+      classic           sqrt(tf) * (qtf*(ln((N+1)/(df+1))+1)) / sqrt(doclen)
+      boolean           qtf (constant per matched clause)
+      lm_dirichlet      qtf * max(0, ln(1+tf/(mu*pc)) + ln(mu/(dl+mu))), mu=2000
+      lm_jelinek_mercer qtf * ln(1 + (0.9*tf/dl)/(0.1*pc))
+    with pc = (ttf+1)/(total_tokens+1) (LMSimilarity.java:144-158)."""
+    qt_vals = ", ".join(f"('{t}', {int(w)})" for t, w in sorted(qtf.items()))
+    if kind == "classic":
+        w_expr = "q.qtf * (ln((fs.doc_cnt + 1) / CAST(dfreq.df + 1 AS DOUBLE)) + 1)"
+        s_expr = "sqrt(CAST(tf.tf AS DOUBLE)) * w.w / sqrt(CAST(dl.doclen AS DOUBLE))"
+    elif kind == "boolean":
+        w_expr = "CAST(q.qtf AS DOUBLE)"
+        s_expr = "w.w"
+    elif kind == "lm_dirichlet":
+        w_expr = "CAST(q.qtf AS DOUBLE)"
+        s_expr = ("greatest(0.0, w.w * (ln(1 + tf.tf / (2000.0 * w.pc)) "
+                  "+ ln(2000.0 / (dl.doclen + 2000.0))))")
+    elif kind == "lm_jelinek_mercer":
+        w_expr = "CAST(q.qtf AS DOUBLE)"
+        s_expr = "w.w * ln(1 + (0.9 * tf.tf / dl.doclen) / (0.1 * w.pc))"
+    else:
+        raise ValueError(kind)
+    return (
+        "WITH "
+        + BM25_CTES
+        + f""",
+qt(term, qtf) AS (VALUES {qt_vals}),
+dfreq AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+ftok AS (SELECT sum(doclen) AS total FROM dl),
+w AS (SELECT q.term, {w_expr} AS w,
+             (dfreq.ttf + 1.0) / (ftok.total + 1.0) AS pc
+      FROM qt q JOIN dfreq ON q.term = dfreq.term
+      CROSS JOIN fs CROSS JOIN ftok),
+scored AS (
+  SELECT tf.doc_id, {s_expr} AS s
+  FROM tf JOIN w ON tf.term = w.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs)
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM scored GROUP BY 1
+ORDER BY sum(s) DESC, docid ASC LIMIT {k}"""
+    )
+
+
 def _not_clause(excluded: Sequence[str]) -> str:
     if not excluded:
         return ""

@@ -493,6 +493,7 @@ def search_exhaustive(
     boost: float = 1.0,
     quantize: bool = False,
     dtype=np.float64,
+    similarity: Optional[str] = None,
 ) -> DataFrame:
     """Exhaustive scoring in Spark SQL (float64) — the always-correct path.
 
@@ -500,11 +501,20 @@ def search_exhaustive(
     OR = union + groupBy(docid).sum(score); NOT = left_anti join
     (SURVEY.md §2.5 BooleanQuery row). With quantize=True the doclen goes
     through the byte4 code (applied in the decode UDF upstream).
+    ``similarity`` swaps the per-clause score expression + weights through
+    the Similarity seam (similarities.py); the whole plan stays JVM-side —
+    the alternative formulas are plain Spark SQL expressions too.
     """
+    from .similarities import bind_similarity
+
     spark = index.spark
     if q.is_match_none:
         return spark.createDataFrame([], "docid long, score double")
-    weights = _weights_for(index, q, boost, dtype)
+    sim = bind_similarity(
+        similarity, q.scoring_terms, index.term_stats_for(list(q.scoring_terms)),
+        index.field_stats, boost, quantize, dtype,
+    )
+    weights = sim.weights if sim is not None else _weights_for(index, q, boost, dtype)
     req = [t for t, _ in q.required]
     live_terms = [t for t in q.scoring_terms if t in weights]
     if not live_terms or any(t not in weights for t in req):
@@ -525,16 +535,22 @@ def search_exhaustive(
     opt_counts = dict(q.optional)
     if q.min_should_match > sum(opt_counts.get(t, 0) for t in weights):
         return spark.createDataFrame([], "docid long, score double")
+    wrows = sim.wdf_rows() if sim is not None else [
+        (t, float(w), 0.0) for t, w in weights.items()
+    ]
     wdf = F.broadcast(
         spark.createDataFrame(
-            [(t, float(w), int(opt_counts.get(t, 0))) for t, w in weights.items()],
-            "term string, w double, oc int",
+            [(t, w, pc, int(opt_counts.get(t, 0))) for t, w, pc in wrows],
+            "term string, w double, pc double, oc int",
         )
     )
     avgdl = float(index.field_stats.avgdl())
-    k1, b = 1.2, 0.75
-    ninv = 1.0 / (F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl)))
-    score = F.col("w") - F.col("w") / (F.lit(1.0) + F.col("tf").cast("double") * ninv)
+    if sim is not None:
+        score = sim.score_col(F.col("tf"), F.col("doclen"))
+    else:
+        k1, b = 1.2, 0.75
+        ninv = 1.0 / (F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl)))
+        score = F.col("w") - F.col("w") / (F.lit(1.0) + F.col("tf").cast("double") * ninv)
     scored = dec.join(wdf, "term").withColumn("s", score)
 
     agg = scored.groupBy("docid").agg(
@@ -593,6 +609,7 @@ def make_topk_fn(
     opt_counts: Optional[Dict[str, int]] = None,
     msm: int = 0,
     theta_seed: float = 0.0,
+    sim=None,
 ):
     """Build the per-segment applyInPandas function.
 
@@ -625,6 +642,10 @@ def make_topk_fn(
     seeds it once from a cheap partial-query pass). Sound because any true
     lower bound of the final k-th full score may prune.
     """
+    if sim is None:
+        from .similarities import BM25Bound
+
+        sim = BM25Bound(weights, avgdl, quantize, dtype)
     req = sorted(set(required))
     excl = sorted(set(excluded))
     scale = PRUNE_SCALE[dtype]
@@ -683,7 +704,7 @@ def make_topk_fn(
         def umax(t):
             mt = max(int(r["max_tf"]) for r in rows[t])
             md = min(int(r["min_doclen"]) for r in rows[t])
-            return max_term_score(weights[t], mt, md, avgdl, quantize, dtype)
+            return sim.bound(t, mt, md)
 
         if req:
             # --- conjunction: lead with rarest required term
@@ -691,10 +712,10 @@ def make_topk_fn(
             lead = req_order[0]
             ids, tfs, dls = decode_term(lead)
             cand = ids
-            contrib[lead][ids - base] = score_arrays(tfs, dls, weights[lead], avgdl, quantize, dtype)
+            contrib[lead][ids - base] = sim.score(lead, tfs, dls)
             for t in req_order[1:]:
                 ids, tfs, dls = decode_term(t, sel=cand)
-                contrib[t][ids - base] = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
+                contrib[t][ids - base] = sim.score(t, tfs, dls)
                 cand = np.intersect1d(cand, ids, assume_unique=True)
                 if len(cand) == 0:
                     return _Z, _Z.astype(np.float64), counters
@@ -702,7 +723,7 @@ def make_topk_fn(
             nm = np.zeros(len(cand), np.int64) if msm > 0 else None
             for t in opt:
                 ids, tfs, dls = decode_term(t, sel=cand)  # ReqOptSumScorer probe
-                contrib[t][ids - base] = score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype)
+                contrib[t][ids - base] = sim.score(t, tfs, dls)
                 if nm is not None and len(ids):
                     nm[np.searchsorted(cand, ids)] += oc.get(t, 0)
             # minShouldMatch on top of the conjunction: keep candidates
@@ -787,17 +808,18 @@ def make_topk_fn(
                     sel_theta = theta
 
                 refresh_sel()
-                w = weights[t]
                 for r in rows[t]:
                     bf = np.asarray(r["block_first"], dtype=np.int64)
                     bl = np.asarray(r["block_last"], dtype=np.int64)
                     data = r["block_data"]
                     nb = len(bf)
                     counters[0] += nb
-                    ub = score_arrays(
+                    # per-block upper bounds from the impact metadata —
+                    # sound for every registered similarity (monotone)
+                    ub = sim.score(
+                        t,
                         np.asarray(r["block_maxtf"], dtype=np.int64),
                         np.asarray(r["block_mindl"], dtype=np.int64),
-                        w, avgdl, quantize, dtype,
                     ).astype(np.float64)
                     border = np.argsort(-ub, kind="stable")
                     # once the remaining clause credit (this term included)
@@ -837,7 +859,7 @@ def make_topk_fn(
                             ids, tfs, dls = ids[live], tfs[live], dls[live]
                         if len(ids) == 0:
                             continue
-                        s = score_arrays(tfs, dls, w, avgdl, quantize, dtype)
+                        s = sim.score(t, tfs, dls)
                         contrib[t][ids - base] = s
                         acc[ids - base] += s.astype(np.float64)
                         seen[ids - base] = True
@@ -926,34 +948,50 @@ def search_topk(
     dtype=np.float32,
     with_metrics: bool = False,
     theta_seed: float = 0.0,
+    similarity: Optional[str] = None,
 ) -> DataFrame:
     """Top-k via per-segment block-max pruning + global ordered merge.
 
     ``theta_seed``: pre-seed every segment's pruning threshold with a global
     lower bound of the k-th score (MaxScoreAccumulator.java:23 analog); see
-    ``seed_theta`` for the cheap driver-side way to obtain one."""
+    ``seed_theta`` for the cheap driver-side way to obtain one.
+
+    ``similarity``: one of scorer seam names ("classic", "boolean",
+    "lm_dirichlet", "lm_jelinek_mercer"); None/"bm25" keeps the default.
+    Every registered similarity is monotone up in tf / down in doclen, so
+    the block-max pruning stays sound — bounds route through the same
+    scorer (similarities.BoundSimilarity.bound)."""
     spark = index.spark
     empty = spark.createDataFrame([], TOPK_SCHEMA if with_metrics else "docid long, score double")
     if q.is_match_none:
         return empty
-    plan = _topk_plan(index, q, boost, dtype)
+    plan = _topk_plan(index, q, boost, dtype, similarity, quantize)
     if plan is None:
         return empty
-    weights, req, rows = plan
+    weights, req, rows, sim = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
         quantize, dtype, opt_counts=dict(q.optional), msm=q.min_should_match,
-        theta_seed=theta_seed,
+        theta_seed=theta_seed, sim=sim,
     )
     per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
     return out if with_metrics else out.select("docid", "score")
 
 
-def _topk_plan(index: Index, q: NormalizedQuery, boost: float, dtype):
+def _topk_plan(index: Index, q: NormalizedQuery, boost: float, dtype,
+               similarity: Optional[str] = None, quantize: bool = True):
     """Shared setup for the per-segment top-k paths: resolve term weights
-    and the filtered postings rows; None when the query cannot match."""
-    weights = _weights_for(index, q, boost, dtype)
+    (through the pluggable similarity when one is named — Similarity seam,
+    SURVEY.md §2.4) and the filtered postings rows; None when the query
+    cannot match."""
+    from .similarities import bind_similarity
+
+    sim = bind_similarity(
+        similarity, q.scoring_terms, index.term_stats_for(list(q.scoring_terms)),
+        index.field_stats, boost, quantize, dtype,
+    )
+    weights = sim.weights if sim is not None else _weights_for(index, q, boost, dtype)
     req = [t for t, _ in q.required]
     if not weights or any(t not in weights for t in req):
         return None
@@ -961,7 +999,7 @@ def _topk_plan(index: Index, q: NormalizedQuery, boost: float, dtype):
         return None  # terms absent from the index can never credit msm
     all_terms = sorted(set(weights) | set(q.excluded))
     rows = index.seg_postings.filter(F.col("term").isin(all_terms))
-    return weights, req, rows
+    return weights, req, rows, sim
 
 
 def seed_theta(
@@ -1008,20 +1046,21 @@ def block_skip_metrics(
     quantize: bool = True,
     dtype=np.float32,
     theta_seed: float = 0.0,
+    similarity: Optional[str] = None,
 ) -> dict:
     """Exact block-skip effectiveness of the top-k path: one metrics row per
     segment (no dedup-by-value collapse, no dependence on which rows survive
     the global merge), summed driver-side."""
     if q.is_match_none:
         return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
-    plan = _topk_plan(index, q, boost, dtype)
+    plan = _topk_plan(index, q, boost, dtype, similarity, quantize)
     if plan is None:
         return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
-    weights, req, rows = plan
+    weights, req, rows, sim = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
         quantize, dtype, opt_counts=dict(q.optional), msm=q.min_should_match,
-        theta_seed=theta_seed,
+        theta_seed=theta_seed, sim=sim,
     )
     per_seg = apply_per_segment(index, rows, fn.metrics_fn, METRICS_SCHEMA)
     row = per_seg.agg(
@@ -1858,14 +1897,14 @@ def search_after(
     empty = spark.createDataFrame([], "docid long, score double")
     if q.is_match_none:
         return empty
-    plan = _topk_plan(index, q, boost, dtype)
+    plan = _topk_plan(index, q, boost, dtype, kw.pop("similarity", None), quantize)
     if plan is None:
         return empty
-    weights, req, rows = plan
+    weights, req, rows, sim = plan
     fn = make_topk_fn(
         weights, req, list(q.excluded), k, float(index.field_stats.avgdl()),
         quantize, dtype, cursor=(float(after_score), int(after_docid)),
-        opt_counts=dict(q.optional), msm=q.min_should_match,
+        opt_counts=dict(q.optional), msm=q.min_should_match, sim=sim,
     )
     per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     return (

@@ -1,0 +1,264 @@
+"""Pluggable similarities (SURVEY.md §2.4 "Other similarities").
+
+Lucene ships a family of scoring models behind the ``Similarity`` seam
+(``lucene/core/src/java/org/apache/lucene/search/similarities/``). This
+module implements the most-used non-BM25 members with the reference's exact
+formula shapes (behavior only, no code):
+
+  ClassicSimilarity (TF-IDF, the historical default)
+    idf  = log((docCount+1)/(docFreq+1)) + 1     [ClassicSimilarity.java:69-71]
+    tf   = sqrt(freq)                            [ClassicSimilarity.java:50-52]
+    norm = 1/sqrt(length)                        [ClassicSimilarity.java:44-46]
+    score(freq, norm) = tf(freq) * (boost*idf) * normTable[norm]
+                                                 [TFIDFSimilarity.java:467-472]
+    normTable[i] = lengthNorm(LENGTH_TABLE[i]), normTable[0] = 1/normTable[255]
+                                                 [TFIDFSimilarity.java:441-446]
+
+  BooleanSimilarity
+    score(freq, norm) = boost                    [BooleanSimilarity.java:48-51]
+
+  LMDirichletSimilarity (mu = 2000)
+    p_c   = (totalTermFreq+1) / (numberOfFieldTokens+1)
+                                                 [LMSimilarity.java:144-158]
+    score = boost * (log(1 + freq/(mu*p_c)) + log(mu/(docLen+mu))), floored
+            at 0; computed in double, cast to float
+                                                 [LMDirichletSimilarity.java:76-82]
+
+  LMJelinekMercerSimilarity (lambda = 0.1)
+    score = boost * log(1 + ((1-lambda)*freq/docLen) / (lambda*p_c))
+                                                 [LMJelinekMercerSimilarity.java:68-74]
+
+All are monotone increasing in tf and non-increasing in doclen, so the
+per-block impact metadata (block_maxtf, block_mindl) yields sound score
+upper bounds for every one of them — the block-max MAXSCORE/WAND pruned
+path (executor.make_topk_fn) works unchanged with a bound similarity
+plugged in: scoring and per-block bounds both route through
+``BoundSimilarity.score``.
+
+Parity vs oracle modes mirror BM25: parity scores through the byte4
+quantized length (``SimilarityBase.BasicSimScorer.getLengthValue`` is
+``LENGTH_TABLE[norm byte]``, SimilarityBase.java:180-182; TFIDF reads
+``normTable[norm & 0xFF]``), float32 output; the float64 unquantized mode
+uses the same expression shapes over raw doclens so a plain-SQL oracle
+reproduces the scores bit-closely (rounded to 4 decimals).
+
+Like the BM25 path, duplicate query terms contribute one scored clause per
+occurrence; every formula here is linear in boost, so qtf folds into the
+per-term weight (W = boost * qtf * idf for TF-IDF, boost * qtf otherwise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from pyspark.sql import Column, functions as F
+
+from ..functions.smallfloat import LENGTH_TABLE, int_to_byte4
+from .scorer import FieldStats, score_arrays
+
+
+def _quantized_len(doclens: np.ndarray) -> np.ndarray:
+    """LENGTH_TABLE[byte4(len)] — the decoded quantized length value
+    (SimilarityBase.java:180-182)."""
+    return LENGTH_TABLE[int_to_byte4(np.asarray(doclens, dtype=np.int64))]
+
+
+class BoundSimilarity:
+    """A similarity bound to one query: per-term weights precomputed from
+    global stats; vectorized scoring + per-block upper bounds in engine
+    dtype. Instances are closure-captured into the per-segment
+    applyInPandas scorer, so they hold only plain dicts/floats."""
+
+    name: str = "?"
+    #: per-term W (terms with df == 0 are dropped — no postings, weight 0)
+    weights: Dict[str, float]
+
+    def score(self, term: str, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def bound(self, term: str, max_tf: int, min_doclen: int) -> float:
+        """Sound upper bound over any posting in a block: every formula is
+        monotone up in tf, down in doclen (MaxScoreCache.java:74-130
+        analog)."""
+        return float(
+            self.score(
+                term, np.array([max_tf], np.int64), np.array([min_doclen], np.int64)
+            )[0]
+        )
+
+    # ---- float64 SQL form (exhaustive path / oracle differential) ----
+    def wdf_rows(self):
+        """(term, w, pc) rows for the broadcast per-term table (pc unused
+        by non-LM sims, kept for a uniform schema)."""
+        return [(t, float(w), 0.0) for t, w in self.weights.items()]
+
+    def score_col(self, tf: Column, doclen: Column) -> Column:
+        """Spark float64 Column: per-posting clause score from the
+        broadcast columns ``w``/``pc`` plus decoded tf/doclen."""
+        raise NotImplementedError
+
+
+@dataclass
+class BM25Bound(BoundSimilarity):
+    """Default similarity — delegates to scorer.score_arrays byte-for-byte
+    (same function object the executor used before the seam existed)."""
+
+    weights: Dict[str, float]
+    avgdl: float
+    quantize: bool
+    dtype: type
+    name = "bm25"
+
+    def score(self, term, tfs, dls):
+        return score_arrays(tfs, dls, self.weights[term], self.avgdl,
+                            self.quantize, self.dtype)
+
+    def score_col(self, tf, doclen):
+        ninv = 1.0 / (
+            F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * doclen / F.lit(self.avgdl))
+        )
+        return F.col("w") - F.col("w") / (F.lit(1.0) + tf.cast("double") * ninv)
+
+
+class ClassicBound(BoundSimilarity):
+    name = "classic"
+
+    def __init__(self, qtf, term_stats, fstats: FieldStats, boost, quantize, dtype):
+        self.quantize, self.dtype = quantize, dtype
+        dt = dtype
+        self.weights = {}
+        for t, q in qtf.items():
+            df = term_stats.get(t, (0, 0))[0]
+            if df <= 0:
+                continue
+            idf = dt(np.log((fstats.doc_count + 1) / np.float64(df + 1)) + 1.0)
+            self.weights[t] = float(dt(boost) * dt(q) * idf)
+        # normTable[i] = 1/sqrt(LENGTH_TABLE[i]); [0] = 1/normTable[255]
+        with np.errstate(divide="ignore"):
+            nt = (1.0 / np.sqrt(LENGTH_TABLE.astype(np.float64))).astype(dt)
+        nt[0] = dt(1.0) / nt[255]
+        self._norm_table = nt
+
+    def score(self, term, tfs, dls):
+        dt = self.dtype
+        w = dt(self.weights[term])
+        raw = np.sqrt(np.asarray(tfs, dtype=dt)) * w
+        if self.quantize:
+            norm = self._norm_table[int_to_byte4(np.asarray(dls, np.int64))]
+        else:
+            norm = (1.0 / np.sqrt(np.asarray(dls, dtype=np.float64))).astype(dt)
+        return raw * norm
+
+    def score_col(self, tf, doclen):
+        return F.sqrt(tf.cast("double")) * F.col("w") / F.sqrt(doclen.cast("double"))
+
+
+class BooleanBound(BoundSimilarity):
+    name = "boolean"
+
+    def __init__(self, qtf, term_stats, fstats, boost, quantize, dtype):
+        self.dtype = dtype
+        self.weights = {
+            t: float(dtype(boost) * dtype(q))
+            for t, q in qtf.items()
+            if term_stats.get(t, (0, 0))[0] > 0
+        }
+
+    def score(self, term, tfs, dls):
+        return np.full(len(tfs), self.weights[term], dtype=self.dtype)
+
+    def score_col(self, tf, doclen):
+        return F.col("w")
+
+
+class _LMBound(BoundSimilarity):
+    """Shared LM machinery: p_c per term + quantized-or-raw doc length;
+    double-precision math with a final cast (SimilarityBase.java:185-187)."""
+
+    def __init__(self, qtf, term_stats, fstats: FieldStats, boost, quantize, dtype):
+        self.quantize, self.dtype = quantize, dtype
+        self.weights, self.pc = {}, {}
+        for t, q in qtf.items():
+            df, ttf = term_stats.get(t, (0, 0))
+            if df <= 0:
+                continue
+            self.weights[t] = float(boost) * float(q)
+            self.pc[t] = (ttf + 1.0) / (fstats.sum_total_term_freq + 1.0)
+
+    def _doclen(self, dls):
+        return _quantized_len(dls) if self.quantize else np.asarray(dls, np.float64)
+
+    def wdf_rows(self):
+        return [(t, float(w), float(self.pc[t])) for t, w in self.weights.items()]
+
+
+class LMDirichletBound(_LMBound):
+    name = "lm_dirichlet"
+    mu = 2000.0
+
+    def score(self, term, tfs, dls):
+        tfs = np.asarray(tfs, np.float64)
+        dl = self._doclen(dls)
+        s = self.weights[term] * (
+            np.log1p(tfs / (self.mu * self.pc[term])) + np.log(self.mu / (dl + self.mu))
+        )
+        return np.maximum(s, 0.0).astype(self.dtype)
+
+    def score_col(self, tf, doclen):
+        mu = F.lit(self.mu)
+        s = F.col("w") * (
+            F.log(F.lit(1.0) + tf.cast("double") / (mu * F.col("pc")))
+            + F.log(mu / (doclen.cast("double") + mu))
+        )
+        return F.greatest(s, F.lit(0.0))
+
+
+class LMJelinekMercerBound(_LMBound):
+    name = "lm_jelinek_mercer"
+    lam = 0.1
+
+    def score(self, term, tfs, dls):
+        tfs = np.asarray(tfs, np.float64)
+        dl = self._doclen(dls)
+        s = self.weights[term] * np.log1p(
+            ((1.0 - self.lam) * tfs / dl) / (self.lam * self.pc[term])
+        )
+        return s.astype(self.dtype)
+
+    def score_col(self, tf, doclen):
+        lam = F.lit(self.lam)
+        return F.col("w") * F.log(
+            F.lit(1.0)
+            + ((F.lit(1.0) - lam) * tf.cast("double") / doclen.cast("double"))
+            / (lam * F.col("pc"))
+        )
+
+
+_REGISTRY = {
+    "classic": ClassicBound,
+    "boolean": BooleanBound,
+    "lm_dirichlet": LMDirichletBound,
+    "lm_jelinek_mercer": LMJelinekMercerBound,
+}
+
+
+def bind_similarity(
+    name: Optional[str],
+    qtf: Dict[str, int],
+    term_stats: Dict[str, tuple],
+    fstats: FieldStats,
+    boost: float = 1.0,
+    quantize: bool = True,
+    dtype=np.float32,
+) -> Optional[BoundSimilarity]:
+    """Resolve a similarity name to a query-bound scorer (None / "bm25" ->
+    None: the executor keeps its existing BM25 fast path untouched)."""
+    if name is None or name == "bm25":
+        return None
+    cls = _REGISTRY.get(name)
+    if cls is None:
+        raise ValueError(f"unknown similarity {name!r}; have {sorted(_REGISTRY)}")
+    return cls(qtf, term_stats, fstats, boost, quantize, dtype)

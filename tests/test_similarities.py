@@ -1,0 +1,213 @@
+"""Pluggable similarities (Similarity seam, SURVEY.md §2.4).
+
+Three layers:
+  1. formula goldens straight from the reference Javadoc shapes
+     (ClassicSimilarity.java:44-71, BooleanSimilarity.java:48-51,
+     LMDirichletSimilarity.java:76-82, LMJelinekMercerSimilarity.java:68-74);
+  2. bound soundness: the per-block impact upper bound dominates every
+     posting score it covers (what keeps MAXSCORE pruning correct);
+  3. engine differentials: pruned block-max path == exhaustive SQL path,
+     and float32-parity top-k == an independent brute-force reference over
+     the pure-Python index.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4
+from lucene_spark.search.plan import normalize
+from lucene_spark.search.similarities import (
+    BooleanBound,
+    ClassicBound,
+    LMDirichletBound,
+    LMJelinekMercerBound,
+    bind_similarity,
+)
+from lucene_spark.search.scorer import FieldStats
+
+FS = FieldStats(max_doc=100, doc_count=100, sum_total_term_freq=5000, sum_doc_freq=4000)
+STATS = {"a": (3, 10), "b": (50, 800), "zz": (0, 0)}
+SIMS = ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer"]
+
+
+def _bind(name, qtf=None, quantize=True, dtype=np.float32):
+    return bind_similarity(name, qtf or {"a": 1, "b": 1, "zz": 1}, STATS, FS,
+                           quantize=quantize, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# 1. formula goldens
+# ---------------------------------------------------------------------------
+
+def test_classic_idf_and_score():
+    sim = _bind("classic", quantize=False, dtype=np.float64)
+    # idf = ln((N+1)/(df+1)) + 1  (ClassicSimilarity.java:69-71)
+    assert sim.weights["a"] == pytest.approx(math.log(101 / 4) + 1)
+    # score = sqrt(tf) * w / sqrt(len)  (tf=4, len=16 -> 2*w/4)
+    s = sim.score("a", np.array([4]), np.array([16]))
+    assert s[0] == pytest.approx(2 * sim.weights["a"] / 4)
+    assert "zz" not in sim.weights  # df=0 terms drop
+
+
+def test_classic_norm_table_zero_entry():
+    # normTable[0] = 1/normTable[255] (TFIDFSimilarity.java:441-446)
+    sim = _bind("classic")
+    nt = sim._norm_table
+    assert nt[0] == np.float32(1.0) / nt[255]
+    assert nt[37] == pytest.approx(1.0 / math.sqrt(float(LENGTH_TABLE[37])))
+
+
+def test_classic_quantized_uses_norm_table():
+    sim = _bind("classic", quantize=True, dtype=np.float32)
+    dl = 1234
+    s = sim.score("b", np.array([9]), np.array([dl]))
+    w = np.float32(sim.weights["b"])
+    expected = np.sqrt(np.float32(9)) * w * sim._norm_table[int_to_byte4(np.array([dl]))[0]]
+    assert s[0] == expected  # bit-equal float32
+
+
+def test_boolean_score_is_boost():
+    sim = _bind("boolean", qtf={"a": 2, "b": 1})
+    s = sim.score("a", np.array([7, 1]), np.array([10, 9999]))
+    assert list(s) == [2.0, 2.0]  # qtf folds in; tf/doclen ignored
+
+
+def test_lm_dirichlet_golden_and_clamp():
+    sim = _bind("lm_dirichlet", quantize=False, dtype=np.float64)
+    mu, pc = 2000.0, (10 + 1) / (5000 + 1)
+    got = sim.score("a", np.array([3]), np.array([20]))
+    want = math.log(1 + 3 / (mu * pc)) + math.log(mu / (20 + mu))
+    assert got[0] == pytest.approx(want)
+    # a huge doc with tf=1 on a common term goes negative -> floored at 0
+    pc_b = (800 + 1) / (5000 + 1)
+    raw = math.log(1 + 1 / (mu * pc_b)) + math.log(mu / (500000 + mu))
+    assert raw < 0
+    assert sim.score("b", np.array([1]), np.array([500000]))[0] == 0.0
+
+
+def test_lm_jelinek_mercer_golden():
+    sim = _bind("lm_jelinek_mercer", quantize=False, dtype=np.float64)
+    lam, pc = 0.1, (10 + 1) / (5000 + 1)
+    got = sim.score("a", np.array([2]), np.array([40]))
+    assert got[0] == pytest.approx(math.log(1 + (0.9 * 2 / 40) / (lam * pc)))
+
+
+def test_lm_quantized_doclen_goes_through_length_table():
+    sim = _bind("lm_dirichlet", quantize=True, dtype=np.float32)
+    dl = 85  # quantizes to a LENGTH_TABLE value != 85
+    ql = float(LENGTH_TABLE[int_to_byte4(np.array([dl]))[0]])
+    assert ql != dl
+    got = sim.score("a", np.array([2]), np.array([dl]))
+    pc = (10 + 1) / (5000 + 1)
+    want = np.float32(
+        max(math.log(1 + 2 / (2000.0 * pc)) + math.log(2000.0 / (ql + 2000.0)), 0.0)
+    )
+    assert want > 0  # the golden exercises the formula, not the clamp
+    assert got[0] == want
+
+
+def test_unknown_similarity_raises():
+    with pytest.raises(ValueError, match="unknown similarity"):
+        _bind("tfidfish")
+
+
+def test_bm25_names_resolve_to_default():
+    assert _bind(None) is None and _bind("bm25") is None
+
+
+# ---------------------------------------------------------------------------
+# 2. bound soundness (what MAXSCORE pruning relies on)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", SIMS)
+@pytest.mark.parametrize("quantize", [False, True])
+def test_block_bound_dominates_postings(name, quantize):
+    rng = np.random.default_rng(7)
+    sim = _bind(name, quantize=quantize, dtype=np.float32)
+    for _ in range(50):
+        tfs = rng.integers(1, 200, size=64)
+        dls = rng.integers(int(tfs.max()), 5000, size=64)
+        ub = sim.bound("a", int(tfs.max()), int(dls.min()))
+        scores = sim.score("a", tfs, dls)
+        assert float(scores.max()) <= ub + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# 3. engine differentials
+# ---------------------------------------------------------------------------
+
+QUERIES = [
+    dict(should=["spark", "join", "window"]),
+    dict(must=["window", "hash"], should=["merge"]),
+    dict(should=["spark", "scan"], must_not=["join"]),
+]
+
+
+@pytest.mark.parametrize("name", SIMS)
+def test_pruned_matches_exhaustive(spark, built_index, name):
+    from lucene_spark.search.executor import search_exhaustive, search_topk
+
+    for clauses in QUERIES:
+        q = normalize(**clauses)
+        a = search_topk(built_index, q, k=10, quantize=False, dtype=np.float64,
+                        similarity=name).collect()
+        b = search_exhaustive(built_index, q, k=10, similarity=name).collect()
+        assert [r["docid"] for r in a] == [r["docid"] for r in b], (name, clauses)
+        for ra, rb in zip(a, b):
+            assert ra["score"] == pytest.approx(rb["score"], rel=1e-12), (name, clauses)
+
+
+def _brute_reference(ref_index, terms, name, k=10):
+    """Independent float32-parity scorer over the pure-Python index —
+    formulas restated from the Javadoc, not from similarities.py."""
+    N = ref_index.doc_count
+    sum_ttf = ref_index.sum_ttf
+    per_doc = {}
+    for t in sorted(set(terms)):
+        plist = ref_index.postings.get(t, {})
+        if not plist:
+            continue
+        df = len(plist)
+        ttf = sum(plist.values())
+        for d, tf in plist.items():
+            dl = ref_index.doclen[d]
+            ql = float(LENGTH_TABLE[int_to_byte4(np.array([dl]))[0]])
+            if name == "classic":
+                idf = np.float32(math.log((N + 1) / (df + 1)) + 1.0)
+                byte = int(int_to_byte4(np.array([dl]))[0])
+                norm = (
+                    np.float32(1.0) / np.float32(1.0 / math.sqrt(float(LENGTH_TABLE[255])))
+                    if byte == 0
+                    else np.float32(1.0 / math.sqrt(float(LENGTH_TABLE[byte])))
+                )
+                s = np.float32(np.float32(math.sqrt(tf)) * idf) * norm
+            elif name == "boolean":
+                s = np.float32(1.0)
+            elif name == "lm_dirichlet":
+                pc = (ttf + 1.0) / (sum_ttf + 1.0)
+                raw = math.log(1 + tf / (2000.0 * pc)) + math.log(2000.0 / (ql + 2000.0))
+                s = np.float32(max(raw, 0.0))
+            else:  # lm_jelinek_mercer
+                pc = (ttf + 1.0) / (sum_ttf + 1.0)
+                s = np.float32(math.log(1 + (0.9 * tf / ql) / (0.1 * pc)))
+            per_doc.setdefault(d, np.float32(0.0))
+            per_doc[d] = per_doc[d] + s
+    ranked = sorted(per_doc.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:k]
+    return ranked
+
+
+@pytest.mark.parametrize("name", SIMS)
+def test_float32_parity_vs_bruteforce(spark, built_index, ref_index, name):
+    from lucene_spark.search.executor import search_topk
+
+    terms = ["spark", "join", "window"]
+    got = search_topk(
+        built_index, normalize(should=terms), k=10, quantize=True,
+        dtype=np.float32, similarity=name,
+    ).collect()
+    want = _brute_reference(ref_index, terms, name)
+    assert [r["docid"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert np.float32(r["score"]) == np.float32(s), name
