@@ -127,6 +127,12 @@ class IndexConfig:
     # PorterStemFilter, analysis/common/.../en/PorterStemFilter.java:51);
     # applied to the dictionary-encoded vocab, O(unique terms) Python
     stemmer: Optional[str] = None
+    # index-time single-token synonyms (SynonymGraphFilter analog,
+    # functions/synonyms.py): tuple of groups (every member stacks the
+    # whole group) or dict {src: (additions,)}; stacked tokens share the
+    # original position and are discounted from norms (discountOverlaps).
+    # Chain order: tokenize -> lower -> stop -> [stem] -> [synonyms].
+    synonyms: Optional[object] = None
 
 
 @dataclass
@@ -368,7 +374,16 @@ def _invert_group(
             flat_docix = flat_docix[live_tok]
             if flat_pos is not None:
                 flat_pos = flat_pos[live_tok]
+    # field length BEFORE synonym stacking: posIncrement-0 tokens are
+    # discounted from norms (discountOverlaps, BM25Similarity.java:72)
     doclens = np.bincount(flat_docix, minlength=n_rows).astype(np.int64)
+    if cfg.synonyms:
+        from ..functions.synonyms import expand_tokens, synonym_expansion
+
+        counts, offsets, flat_map, vocab = synonym_expansion(vocab, cfg.synonyms)
+        codes, flat_docix, flat_pos = expand_tokens(
+            codes, flat_docix, flat_pos, counts, offsets, flat_map
+        )
     # remap codes so code order == sorted term order (term-sorted output
     # rows -> parquet min/max row-group pruning on term)
     if len(vocab):

@@ -328,6 +328,52 @@ agg AS (SELECT doc_id, sum(s) AS score, count(*) AS nt,
     )
 
 
+def synonym_index_bm25_sql(
+    groups: Sequence[Sequence[str]], qtf: Dict[str, int], k: int = 10
+) -> str:
+    """BM25 top-k over an index built with index-time synonym stacking
+    (functions/synonyms.py): tf counts the stacked tokens (UNION ALL of
+    the expansion), doc length / field stats stay on the ORIGINAL token
+    stream (discountOverlaps — stacked posIncrement-0 tokens don't count
+    toward norms)."""
+    pairs = []
+    for g in groups:
+        for src in g:
+            for dst in g:
+                if src != dst:
+                    pairs.append((src, dst))
+    syn_vals = ", ".join(f"('{s}', '{d}')" for s, d in sorted(pairs))
+    qt_vals = ", ".join(f"('{t}', {int(w)})" for t, w in sorted(qtf.items()))
+    return (
+        "WITH "
+        + TOKS_CTE
+        + f""",
+syn(src, dst) AS (VALUES {syn_vals}),
+etoks AS (SELECT doc_id, term FROM toks
+          UNION ALL
+          SELECT t.doc_id, s.dst AS term FROM toks t JOIN syn s ON t.term = s.src),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM etoks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+fs AS (SELECT count(*) AS doc_cnt,
+              sum(doclen) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+qt(term, qtf) AS (VALUES {qt_vals}),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+w AS (SELECT q.term,
+             q.qtf * ln(1 + (fs.doc_cnt - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
+      FROM qt q JOIN dfreq ON q.term = dfreq.term CROSS JOIN fs),
+scored AS (
+  SELECT tf.doc_id,
+         w.w - w.w / (1 + CAST(tf.tf AS DOUBLE)
+                          * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))) AS s
+  FROM tf JOIN w ON tf.term = w.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs)
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM scored GROUP BY 1
+ORDER BY sum(s) DESC, docid ASC LIMIT {k}"""
+    )
+
+
 def similarity_topk_sql(kind: str, qtf: Dict[str, int], k: int = 10) -> str:
     """Top-k OR query under an alternative similarity (Similarity seam,
     lucene/core/src/java/org/apache/lucene/search/similarities/): same

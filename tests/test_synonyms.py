@@ -1,0 +1,99 @@
+"""Index-time synonym stacking (SynonymGraphFilter analog, single-token):
+CSR expansion unit tests + end-to-end synonym index semantics."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.synonyms import (
+    expand_tokens,
+    synonym_expansion,
+)
+
+
+def test_expansion_groups_bidirectional():
+    vocab = np.array(["alpha", "fast", "zeta"], dtype=object)
+    counts, offsets, flat_map, nv = synonym_expansion(vocab, (("fast", "quick"),))
+    assert nv.tolist() == ["alpha", "fast", "quick", "zeta"]
+    # 'fast' (old code 1) -> [fast, quick]; others identity
+    assert counts.tolist() == [1, 2, 1]
+    got = flat_map[offsets[1] : offsets[1] + counts[1]].tolist()
+    assert got == [nv.tolist().index("fast"), nv.tolist().index("quick")]
+
+
+def test_expansion_one_way_dict():
+    vocab = np.array(["fast", "quick"], dtype=object)
+    counts, offsets, flat_map, nv = synonym_expansion(vocab, {"fast": ("quick",)})
+    assert counts.tolist() == [2, 1]  # quick does NOT emit fast
+
+
+def test_expand_tokens_stacks_position_and_doc():
+    vocab = np.array(["a", "fast"], dtype=object)
+    counts, offsets, flat_map, nv = synonym_expansion(vocab, (("fast", "quick"),))
+    codes = np.array([0, 1, 0])  # a fast a
+    docix = np.array([0, 0, 1])
+    pos = np.array([0, 1, 0])
+    c2, d2, p2 = expand_tokens(codes, docix, pos, counts, offsets, flat_map)
+    terms = [nv[c] for c in c2]
+    assert terms == ["a", "fast", "quick", "a"]
+    assert d2.tolist() == [0, 0, 0, 1]
+    assert p2.tolist() == [0, 1, 1, 0]  # stacked token shares the position
+
+
+def test_multiword_synonym_rejected():
+    with pytest.raises(ValueError, match="single-token"):
+        synonym_expansion(np.array(["a"], dtype=object), (("new york", "nyc"),))
+
+
+def test_synonym_index_end_to_end(spark, tmp_path):
+    """Groups (join, merge): querying either term matches docs containing
+    the other; tf sums member occurrences; norms discount the stacked
+    tokens; phrases cross the synonym."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import (
+        Index,
+        count_hits,
+        decoded_postings,
+        search_phrase,
+    )
+    from lucene_spark.search.plan import normalize
+
+    rows = [
+        (0, "hash join runs"),
+        (1, "sort merge runs"),
+        (2, "join merge twice"),
+        (3, "unrelated words only"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=2,
+                      hot_df_threshold=100, index_positions=True,
+                      synonyms=(("join", "merge"),))
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "syn"), cfg))
+
+    # either member matches docs 0,1,2
+    assert count_hits(idx, normalize(should=["join"], pre_analyzed=True)) == 3
+    assert count_hits(idx, normalize(should=["merge"], pre_analyzed=True)) == 3
+    dec = {(r["term"], r["docid"]): (r["tf"], r["doclen"])
+           for r in decoded_postings(idx, ["join", "merge"]).collect()}
+    # doc 2 contains both members -> tf 2 for each stacked term
+    assert dec[("join", 2)][0] == 2 and dec[("merge", 2)][0] == 2
+    # norms discount stacked tokens: every doc keeps its original length 3
+    assert {v[1] for v in dec.values()} == {3}
+    # positions stack: "hash join" also matches as "hash merge"
+    ph = search_phrase(idx, [("hash", 0), ("merge", 1)], slop=0, k=5).collect()
+    assert [r["docid"] for r in ph] == [0]
+
+
+def test_synonym_target_absent_from_corpus(spark, tmp_path):
+    """A group member that never occurs in any doc still gets postings via
+    the stacking (the reference behaves identically)."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, count_hits
+    from lucene_spark.search.plan import normalize
+
+    docs = spark.createDataFrame(
+        [(0, "fast path"), (1, "slow path")], "docid long, content string"
+    )
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1,
+                      hot_df_threshold=100, synonyms=(("fast", "rapid"),))
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "syn2"), cfg))
+    assert count_hits(idx, normalize(should=["rapid"], pre_analyzed=True)) == 1
