@@ -481,3 +481,97 @@ def test_interval_topk_scores_match_python_reference(built_index):
     assert [r["docid"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r["score"] == pytest.approx(s, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# batched (cross-doc vectorized) evaluation == scalar per-doc walk
+# ---------------------------------------------------------------------------
+
+
+def _csr_per_term(docs_positions, terms):
+    """Build the make_intervals_fn per_term CSR shape from a list of
+    per-doc {term: positions} dicts."""
+    per_term = {}
+    n = len(docs_positions)
+    for t in terms:
+        pos_parts, tfs = [], np.zeros(n, dtype=np.int64)
+        for i, d in enumerate(docs_positions):
+            p = np.asarray(sorted(d.get(t, [])), dtype=np.int64)
+            pos_parts.append(p)
+            tfs[i] = len(p)
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        per_term[t] = (
+            np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64),
+            bounds,
+        )
+    return per_term
+
+
+@pytest.mark.parametrize("shape", ["ordered", "unordered"])
+@pytest.mark.parametrize("n_terms", [2, 3, 4])
+def test_batched_matches_scalar_randomized(shape, n_terms):
+    from lucene_spark.search.intervals import (
+        batch_eval_ordered_unordered,
+        batchable_terms,
+        eval_intervals,
+    )
+
+    rng = np.random.default_rng(100 + n_terms + (shape == "ordered"))
+    terms = [f"t{i}" for i in range(n_terms)]
+    for trial in range(30):
+        mg = [None, 2, 5][trial % 3]
+        mw = [None, 7][trial % 2]
+        cls = IOrdered if shape == "ordered" else IUnordered
+        node = cls(tuple(ITerm(t) for t in terms), max_gaps=mg, max_width=mw)
+        assert batchable_terms(node) == terms
+        docs = []
+        for _ in range(rng.integers(1, 12)):
+            dlen = int(rng.integers(5, 60))
+            d = {}
+            for t in terms:
+                k = int(rng.integers(0, 6))
+                d[t] = sorted(rng.choice(dlen, size=min(k, dlen), replace=False))
+            docs.append(d)
+        per_term = _csr_per_term(docs, terms)
+        max_pos = 60
+        doc_ix, starts, ends = batch_eval_ordered_unordered(
+            node, per_term, len(docs), max_pos
+        )
+        got = {}
+        for di, s, e in zip(doc_ix, starts, ends):
+            got.setdefault(int(di), []).append((int(s), int(e)))
+        for i, d in enumerate(docs):
+            want = [
+                (s, e)
+                for s, e, _ in eval_intervals(
+                    node, {t: np.asarray(d[t], dtype=np.int64) for t in terms}
+                )
+            ]
+            assert got.get(i, []) == want, (shape, trial, i, d)
+
+
+def test_batched_repeated_term_children():
+    """ordered('a','a') chains distinct occurrences; unordered('a','a')
+    stacks the same occurrence (overlap allowed) — both must equal the
+    scalar walk."""
+    from lucene_spark.search.intervals import (
+        batch_eval_ordered_unordered,
+        eval_intervals,
+    )
+
+    docs = [{"a": [1, 4, 9]}, {"a": [0]}]
+    per_term = _csr_per_term(docs, ["a"])
+    for cls in (IOrdered, IUnordered):
+        node = cls((ITerm("a"), ITerm("a")))
+        doc_ix, starts, ends = batch_eval_ordered_unordered(node, per_term, 2, 10)
+        got = {}
+        for di, s, e in zip(doc_ix, starts, ends):
+            got.setdefault(int(di), []).append((int(s), int(e)))
+        for i, d in enumerate(docs):
+            want = [
+                (s, e)
+                for s, e, _ in eval_intervals(
+                    node, {"a": np.asarray(d["a"], dtype=np.int64)}
+                )
+            ]
+            assert got.get(i, []) == want, (cls.__name__, i)
