@@ -34,6 +34,7 @@ from lucene_spark.oracle import (
     phrase_sloppy_sql,
     phrase_sloppy_rpt_sql,
     phrase_sloppy_aba_sql,
+    dismax_sql,
     similarity_topk_sql,
     synonym_index_bm25_sql,
 )
@@ -553,6 +554,27 @@ def q_min_should_match_req_topk(spark, sf):
     )
 
 
+DISMAX_CLAUSES = [
+    ({"window": 1, "stream": 1}, ["window", "stream"]),  # AND clause
+    ({"spark": 1}, []),                                  # term clause
+]
+DISMAX_TIE = 0.1
+
+
+def q_dismax_topk(spark, sf):
+    """DisjunctionMaxQuery (DisjunctionMaxQuery.java:41): max clause score
+    + tie * sum of the other matching clauses; clause 1 is a conjunction,
+    clause 2 a term."""
+    from lucene_spark.search.executor import dismax_topk
+
+    qs = [
+        normalize(must=["window", "stream"]),
+        normalize(should=["spark"]),
+    ]
+    res = dismax_topk(_index(spark, sf), qs, k=10, tie=DISMAX_TIE)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 SYN_GROUPS = (("join", "merge"),)
 
 
@@ -1058,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
     return {
         # --- r4 additions: never driver-checked yet
+        "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
         "classic_topk": q_classic_topk,
         "boolean_sim_topk": q_boolean_sim_topk,
@@ -1506,6 +1529,7 @@ ORDER BY n_intervals DESC, docid ASC LIMIT 10""",
         "interval_containing_topk": _interval_ordered_sql(
             "spark", "join", 4, containing="table"
         ),
+        "dismax_topk": dismax_sql(DISMAX_CLAUSES, tie=DISMAX_TIE),
         "synonym_index_topk": synonym_index_bm25_sql(SYN_GROUPS, {"join": 1}),
         "classic_topk": similarity_topk_sql("classic", SIM_TERMS),
         "boolean_sim_topk": similarity_topk_sql("boolean", SIM_TERMS),

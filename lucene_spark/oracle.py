@@ -328,6 +328,60 @@ agg AS (SELECT doc_id, sum(s) AS score, count(*) AS nt,
     )
 
 
+def dismax_sql(
+    clauses: Sequence[Tuple[Dict[str, int], Sequence[str]]],
+    tie: float = 0.0,
+    k: int = 10,
+) -> str:
+    """DisjunctionMaxQuery oracle: per-clause BM25 score (required terms
+    filtered per clause), then max + tie * (sum - max) per doc
+    (DisjunctionMaxScorer combine)."""
+    clause_sqls = []
+    for ci, (qtf, required) in enumerate(clauses):
+        qt_vals = ", ".join(f"('{t}', {int(w)})" for t, w in sorted(qtf.items()))
+        req = sorted(set(required))
+        req_f = ""
+        if req:
+            lst = ", ".join(f"'{t}'" for t in req)
+            req_f = (
+                f" HAVING count(DISTINCT CASE WHEN s.term IN ({lst}) "
+                f"THEN s.term END) = {len(req)}"
+            )
+        clause_sqls.append(
+            f"""
+qt{ci}(term, qtf) AS (VALUES {qt_vals}),
+dfreq{ci} AS (SELECT term, count(*) AS df FROM tf
+              WHERE term IN (SELECT term FROM qt{ci}) GROUP BY 1),
+w{ci} AS (SELECT q.term,
+               q.qtf * ln(1 + (fs.doc_cnt - dfreq{ci}.df + 0.5) / (dfreq{ci}.df + 0.5)) AS w
+        FROM qt{ci} q JOIN dfreq{ci} ON q.term = dfreq{ci}.term CROSS JOIN fs),
+cl{ci} AS (
+  SELECT s.doc_id, sum(s.s) AS score FROM (
+    SELECT tf.doc_id, w.term,
+           w.w - w.w / (1 + CAST(tf.tf AS DOUBLE)
+                            * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))) AS s
+    FROM tf JOIN w{ci} w ON tf.term = w.term
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs) s
+  GROUP BY 1{req_f})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, score FROM cl{ci}" for ci in range(len(clauses))
+    )
+    return (
+        "WITH "
+        + BM25_CTES
+        + ","
+        + ",".join(clause_sqls)
+        + f""",
+u AS ({union})
+SELECT doc_id AS docid,
+       round(max(score) + {float(tie)!r} * (sum(score) - max(score)), 4) AS score
+FROM u GROUP BY 1
+ORDER BY max(score) + {float(tie)!r} * (sum(score) - max(score)) DESC, docid ASC
+LIMIT {k}"""
+    )
+
+
 def synonym_index_bm25_sql(
     groups: Sequence[Sequence[str]], qtf: Dict[str, int], k: int = 10
 ) -> str:

@@ -1666,6 +1666,37 @@ def blended_term_topk(
     )
 
 
+def dismax_topk(
+    index: Index,
+    clauses: Sequence[NormalizedQuery],
+    k: int = 10,
+    tie: float = 0.0,
+    **kw,
+) -> DataFrame:
+    """DisjunctionMaxQuery (search/DisjunctionMaxQuery.java:41,
+    DisjunctionMaxScorer): a doc matches when ANY clause matches; its
+    score is the MAX clause score plus ``tie`` times the sum of the other
+    matching clauses' scores (tieBreakerMultiplier). Each clause is a full
+    NormalizedQuery evaluated by the exhaustive JVM path; the combine is
+    one union + groupBy — no driver loop over docs."""
+    spark = index.spark
+    scored = None
+    for q in clauses:
+        part = search_exhaustive(index, q, k=None, **kw)
+        scored = part if scored is None else scored.unionByName(part)
+    if scored is None:
+        return spark.createDataFrame([], "docid long, score double")
+    per_doc = scored.groupBy("docid").agg(
+        F.max("score").alias("mx"), F.sum("score").alias("sm")
+    )
+    score = F.col("mx") + F.lit(float(tie)) * (F.col("sm") - F.col("mx"))
+    return (
+        per_doc.select("docid", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
 def function_score(index: Index, q: NormalizedQuery, expr: str, k: int = 10, **kw) -> DataFrame:
     """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44): the
     final score is an arbitrary SQL expression over the matching doc's

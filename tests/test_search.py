@@ -404,3 +404,25 @@ def test_query_cache_frequency_history_is_bounded():
     for i in range(20):
         c2.get_or_compute(f"churn-{i}", FakeDF)
     assert "stale" not in c2._freq
+
+
+def test_dismax_combine_semantics(spark, built_index):
+    """DisjunctionMaxQuery: score = max clause + tie * sum(others)
+    (DisjunctionMaxScorer); tie=0 -> pure max; tie=1 -> plain sum."""
+    import numpy as np
+    from lucene_spark.search.executor import dismax_topk, search_exhaustive
+    from lucene_spark.search.plan import normalize
+
+    qs = [normalize(should=["spark"]), normalize(should=["join"])]
+    a = {r["docid"]: r["score"] for r in search_exhaustive(built_index, qs[0], k=None).collect()}
+    b = {r["docid"]: r["score"] for r in search_exhaustive(built_index, qs[1], k=None).collect()}
+    for tie in (0.0, 0.3, 1.0):
+        got = dismax_topk(built_index, qs, k=10, tie=tie).collect()
+        want = {}
+        for d in set(a) | set(b):
+            ss = [s for s in (a.get(d), b.get(d)) if s is not None]
+            want[d] = max(ss) + tie * (sum(ss) - max(ss))
+        ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [r["docid"] for r in got] == [d for d, _ in ranked]
+        for r, (_, s) in zip(got, ranked):
+            assert r["score"] == pytest.approx(s, rel=1e-12)
