@@ -554,6 +554,19 @@ def q_min_should_match_req_topk(spark, sf):
     )
 
 
+SUGGEST_PREFIX = "st"
+
+
+def q_suggest_complete(spark, sf):
+    """AnalyzingSuggester-lite: weight-ordered prefix completions from the
+    term dictionary (weight = ttf), prefix row-group-pruned on the
+    term-sorted stats parquet (AnalyzingSuggester.java:81 FST-walk
+    analog)."""
+    from lucene_spark.search.suggest import complete_prefix
+
+    return complete_prefix(_index(spark, sf), SUGGEST_PREFIX, k=10)
+
+
 DISMAX_CLAUSES = [
     ({"window": 1, "stream": 1}, ["window", "stream"]),  # AND clause
     ({"spark": 1}, []),                                  # term clause
@@ -1080,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
     return {
         # --- r4 additions: never driver-checked yet
+        "suggest_complete": q_suggest_complete,
         "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
         "classic_topk": q_classic_topk,
@@ -1529,6 +1543,10 @@ ORDER BY n_intervals DESC, docid ASC LIMIT 10""",
         "interval_containing_topk": _interval_ordered_sql(
             "spark", "join", 4, containing="table"
         ),
+        "suggest_complete": f"""WITH {TOKS_CTE.strip()}
+SELECT term, count(*) AS weight FROM toks
+WHERE term LIKE '{SUGGEST_PREFIX}%'
+GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
         "dismax_topk": dismax_sql(DISMAX_CLAUSES, tie=DISMAX_TIE),
         "synonym_index_topk": synonym_index_bm25_sql(SYN_GROUPS, {"join": 1}),
         "classic_topk": similarity_topk_sql("classic", SIM_TERMS),

@@ -38,12 +38,18 @@ def explain(
     boost: float = 1.0,
     quantize: bool = False,
     dtype=np.float64,
+    similarity: Optional[str] = None,
 ) -> Dict:
     """Explanation tree for ``docid`` against the normalized boolean query.
     ``explain(...)["value"]`` equals the doc's score on the exhaustive
-    path bit-for-bit (same expression, same dtype/quantize mode)."""
+    path bit-for-bit (same expression, same dtype/quantize mode).
+    ``similarity`` explains through the pluggable scorer instead of BM25
+    (each reference similarity ships its own explain —
+    BM25Similarity.java:224-254, TFIDFSimilarity.java:474-477,
+    LMSimilarity.explain)."""
     from .executor import decoded_postings
     from .scorer import score_arrays
+    from .similarities import bind_similarity
 
     if q.is_match_none:
         return _expl(0.0, "MatchNoDocsQuery (empty/rewritten-away boolean)", match=False)
@@ -86,6 +92,9 @@ def explain(
     stats = index.term_stats_for([t for t in q.scoring_terms])
     n = index.field_stats.doc_count
     avgdl = float(index.field_stats.avgdl())
+    sim = bind_similarity(
+        similarity, q.scoring_terms, stats, index.field_stats, boost, quantize, dtype
+    )
     details = []
     total = dtype(0)
     # canonical sorted-term accumulation order — identical to the scorer's
@@ -95,6 +104,23 @@ def explain(
         tf, dl = present[t]
         qtf = q.scoring_terms[t]
         df = stats[t][0]
+        if sim is not None:
+            s = sim.score(t, np.array([tf]), np.array([dl]))[0]
+            total = total + dtype(s)
+            details.append(
+                _expl(
+                    float(s),
+                    f"weight({t} in {docid}) [{sim.name}], from:",
+                    details=[
+                        _expl(float(sim.weights[t]),
+                              f"query weight (boost {boost} * qtf {qtf} folded)"),
+                        _expl(float(tf), "freq, occurrences of term within document"),
+                        _expl(float(dl), "dl, length of field"),
+                        _expl(float(df), "docFreq / n, documents containing term"),
+                    ],
+                )
+            )
+            continue
         idf_v = _idf(df, n, dtype)
         w = float(dtype(boost) * dtype(qtf) * idf_v)
         s = score_arrays(

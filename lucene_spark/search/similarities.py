@@ -189,7 +189,12 @@ class _LMBound(BoundSimilarity):
             self.pc[t] = (ttf + 1.0) / (fstats.sum_total_term_freq + 1.0)
 
     def _doclen(self, dls):
-        return _quantized_len(dls) if self.quantize else np.asarray(dls, np.float64)
+        # float64 throughout: SimilarityBase does all math in double
+        # (SimilarityBase.java:185-187); LENGTH_TABLE is float32 and numpy's
+        # weak-scalar promotion would otherwise keep the whole term in f32
+        if self.quantize:
+            return _quantized_len(dls).astype(np.float64)
+        return np.asarray(dls, np.float64)
 
     def wdf_rows(self):
         return [(t, float(w), float(self.pc[t])) for t, w in self.weights.items()]
@@ -202,8 +207,11 @@ class LMDirichletBound(_LMBound):
     def score(self, term, tfs, dls):
         tfs = np.asarray(tfs, np.float64)
         dl = self._doclen(dls)
+        # log(1 + x), not log1p: mirrors Math.log(1 + freq/(mu*p)) bit-for-bit
+        # (LMDirichletSimilarity.java:79)
         s = self.weights[term] * (
-            np.log1p(tfs / (self.mu * self.pc[term])) + np.log(self.mu / (dl + self.mu))
+            np.log(1.0 + tfs / (self.mu * self.pc[term]))
+            + np.log(self.mu / (dl + self.mu))
         )
         return np.maximum(s, 0.0).astype(self.dtype)
 
@@ -223,8 +231,9 @@ class LMJelinekMercerBound(_LMBound):
     def score(self, term, tfs, dls):
         tfs = np.asarray(tfs, np.float64)
         dl = self._doclen(dls)
-        s = self.weights[term] * np.log1p(
-            ((1.0 - self.lam) * tfs / dl) / (self.lam * self.pc[term])
+        # log(1 + x) like the reference (LMJelinekMercerSimilarity.java:70-73)
+        s = self.weights[term] * np.log(
+            1.0 + ((1.0 - self.lam) * tfs / dl) / (self.lam * self.pc[term])
         )
         return s.astype(self.dtype)
 

@@ -55,3 +55,33 @@ def spell_suggest(
         .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def complete_prefix(
+    index,
+    prefix: str,
+    k: int = 5,
+    weight_col: str = "ttf",
+) -> DataFrame:
+    """Prefix completion over the live term dictionary —
+    AnalyzingSuggester-lite (lucene/suggest/src/java/org/apache/lucene/
+    search/suggest/analyzing/AnalyzingSuggester.java:81). The reference
+    compiles (analyzed form -> surface form, weight) into an FST and walks
+    the prefix; here the term-sorted stats parquet IS the sorted
+    dictionary: a prefix filter prunes row groups via min/max stats (the
+    FST-walk analog), then weight-ordered top-k. ``weight_col``: "ttf"
+    (default — total occurrences, the closest analog of the suggester's
+    corpus-derived weights) or "df". Input is lowercased like the analysis
+    chain; multi-token inputs are the caller's to analyze (the reference
+    analyzes inputs through the same analyzer at build and query time).
+
+    Columns: (term, weight), ordered (weight desc, term asc)."""
+    if weight_col not in ("ttf", "df"):
+        raise ValueError("weight_col must be 'ttf' or 'df'")
+    p = prefix.lower()
+    return (
+        index.term_stats.filter(F.col("term").startswith(p))
+        .select("term", F.col(weight_col).alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -79,3 +79,24 @@ def test_explain_parity_mode_matches_topk(built_index):
     for r in hits:
         ex = explain(built_index, q, r["docid"], quantize=True, dtype=np.float32)
         assert ex["value"] == pytest.approx(r["score"], rel=1e-6)
+
+
+@pytest.mark.parametrize("sim", ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer"])
+def test_explain_matches_similarity_score(spark, built_index, sim):
+    """explain(similarity=...)['value'] equals the pruned-path score for
+    that doc bit-for-bit (float32 quantized parity mode)."""
+    import numpy as np
+    from lucene_spark.search.executor import search_topk
+    from lucene_spark.search.explain import explain
+    from lucene_spark.search.plan import normalize
+
+    q = normalize(should=["stream", "hash"])
+    top = search_topk(built_index, q, k=3, quantize=True, dtype=np.float32,
+                      similarity=sim).collect()
+    assert top
+    for r in top:
+        ex = explain(built_index, q, r["docid"], quantize=True,
+                     dtype=np.float32, similarity=sim)
+        assert ex["match"]
+        assert np.float32(ex["value"]) == np.float32(r["score"]), sim
+        assert sim in ex["details"][0]["description"]

@@ -413,9 +413,10 @@ def test_dismax_combine_semantics(spark, built_index):
     from lucene_spark.search.executor import dismax_topk, search_exhaustive
     from lucene_spark.search.plan import normalize
 
-    qs = [normalize(should=["spark"]), normalize(should=["join"])]
+    qs = [normalize(should=["stream"]), normalize(should=["hash"])]
     a = {r["docid"]: r["score"] for r in search_exhaustive(built_index, qs[0], k=None).collect()}
     b = {r["docid"]: r["score"] for r in search_exhaustive(built_index, qs[1], k=None).collect()}
+    assert a and b  # corpus-vocabulary terms; empty would make this vacuous
     for tie in (0.0, 0.3, 1.0):
         got = dismax_topk(built_index, qs, k=10, tie=tie).collect()
         want = {}

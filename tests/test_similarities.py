@@ -138,10 +138,13 @@ def test_block_bound_dominates_postings(name, quantize):
 # 3. engine differentials
 # ---------------------------------------------------------------------------
 
+# terms from the synthetic corpus vocabulary (corpus.py KEYWORDS/VOCAB —
+# "import" is Zipf-hot, the rest mid-frequency); every query below MUST
+# return rows or the differential is vacuous (asserted)
 QUERIES = [
-    dict(should=["spark", "join", "window"]),
-    dict(must=["window", "hash"], should=["merge"]),
-    dict(should=["spark", "scan"], must_not=["join"]),
+    dict(should=["stream", "hash", "parse"]),
+    dict(must=["stream", "hash"], should=["buffer"]),
+    dict(should=["import", "atomic"], must_not=["queue"]),
 ]
 
 
@@ -154,9 +157,17 @@ def test_pruned_matches_exhaustive(spark, built_index, name):
         a = search_topk(built_index, q, k=10, quantize=False, dtype=np.float64,
                         similarity=name).collect()
         b = search_exhaustive(built_index, q, k=10, similarity=name).collect()
+        assert a, (name, clauses)  # vacuity guard
         assert [r["docid"] for r in a] == [r["docid"] for r in b], (name, clauses)
         for ra, rb in zip(a, b):
             assert ra["score"] == pytest.approx(rb["score"], rel=1e-12), (name, clauses)
+
+
+def _ln(x):
+    # np.log, not math.log: numpy's vectorized log and libm can differ by
+    # 1 ulp; the differential targets the distributed machinery (pruning,
+    # bounds, merge order), not the libm choice, so both sides use numpy's
+    return float(np.log(np.float64(x)))
 
 
 def _brute_reference(ref_index, terms, name, k=10):
@@ -175,7 +186,7 @@ def _brute_reference(ref_index, terms, name, k=10):
             dl = ref_index.doclen[d]
             ql = float(LENGTH_TABLE[int_to_byte4(np.array([dl]))[0]])
             if name == "classic":
-                idf = np.float32(math.log((N + 1) / (df + 1)) + 1.0)
+                idf = np.float32(_ln((N + 1) / (df + 1)) + 1.0)
                 byte = int(int_to_byte4(np.array([dl]))[0])
                 norm = (
                     np.float32(1.0) / np.float32(1.0 / math.sqrt(float(LENGTH_TABLE[255])))
@@ -187,11 +198,11 @@ def _brute_reference(ref_index, terms, name, k=10):
                 s = np.float32(1.0)
             elif name == "lm_dirichlet":
                 pc = (ttf + 1.0) / (sum_ttf + 1.0)
-                raw = math.log(1 + tf / (2000.0 * pc)) + math.log(2000.0 / (ql + 2000.0))
+                raw = _ln(1 + tf / (2000.0 * pc)) + _ln(2000.0 / (ql + 2000.0))
                 s = np.float32(max(raw, 0.0))
             else:  # lm_jelinek_mercer
                 pc = (ttf + 1.0) / (sum_ttf + 1.0)
-                s = np.float32(math.log(1 + (0.9 * tf / ql) / (0.1 * pc)))
+                s = np.float32(_ln(1 + (0.9 * tf / ql) / (0.1 * pc)))
             per_doc.setdefault(d, np.float32(0.0))
             per_doc[d] = per_doc[d] + s
     ranked = sorted(per_doc.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:k]
@@ -202,12 +213,13 @@ def _brute_reference(ref_index, terms, name, k=10):
 def test_float32_parity_vs_bruteforce(spark, built_index, ref_index, name):
     from lucene_spark.search.executor import search_topk
 
-    terms = ["spark", "join", "window"]
+    terms = ["stream", "hash", "parse"]
     got = search_topk(
         built_index, normalize(should=terms), k=10, quantize=True,
         dtype=np.float32, similarity=name,
     ).collect()
     want = _brute_reference(ref_index, terms, name)
+    assert got and want, name  # vacuity guard
     assert [r["docid"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert np.float32(r["score"]) == np.float32(s), name
