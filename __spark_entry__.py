@@ -655,6 +655,13 @@ def q_lm_jelinek_topk(spark, sf):
     return _sim_topk(spark, sf, "lm_jelinek_mercer")
 
 
+def q_dfr_topk(spark, sf):
+    """DFRSimilarity(Ine, L, H2 c=1) — divergence from randomness
+    (DFRSimilarity.java:127-131, BasicModelIne.java:34-45,
+    NormalizationH2.java:57-58)."""
+    return _sim_topk(spark, sf, "dfr_ine_l_h2")
+
+
 MULTI_PHRASE_SLOTS = [(0, ["table", "part"]), (1, ["hash", "filter"])]
 BLENDED_TERMS = ["spark", "vector"]
 FUNC_SCORE_EXPR = "score * (1.0 + n_chars / 1000.0)"
@@ -1100,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_sim_topk": q_boolean_sim_topk,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "lm_jelinek_topk": q_lm_jelinek_topk,
+        "dfr_topk": q_dfr_topk,
         "min_should_match_topk": q_min_should_match_topk,
         "min_should_match_req_topk": q_min_should_match_req_topk,
         "spell_suggest": q_spell_suggest,
@@ -1553,6 +1561,7 @@ GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
         "boolean_sim_topk": similarity_topk_sql("boolean", SIM_TERMS),
         "lm_dirichlet_topk": similarity_topk_sql("lm_dirichlet", SIM_TERMS),
         "lm_jelinek_topk": similarity_topk_sql("lm_jelinek_mercer", SIM_TERMS),
+        "dfr_topk": similarity_topk_sql("dfr_ine_l_h2", SIM_TERMS),
         "min_should_match_topk": bm25_topk_sql(
             {t: 1 for t in MSM_TERMS}, min_should_match=MSM_N
         ),

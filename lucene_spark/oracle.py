@@ -453,6 +453,17 @@ def similarity_topk_sql(kind: str, qtf: Dict[str, int], k: int = 10) -> str:
     elif kind == "lm_jelinek_mercer":
         w_expr = "CAST(q.qtf AS DOUBLE)"
         s_expr = "w.w * ln(1 + (0.9 * tf.tf / dl.doclen) / (0.1 * w.pc))"
+    elif kind == "dfr_ine_l_h2":
+        # W = qtf * log2((N+1)/(ne+0.5)), ne = N*(1-((N-1)/N)^ttf);
+        # score = W * (1 - 1/(1 + tf*log2(1 + avgdl/dl)))
+        w_expr = (
+            "q.qtf * ln((fs.doc_cnt + 1) / "
+            "(fs.doc_cnt * (1 - pow((fs.doc_cnt - 1) / CAST(fs.doc_cnt AS DOUBLE), "
+            "CAST(dfreq.ttf AS DOUBLE))) + 0.5)) / ln(2)"
+        )
+        s_expr = (
+            "w.w * (1 - 1 / (1 + tf.tf * ln(1 + fs.avgdl / dl.doclen) / ln(2)))"
+        )
     else:
         raise ValueError(kind)
     return (

@@ -246,11 +246,60 @@ class LMJelinekMercerBound(_LMBound):
         )
 
 
+class DFRIneLH2Bound(BoundSimilarity):
+    """DFRSimilarity(BasicModelIne, AfterEffectL, NormalizationH2(c=1)) —
+    the canonical divergence-from-randomness config:
+      tfn = tf * log2(1 + c * avgdl / dl)      [NormalizationH2.java:57-58]
+      ne  = N * (1 - ((N-1)/N)^F), F = ttf
+      A   = log2((N+1)/(ne+0.5))               [BasicModelIne.java:34-45]
+      score = boost * A * 1 * (1 - 1/(1+tfn))  [DFRSimilarity.java:127-131,
+                                                AfterEffectL scoreTimes1pTfn=1]
+    Monotone up in tf, down in doclen -> impact bounds stay sound."""
+
+    name = "dfr_ine_l_h2"
+    c = 1.0
+    _LN2 = float(np.log(np.float64(2.0)))
+
+    def __init__(self, qtf, term_stats, fstats: FieldStats, boost, quantize, dtype):
+        self.quantize, self.dtype = quantize, dtype
+        self.avgdl = float(fstats.avgdl())
+        n = float(fstats.doc_count)
+        self.weights = {}
+        for t, q in qtf.items():
+            df, ttf = term_stats.get(t, (0, 0))
+            if df <= 0:
+                continue
+            ne = n * (1.0 - np.power((n - 1.0) / n, float(ttf)))
+            # log2 = ln/LOG_2 exactly like SimilarityBase.log2 (not np.log2)
+            a = float(np.log((n + 1.0) / (ne + 0.5))) / self._LN2
+            self.weights[t] = float(boost) * float(q) * float(a)
+
+    def _doclen(self, dls):
+        if self.quantize:
+            return _quantized_len(dls).astype(np.float64)
+        return np.asarray(dls, np.float64)
+
+    def score(self, term, tfs, dls):
+        tfn = np.asarray(tfs, np.float64) * (
+            np.log(1.0 + self.c * self.avgdl / self._doclen(dls)) / self._LN2
+        )
+        s = self.weights[term] * (1.0 - 1.0 / (1.0 + tfn))
+        return s.astype(self.dtype)
+
+    def score_col(self, tf, doclen):
+        ln2 = F.lit(float(np.log(2.0)))
+        tfn = tf.cast("double") * F.log(
+            F.lit(1.0) + F.lit(self.c * self.avgdl) / doclen.cast("double")
+        ) / ln2
+        return F.col("w") * (F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + tfn))
+
+
 _REGISTRY = {
     "classic": ClassicBound,
     "boolean": BooleanBound,
     "lm_dirichlet": LMDirichletBound,
     "lm_jelinek_mercer": LMJelinekMercerBound,
+    "dfr_ine_l_h2": DFRIneLH2Bound,
 }
 
 

@@ -29,7 +29,7 @@ from lucene_spark.search.scorer import FieldStats
 
 FS = FieldStats(max_doc=100, doc_count=100, sum_total_term_freq=5000, sum_doc_freq=4000)
 STATS = {"a": (3, 10), "b": (50, 800), "zz": (0, 0)}
-SIMS = ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer"]
+SIMS = ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer", "dfr_ine_l_h2"]
 
 
 def _bind(name, qtf=None, quantize=True, dtype=np.float32):
@@ -106,6 +106,19 @@ def test_lm_quantized_doclen_goes_through_length_table():
     )
     assert want > 0  # the golden exercises the formula, not the clamp
     assert got[0] == want
+
+
+def test_dfr_golden():
+    """DFR(Ine, L, H2 c=1): tfn = tf*log2(1+avgdl/dl), ne = N*(1-((N-1)/N)^F),
+    score = qtf * log2((N+1)/(ne+0.5)) * (1 - 1/(1+tfn))."""
+    sim = _bind("dfr_ine_l_h2", quantize=False, dtype=np.float64)
+    n, avgdl, ttf = 100.0, 50.0, 10
+    ne = n * (1.0 - ((n - 1.0) / n) ** ttf)
+    a = math.log((n + 1.0) / (ne + 0.5)) / math.log(2.0)
+    assert sim.weights["a"] == pytest.approx(a)
+    tfn = 4 * math.log(1.0 + avgdl / 25.0) / math.log(2.0)
+    got = sim.score("a", np.array([4]), np.array([25]))
+    assert got[0] == pytest.approx(a * (1.0 - 1.0 / (1.0 + tfn)))
 
 
 def test_unknown_similarity_raises():
@@ -200,6 +213,12 @@ def _brute_reference(ref_index, terms, name, k=10):
                 pc = (ttf + 1.0) / (sum_ttf + 1.0)
                 raw = _ln(1 + tf / (2000.0 * pc)) + _ln(2000.0 / (ql + 2000.0))
                 s = np.float32(max(raw, 0.0))
+            elif name == "dfr_ine_l_h2":
+                avgdl = sum_ttf / N
+                ne = N * (1.0 - ((N - 1.0) / N) ** float(ttf))
+                a = _ln((N + 1.0) / (ne + 0.5)) / _ln(2.0)
+                tfn = tf * (_ln(1.0 + avgdl / ql) / _ln(2.0))
+                s = np.float32(a * (1.0 - 1.0 / (1.0 + tfn)))
             else:  # lm_jelinek_mercer
                 pc = (ttf + 1.0) / (sum_ttf + 1.0)
                 s = np.float32(_ln(1 + (0.9 * tf / ql) / (0.1 * pc)))
