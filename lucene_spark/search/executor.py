@@ -1009,6 +1009,7 @@ def seed_theta(
     boost: float = 1.0,
     quantize: bool = True,
     dtype=np.float32,
+    similarity: Optional[str] = None,
 ) -> float:
     """Cross-segment pruning-threshold seed (MaxScoreAccumulator analog,
     search/MaxScoreAccumulator.java:23): the k-th best score of the RAREST
@@ -1019,10 +1020,17 @@ def seed_theta(
     for its local top-k to fill. Only valid for pure disjunctions without
     minShouldMatch (with MUST or msm the qualifying set is a subset of the
     rare term's postings, so its k-th partial score is NOT a lower bound);
-    returns 0.0 (no seed) otherwise."""
+    returns 0.0 (no seed) otherwise. ``similarity`` MUST match the main
+    query's (a seed from a different scoring function is no lower bound)."""
     if q.required or q.min_should_match > 0 or not q.optional:
         return 0.0
-    weights = _weights_for(index, q, boost, dtype)
+    from .similarities import bind_similarity
+
+    sim = bind_similarity(
+        similarity, q.scoring_terms, index.term_stats_for(list(q.scoring_terms)),
+        index.field_stats, boost, quantize, dtype,
+    )
+    weights = sim.weights if sim is not None else _weights_for(index, q, boost, dtype)
     if not weights:
         return 0.0
     stats = index.term_stats_for(list(weights))
@@ -1030,7 +1038,8 @@ def seed_theta(
     qtf = dict(q.optional).get(rarest, 1)
     sub = NormalizedQuery(optional=((rarest, qtf),))
     rows = search_topk(
-        index, sub, k=k, boost=boost, quantize=quantize, dtype=dtype
+        index, sub, k=k, boost=boost, quantize=quantize, dtype=dtype,
+        similarity=similarity,
     ).collect()
     if len(rows) < k:
         return 0.0

@@ -242,3 +242,21 @@ def test_float32_parity_vs_bruteforce(spark, built_index, ref_index, name):
     assert [r["docid"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert np.float32(r["score"]) == np.float32(s), name
+
+
+@pytest.mark.parametrize("name", SIMS)
+def test_seed_theta_per_similarity_sound(spark, built_index, name):
+    """A theta seed computed UNDER the same similarity never changes the
+    top-k (it is a sound lower bound of the k-th score for that scoring
+    function)."""
+    from lucene_spark.search.executor import search_topk, seed_theta
+
+    q = normalize(should=["stream", "hash", "parse"])
+    seed = seed_theta(built_index, q, k=10, similarity=name)
+    base = search_topk(built_index, q, k=10, similarity=name).collect()
+    seeded = search_topk(built_index, q, k=10, similarity=name,
+                         theta_seed=seed).collect()
+    assert base  # vacuity guard
+    assert [(r["docid"], r["score"]) for r in base] == [
+        (r["docid"], r["score"]) for r in seeded
+    ]
