@@ -221,6 +221,18 @@ def main() -> None:
     if med:
         shape("or_med_hot", normalize(should=[med, "import"]))
         shape_seeded("or_med_hot", normalize(should=[med, "import"]))
+    if rare:
+        # pluggable-similarity pruning on the same shape: DFR prunes like
+        # BM25 (bounded tf saturation); Classic's unbounded sqrt(tf) keeps
+        # the hot term competitive so decode stays near-full — semantically
+        # correct (the reference's MAXSCORE degenerates identically under
+        # TFIDF), reported as evidence that the seam's bounds are live
+        q_sim = normalize(should=[rare, "import"])
+        for sim in ("classic", "dfr_ine_l_h2"):
+            m = block_skip_metrics(build_idx, q_sim, k=K, similarity=sim)
+            ratios[f"or_rare_hot_{sim}"] = (
+                round(m["ratio"], 4) if m["ratio"] is not None else None
+            )
     ratio = ratios.get("and_rare_hot")
 
     # --- percolator at 10k stored queries: the term-partitioned pre-filter
