@@ -46,7 +46,7 @@ from .plan import (
     QTerm,
     QWildcard,
 )
-from .scorer import FieldStats, max_term_score, score_arrays, term_weights
+from .scorer import FieldStats, score_arrays, term_weights
 
 TOPK_SCHEMA = "docid long, score double, blocks_total long, blocks_decoded long"
 METRICS_SCHEMA = "segment_id long, blocks_total long, blocks_decoded long"
