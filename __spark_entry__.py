@@ -554,6 +554,22 @@ def q_min_should_match_req_topk(spark, sf):
     )
 
 
+def q_sort_after_page2(spark, sf):
+    """Field-sorted cursor paging (searchAfter + Sort, FieldDoc cursor):
+    page 1 by (n_chars desc, docid asc) supplies the cursor; the returned
+    page 2 must equal global ranks 11-20."""
+    from lucene_spark.search.aggregates import sort_search_after, sort_topk
+
+    idx = _index(spark, sf)
+    q = normalize(should=["spark"])
+    spec = [("n_chars", False)]
+    p1 = sort_topk(idx, q, spec, k=10).collect()
+    last = p1[-1]
+    return sort_search_after(
+        idx, q, spec, 10, [last["n_chars"]], last["docid"]
+    )
+
+
 SUGGEST_PREFIX = "st"
 
 
@@ -1100,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
     return {
         # --- r4 additions: never driver-checked yet
+        "sort_after_page2": q_sort_after_page2,
         "suggest_complete": q_suggest_complete,
         "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
@@ -1551,6 +1568,13 @@ ORDER BY n_intervals DESC, docid ASC LIMIT 10""",
         "interval_containing_topk": _interval_ordered_sql(
             "spark", "join", 4, containing="table"
         ),
+        "sort_after_page2": f"""WITH {TOKS_CTE.strip()},
+m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = 'spark'),
+r AS (SELECT m.doc_id, d.n_chars,
+             row_number() OVER (ORDER BY d.n_chars DESC, m.doc_id ASC) AS rk
+      FROM m JOIN documents d ON m.doc_id = d.doc_id)
+SELECT doc_id AS docid, n_chars FROM r WHERE rk BETWEEN 11 AND 20
+ORDER BY rk""",
         "suggest_complete": f"""WITH {TOKS_CTE.strip()}
 SELECT term, count(*) AS weight FROM toks
 WHERE term LIKE '{SUGGEST_PREFIX}%'

@@ -226,3 +226,59 @@ def join_matches(index: Index, q: NormalizedQuery, dim_df: DataFrame, on: str,
     per_key = m.groupBy(on).agg(agg, F.count("*").alias("n_hits")) if score_mode != "none" \
         else m.groupBy(on).agg(agg)
     return per_key.join(dim_df, on)
+
+
+def sort_topk(
+    index: Index,
+    q: NormalizedQuery,
+    sort_spec: Sequence,
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """TopFieldCollector (search/TopFieldCollector.java:49): top-k by doc
+    field values instead of relevance. ``sort_spec`` = [(col, ascending)],
+    docid asc is the implicit final tiebreak (Lucene appends the doc id
+    the same way). Returns (docid, *sort cols)."""
+    cols = [c for c, _ in sort_spec]
+    m = _matches_with(index, q, cols)
+    order = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in sort_spec
+    ] + [F.col("docid").asc()]
+    return m.select("docid", *cols).orderBy(*order).limit(k)
+
+
+def sort_search_after(
+    index: Index,
+    q: NormalizedQuery,
+    sort_spec: Sequence,
+    k: int,
+    after_values: Sequence,
+    after_docid: int,
+    **kw,
+) -> DataFrame:
+    """Field-sorted cursor paging — IndexSearcher.searchAfter with a Sort
+    (IndexSearcher.java:623-650, FieldDoc cursor): keep rows STRICTLY
+    after the (sort values..., docid) cursor in lexicographic order. The
+    cursor predicate is a plain Catalyst expression, so at scale it pushes
+    into the scan on the leading sort column (paging never re-reads the
+    already-returned prefix)."""
+    if len(after_values) != len(sort_spec):
+        raise ValueError("after_values must match sort_spec length")
+    cols = [c for c, _ in sort_spec]
+    m = _matches_with(index, q, cols)
+    # lexicographic strictly-after: OR over prefixes (equal on the prefix,
+    # strictly past on the next key; docid asc is the last key)
+    pred = None
+    eq_prefix = None
+    for (c, asc), v in zip(sort_spec, after_values):
+        strict = F.col(c) > F.lit(v) if asc else F.col(c) < F.lit(v)
+        clause = strict if eq_prefix is None else (eq_prefix & strict)
+        pred = clause if pred is None else (pred | clause)
+        this_eq = F.col(c) == F.lit(v)
+        eq_prefix = this_eq if eq_prefix is None else (eq_prefix & this_eq)
+    tie = eq_prefix & (F.col("docid") > F.lit(int(after_docid)))
+    pred = tie if pred is None else (pred | tie)
+    order = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in sort_spec
+    ] + [F.col("docid").asc()]
+    return m.select("docid", *cols).filter(pred).orderBy(*order).limit(k)

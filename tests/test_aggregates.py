@@ -187,3 +187,29 @@ def test_common_terms_split(built_index):
     q = common_terms_query(built_index, ["import", rare_term], max_df_fraction=0.3)
     assert dict(q.required).keys() == {rare_term}
     assert dict(q.optional).keys() == {"import"}
+
+
+def test_sort_search_after_multi_key(spark, built_index):
+    """Multi-key field sort cursor: pages concatenate to the full sorted
+    list with no gaps or duplicates (lexicographic strictly-after)."""
+    from lucene_spark.search.aggregates import sort_search_after, sort_topk
+    from lucene_spark.search.plan import normalize
+
+    q = normalize(should=["stream"])
+    spec = [("lang", True), ("path", False)]
+    full = sort_topk(built_index, q, spec, k=1000).collect()
+    assert len(full) > 12  # vacuity guard
+    pages, cursor = [], None
+    while True:
+        if cursor is None:
+            page = full[:5]
+        else:
+            page = sort_search_after(
+                built_index, q, spec, 5, [cursor["lang"], cursor["path"]],
+                cursor["docid"],
+            ).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cursor = page[-1]
+    assert [r["docid"] for r in pages] == [r["docid"] for r in full]
