@@ -1706,6 +1706,51 @@ def dismax_topk(
     )
 
 
+def feature_topk(
+    index: Index,
+    q: NormalizedQuery,
+    feature_col: str,
+    function: str = "saturation",
+    weight: float = 1.0,
+    pivot: float = 1.0,
+    exponent: float = 1.0,
+    scaling: float = 1.0,
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """FeatureField scoring (document/FeatureField.java:106): a static
+    per-doc feature (pagerank, recency, quality) contributes to the score
+    through one of the reference's four functions —
+      linear      w * f                       [FeatureField.java:262-268]
+      log         w * ln(scaling + f)         [FeatureField.java:352-357]
+      saturation  w * (1 - pivot/(f + pivot)) [FeatureField.java:446-451]
+      sigmoid     w * (1 - k^a/(f^a + k^a))   [FeatureField.java:527-532]
+    — added to the wrapped query's score (the usual SHOULD-clause
+    composition). The feature here is a plain doc column (Spark is
+    columnar; no freq-encoding roundtrip needed); the whole plan is
+    Catalyst expressions over the match join."""
+    f = F.col(feature_col).cast("double")
+    w = F.lit(float(weight))
+    if function == "linear":
+        fs = w * f
+    elif function == "log":
+        fs = w * F.log(F.lit(float(scaling)) + f)
+    elif function == "saturation":
+        p = F.lit(float(pivot))
+        fs = w * (F.lit(1.0) - p / (f + p))
+    elif function == "sigmoid":
+        pa = F.lit(float(pivot) ** float(exponent))
+        fs = w * (F.lit(1.0) - pa / (F.pow(f, F.lit(float(exponent))) + pa))
+    else:
+        raise ValueError(f"unknown feature function {function!r}")
+    m = search_exhaustive(index, q, k=None, **kw).join(index.docs, "docid")
+    return (
+        m.select("docid", (F.col("score") + fs).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
 def function_score(index: Index, q: NormalizedQuery, expr: str, k: int = 10, **kw) -> DataFrame:
     """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44): the
     final score is an arbitrary SQL expression over the matching doc's
