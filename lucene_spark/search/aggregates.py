@@ -240,7 +240,7 @@ def sort_topk(
     docid asc is the implicit final tiebreak (Lucene appends the doc id
     the same way). Returns (docid, *sort cols)."""
     cols = [c for c, _ in sort_spec]
-    m = _matches_with(index, q, cols)
+    m = _matches_with(index, q, cols, **kw)
     order = [
         (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in sort_spec
     ] + [F.col("docid").asc()]
@@ -265,7 +265,7 @@ def sort_search_after(
     if len(after_values) != len(sort_spec):
         raise ValueError("after_values must match sort_spec length")
     cols = [c for c, _ in sort_spec]
-    m = _matches_with(index, q, cols)
+    m = _matches_with(index, q, cols, **kw)
     # lexicographic strictly-after: OR over prefixes (equal on the prefix,
     # strictly past on the next key; docid asc is the last key)
     pred = None
