@@ -175,7 +175,7 @@ def check_index(index, check_positions: bool = True) -> dict:
     norm_byte_bad = norms.filter(
         F.col("norm_byte") != byte4(F.col("doclen"))
     ).count()
-    dec = decoded_postings(index, index.term_stats.select("term"), apply_deletes=False)
+    dec = decoded_postings(index, None, apply_deletes=False)
     dl_bad = (
         dec.select("docid", "doclen").distinct()
         .join(norms.select("docid", F.col("doclen").alias("ndl")), "docid", "left")

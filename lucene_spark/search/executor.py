@@ -446,9 +446,13 @@ def decoded_postings(
     raw rows (query-cache entries store raw sets and apply live-docs at
     read). ``terms`` may be a list OR a single-column DataFrame of terms —
     the DataFrame form broadcast-joins, so multi-term expansions (term
-    ranges) never materialize the term list on the driver."""
+    ranges) never materialize the term list on the driver; ``terms=None``
+    decodes EVERY term (full-scan consumers like check_index — no broadcast
+    of the whole vocabulary)."""
     src = index.seg_postings if use_segments else index.merged
-    if isinstance(terms, DataFrame):
+    if terms is None:
+        rows = src.select("term", "block_data")
+    elif isinstance(terms, DataFrame):
         rows = src.join(
             F.broadcast(terms.select(F.col(terms.columns[0]).alias("term"))), "term"
         ).select("term", "block_data")
