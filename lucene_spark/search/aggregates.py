@@ -261,7 +261,10 @@ def sort_search_after(
     after the (sort values..., docid) cursor in lexicographic order. The
     cursor predicate is a plain Catalyst expression, so at scale it pushes
     into the scan on the leading sort column (paging never re-reads the
-    already-returned prefix)."""
+    already-returned prefix). NULL sort values fail every comparison and
+    drop out of subsequent pages — coalesce to a sentinel first if a field
+    may be missing (the reference's SortField.setMissingValue analog is
+    the caller's coalesce)."""
     if len(after_values) != len(sort_spec):
         raise ValueError("after_values must match sort_spec length")
     cols = [c for c, _ in sort_spec]
