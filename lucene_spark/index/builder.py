@@ -134,6 +134,25 @@ class IndexConfig:
     # Chain order: tokenize -> lower -> stop -> [stem] -> [synonyms].
     synonyms: Optional[object] = None
 
+    def analysis_fingerprint(self) -> str:
+        """Stable digest of everything that changes what TERMS an identical
+        document produces. Stamped into field_stats.json at build and
+        checked on append: segments indexed under different chains would
+        silently disagree on the vocabulary (Lucene leaves analyzer
+        consistency to the caller; a shared-storage batch engine can and
+        should refuse)."""
+        import hashlib
+
+        if isinstance(self.synonyms, dict):
+            syn = sorted((k, tuple(sorted(v))) for k, v in self.synonyms.items())
+        elif self.synonyms:
+            syn = sorted(tuple(sorted(g)) for g in self.synonyms)
+        else:
+            syn = None
+        key = repr((sorted(self.stop_words), self.stemmer, syn,
+                    bool(self.index_positions)))
+        return hashlib.sha256(key.encode()).hexdigest()[:16]
+
 
 @dataclass
 class IndexPaths:
@@ -700,6 +719,7 @@ def finalize_index(
         "num_segments": len(manifest_rows),
         "generation": generation,
         "format_version": INDEX_FORMAT_VERSION,
+        "analysis_fingerprint": cfg.analysis_fingerprint(),
     }
     fsio.write_json_atomic(paths.fs, paths.fs_path(paths.field_stats), fs)
     if profile:
@@ -882,6 +902,19 @@ def append_to_index(
     existing = read_manifests(paths)
     if not existing:
         return build_index(spark, new_docs, index_dir, cfg)
+    # refuse mixed analysis chains: new segments tokenized under a
+    # different stop set / stemmer / synonym map would silently disagree
+    # with the existing vocabulary (stamp written by finalize_index)
+    fs_path = paths.fs_path(paths.field_stats)
+    if fsio.exists(paths.fs, fs_path):
+        stamped = fsio.read_json(paths.fs, fs_path).get("analysis_fingerprint")
+        if stamped is not None and stamped != cfg.analysis_fingerprint():
+            raise ValueError(
+                "append_to_index: analysis chain mismatch — the index was "
+                f"built with fingerprint {stamped}, this IndexConfig hashes "
+                f"to {cfg.analysis_fingerprint()} (stop_words/stemmer/"
+                "synonyms/index_positions must match the original build)"
+            )
     docid_base = max(r["last_docid"] for r in existing) + 1
     sid_base = max(r["segment_id"] for r in existing) + 1
     old_gen = live_generation(paths) or 0

@@ -97,3 +97,28 @@ def test_synonym_target_absent_from_corpus(spark, tmp_path):
                       hot_df_threshold=100, synonyms=(("fast", "rapid"),))
     idx = Index(spark, build_index(spark, docs, str(tmp_path / "syn2"), cfg))
     assert count_hits(idx, normalize(should=["rapid"], pre_analyzed=True)) == 1
+
+
+def test_append_refuses_analysis_chain_mismatch(spark, tmp_path):
+    """append_to_index with a different stop/stem/synonym chain must refuse
+    (new segments would disagree with the existing vocabulary)."""
+    from lucene_spark.index.builder import (
+        IndexConfig,
+        append_to_index,
+        build_index,
+    )
+
+    d = str(tmp_path / "fp")
+    docs = spark.createDataFrame([(0, "fast path")], "docid long, content string")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1,
+                      synonyms=(("fast", "rapid"),))
+    build_index(spark, docs, d, cfg)
+    more = spark.createDataFrame([(1, "slow path")], "docid long, content string")
+    # same chain appends fine
+    append_to_index(spark, more, d, cfg)
+    # different chain (no synonyms / a stemmer) refuses
+    import pytest as _pt
+
+    bad = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1)
+    with _pt.raises(ValueError, match="analysis chain mismatch"):
+        append_to_index(spark, more, d, bad)
