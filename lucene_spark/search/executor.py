@@ -233,6 +233,15 @@ class Index:
         postings decode straight into the tombstone write."""
         return self.delete_docs_df(decoded_postings(self, [term]).select("docid"))
 
+    def delete_by_query(self, q) -> int:
+        """IndexWriter.deleteDocuments(Query...) analog
+        (index/IndexWriter.java deleteDocuments): every doc matching the
+        normalized boolean query is tombstoned; the match set flows from
+        the exhaustive evaluator straight into the distributed tombstone
+        write (scoring skipped — k=None, matches only)."""
+        m = search_exhaustive(self, q, k=None).select("docid")
+        return self.delete_docs_df(m)
+
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "Index":
         return cls(spark, IndexPaths(index_dir))

@@ -189,3 +189,27 @@ def test_newer_format_version_refuses_to_open(deletable_index, spark):
     with pytest.raises(RuntimeError, match="format_version 99"):
         Index(spark, idx.paths)
     fsio.write_json_atomic(idx.paths.fs, p, fs)
+
+
+def test_delete_by_query(spark, tmp_path):
+    """deleteDocuments(Query) analog: docs matching a boolean query are
+    tombstoned; searches and counts shrink accordingly."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, count_hits, search_topk
+    from lucene_spark.search.plan import normalize
+
+    rows = [
+        (0, "keep this alpha"),
+        (1, "drop beta gamma"),
+        (2, "drop beta delta"),
+        (3, "keep gamma too"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=2,
+                      hot_df_threshold=100)
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "dbq"), cfg))
+    n = idx.delete_by_query(normalize(must=["drop", "beta"], pre_analyzed=True))
+    assert n == 2
+    assert count_hits(idx, normalize(should=["beta"], pre_analyzed=True)) == 0
+    hits = search_topk(idx, normalize(should=["gamma"], pre_analyzed=True), k=5).collect()
+    assert [r["docid"] for r in hits] == [3]  # doc 1 tombstoned
