@@ -66,6 +66,68 @@ def percolate_prefiltered(docs: DataFrame, queries: DataFrame, text_col: str = "
     )
 
 
+def percolate_full(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Percolation with the full stored-query shape the Monitor supports
+    for boolean queries (monitor/Monitor.java:42, QueryDecomposer):
+
+    ``queries``: (qid int, terms array<string>, min_match int,
+                  not_terms array<string>, phrase array<string>)
+    — a doc matches when >= min_match of ``terms`` occur, NONE of
+    ``not_terms`` occur (empty/null = no exclusion), and ``phrase`` (an
+    exact consecutive-token run; empty/null = no phrase) occurs.
+
+    All three constraints are shuffle joins — no cross product, no
+    per-doc Python:
+      positive   explode+equi-join on term (the existing pre-filter);
+      NOT        anti-join candidates against (doc, excluded-term) hits;
+      phrase     anchor trick: join doc (term, pos) rows with the
+                 phrase's (term, slot-offset) rows, anchor = pos - offset;
+                 a doc position anchors the phrase iff ALL slots agree on
+                 the anchor — count distinct slots per (qid, doc, anchor)
+                 and keep groups hitting the full slot count.
+    """
+    cand = percolate_prefiltered(docs, queries, text_col)
+
+    qnot = queries.select(
+        "qid", F.explode_outer("not_terms").alias("term")
+    ).filter(F.col("term").isNotNull())
+    dterms = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    excluded_pairs = qnot.join(dterms, "term").select("qid", "doc_id").distinct()
+    cand = cand.join(excluded_pairs, ["qid", "doc_id"], "left_anti")
+
+    has_phrase = queries.filter(F.size(F.coalesce("phrase", F.array())) > 0)
+    slots = has_phrase.select(
+        "qid",
+        F.size("phrase").alias("n_slots"),
+        F.posexplode("phrase").alias("slot", "term"),
+    )
+    dpos = docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("pos", "term")
+    )
+    anchored = (
+        dpos.join(slots, "term")
+        .select("qid", "doc_id", "n_slots", "slot", (F.col("pos") - F.col("slot")).alias("anchor"))
+        .groupBy("qid", "doc_id", "anchor", "n_slots")
+        .agg(F.count_distinct("slot").alias("hit_slots"))
+        .filter(F.col("hit_slots") == F.col("n_slots"))
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    phrase_fail = (
+        has_phrase.select("qid")
+        .join(cand, "qid")
+        .select("qid", "doc_id")
+        .join(anchored, ["qid", "doc_id"], "left_anti")
+    )
+    return cand.join(phrase_fail, ["qid", "doc_id"], "left_anti")
+
+
 def percolate_stream(spark: SparkSession, stream_df: DataFrame, queries: DataFrame,
                      text_col: str = "text", query_name: str = "percolator"):
     """Run the percolator as a Structured Streaming query into a memory

@@ -377,3 +377,70 @@ def test_ivf_ann_recall_and_partition_probe(spark, tmp_path):
     # full probe == brute force exactly
     got_all = [r["vec_id"] for r in ivf_index_topk(spark, d, qv, k=10, nprobe=16).collect()]
     assert got_all == want
+
+
+def test_percolate_full_not_and_phrase(spark):
+    """Full-shape percolation: min_match + NOT + exact phrase, each as a
+    shuffle join; brute-force python differential."""
+    from lucene_spark.streaming import percolate_full
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window"),
+            (2, "spark window join fast"),
+            (3, "join spark"),
+            (4, "window table join spark extras"),
+            (5, "unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [
+            # q1: 2-of-3 terms, no exclusions, phrase "spark join"
+            (1, ["spark", "join", "window"], 2, [], ["spark", "join"]),
+            # q2: 1-of-1, NOT fast
+            (2, ["join"], 1, ["fast"], []),
+            # q3: 1-of-2, phrase "window table"
+            (3, ["window", "table"], 1, [], ["window", "table"]),
+            # q4: plain 2-of-3 (no extras)
+            (4, ["spark", "join", "window"], 2, None, None),
+        ],
+        "qid int, terms array<string>, min_match int, "
+        "not_terms array<string>, phrase array<string>",
+    )
+    got = sorted(
+        (r["qid"], r["doc_id"])
+        for r in percolate_full(docs, queries).collect()
+    )
+
+    def brute():
+        drows = {d: t.split() for d, t in [
+            (1, "spark join window"), (2, "spark window join fast"),
+            (3, "join spark"), (4, "window table join spark extras"),
+            (5, "unrelated words entirely")]}
+        qrows = [
+            (1, ["spark", "join", "window"], 2, [], ["spark", "join"]),
+            (2, ["join"], 1, ["fast"], []),
+            (3, ["window", "table"], 1, [], ["window", "table"]),
+            (4, ["spark", "join", "window"], 2, [], []),
+        ]
+        out = []
+        for qid, terms, mm, nots, phrase in qrows:
+            for d, toks in drows.items():
+                if sum(1 for t in set(terms) if t in toks) < mm:
+                    continue
+                if any(t in toks for t in nots):
+                    continue
+                if phrase:
+                    n = len(phrase)
+                    if not any(toks[i:i + n] == phrase
+                               for i in range(len(toks) - n + 1)):
+                        continue
+                out.append((qid, d))
+        return sorted(out)
+
+    assert got == brute()
+    # sanity spot checks: q1 matches doc1 (has "spark join") but not doc2
+    # (terms ok, phrase broken); q2 excludes doc2 (fast)
+    assert (1, 1) in got and (1, 2) not in got
+    assert (2, 2) not in got and (2, 1) in got
