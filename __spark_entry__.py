@@ -1105,6 +1105,26 @@ def q_percolate(spark, sf):
     return percolate_prefiltered(_docs(spark, sf), qdf).orderBy("qid", "doc_id")
 
 
+PERCOLATE_FULL_QUERIES = [
+    (1, ["spark", "join", "window"], 2, [], ["spark", "join"]),
+    (2, ["join"], 1, ["window"], []),
+    (3, ["table", "hash"], 1, [], ["hash", "join"]),
+]
+
+
+def q_percolate_full(spark, sf):
+    """Full-shape percolation (min_match + NOT + exact phrase): every
+    constraint a shuffle join; the phrase uses the position-anchor trick."""
+    from lucene_spark.streaming import percolate_full
+
+    qdf = spark.createDataFrame(
+        PERCOLATE_FULL_QUERIES,
+        "qid int, terms array<string>, min_match int, "
+        "not_terms array<string>, phrase array<string>",
+    )
+    return percolate_full(_docs(spark, sf), qdf).orderBy("qid", "doc_id")
+
+
 def q_tpch_join_util(spark, sf):
     orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
     customer = spark.read.parquet(os.path.join(sf, "customer.parquet"))
@@ -1132,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
     return {
         # --- r4 additions: never driver-checked yet
+        "percolate_full": q_percolate_full,
         "feature_saturation_topk": q_feature_saturation_topk,
         "sort_after_page2": q_sort_after_page2,
         "suggest_complete": q_suggest_complete,
@@ -1412,6 +1433,45 @@ def _percolate_sql() -> str:
             f"FROM documents WHERE len(list_intersect({TOKSET}, [{lst}])) >= {mm}"
         )
     return " UNION ALL ".join(parts) + " ORDER BY qid, doc_id"
+
+
+def _percolate_full_sql() -> str:
+    """Oracle for percolate_full: positions WITHOUT stop filtering (the
+    percolator tokenizes with a plain whitespace split, like TPOS_CTE)."""
+    parts = []
+    for qid, terms, mm, nots, phrase in PERCOLATE_FULL_QUERIES:
+        lst = ", ".join(repr(t) for t in terms)
+        conds = [f"len(list_intersect({TOKSET}, [{lst}])) >= {mm}"]
+        if nots:
+            nlst = ", ".join(repr(t) for t in nots)
+            conds.append(f"len(list_intersect({TOKSET}, [{nlst}])) = 0")
+        if phrase:
+            joins, wheres = [], [f"t0.term = {phrase[0]!r}"]
+            for i in range(1, len(phrase)):
+                joins.append(
+                    f"JOIN tpos t{i} ON t{i}.doc_id = t0.doc_id "
+                    f"AND t{i}.pos = t0.pos + {i}"
+                )
+                wheres.append(f"t{i}.term = {phrase[i]!r}")
+            conds.append(
+                "EXISTS (SELECT 1 FROM tpos t0 "
+                + " ".join(joins)
+                + " WHERE t0.doc_id = d.doc_id AND "
+                + " AND ".join(wheres)
+                + ")"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, "
+            f"len(list_intersect({TOKSET}, [{lst}])) AS n_matched "
+            f"FROM documents d WHERE " + " AND ".join(conds)
+        )
+    return (
+        "WITH "
+        + TPOS_CTE.strip()
+        + "\n"
+        + " UNION ALL ".join(parts)
+        + " ORDER BY qid, doc_id"
+    )
 
 
 def _interval_pl_cte(term_a: str, term_b: str, extra: str = "",
@@ -1809,6 +1869,7 @@ SELECT doc_id,
             ELSE 1000 + (doc_id % 30) * 500 END AS BIGINT) AS duration_ms
 FROM documents ORDER BY doc_id""",
         "percolate": _percolate_sql(),
+        "percolate_full": _percolate_full_sql(),
         "tpch_join_util": """
 SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
