@@ -260,3 +260,43 @@ def test_seed_theta_per_similarity_sound(spark, built_index, name):
     assert [(r["docid"], r["score"]) for r in base] == [
         (r["docid"], r["score"]) for r in seeded
     ]
+
+
+def test_pruned_equals_exhaustive_random_corpora_all_sims(spark, tmp_path):
+    """CheckHits invariant under every registered similarity on seeded
+    random corpora: the pruned block-max path returns exactly the
+    exhaustive ranking (docids and float64 scores)."""
+    import random
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, search_exhaustive, search_topk
+
+    rng = random.Random(31)
+    vocab = [f"w{j}" for j in range(40)]
+    rows = []
+    for i in range(300):
+        content = " ".join(rng.choices(vocab, k=rng.randrange(1, 50)))
+        rows.append((f"r{i%4}", f"p{i}", "c0", "py", content))
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path / "simrand")
+    idx = Index(spark, build_index(
+        spark, docs, d,
+        IndexConfig(num_segments=3, hot_df_threshold=60, merge_bucket_segments=2),
+    ))
+    shapes = [
+        dict(should=["w0", "w7", "w23"]),
+        dict(must=["w3", "w11"], should=["w29"]),
+        dict(should=["w1", "w2", "w3", "w4"], min_should_match=2),
+    ]
+    for name in SIMS:
+        for clauses in shapes:
+            q = normalize(**clauses, pre_analyzed=True)
+            a = search_topk(idx, q, k=12, quantize=False, dtype=np.float64,
+                            similarity=name).collect()
+            b = search_exhaustive(idx, q, k=12, similarity=name).collect()
+            assert a, (name, clauses)
+            assert [r["docid"] for r in a] == [r["docid"] for r in b], (name, clauses)
+            for ra, rb in zip(a, b):
+                assert ra["score"] == pytest.approx(rb["score"], rel=1e-12)
