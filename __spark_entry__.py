@@ -694,6 +694,13 @@ def q_dfr_topk(spark, sf):
     return _sim_topk(spark, sf, "dfr_ine_l_h2")
 
 
+def q_ib_topk(spark, sf):
+    """IBSimilarity(LL, DF, H2 c=1) — information-based family
+    (IBSimilarity.java:115-118, DistributionLL.java:33-35,
+    LambdaDF.java:32-38)."""
+    return _sim_topk(spark, sf, "ib_ll_df_h2")
+
+
 MULTI_PHRASE_SLOTS = [(0, ["table", "part"]), (1, ["hash", "filter"])]
 BLENDED_TERMS = ["spark", "vector"]
 FUNC_SCORE_EXPR = "score * (1.0 + n_chars / 1000.0)"
@@ -1163,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "lm_jelinek_topk": q_lm_jelinek_topk,
         "dfr_topk": q_dfr_topk,
+        "ib_topk": q_ib_topk,
         "min_should_match_topk": q_min_should_match_topk,
         "min_should_match_req_topk": q_min_should_match_req_topk,
         "spell_suggest": q_spell_suggest,
@@ -1670,6 +1678,7 @@ GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
         "lm_dirichlet_topk": similarity_topk_sql("lm_dirichlet", SIM_TERMS),
         "lm_jelinek_topk": similarity_topk_sql("lm_jelinek_mercer", SIM_TERMS),
         "dfr_topk": similarity_topk_sql("dfr_ine_l_h2", SIM_TERMS),
+        "ib_topk": similarity_topk_sql("ib_ll_df_h2", SIM_TERMS),
         "min_should_match_topk": bm25_topk_sql(
             {t: 1 for t in MSM_TERMS}, min_should_match=MSM_N
         ),

@@ -464,8 +464,21 @@ def similarity_topk_sql(kind: str, qtf: Dict[str, int], k: int = 10) -> str:
         s_expr = (
             "w.w * (1 - 1 / (1 + tf.tf * ln(1 + fs.avgdl / dl.doclen) / ln(2)))"
         )
+    elif kind == "ib_ll_df_h2":
+        # lambda = (df+1)/(N+1) rides in the pc column; score =
+        # W * -ln(lambda/(tfn+lambda)), tfn = tf*log2(1 + avgdl/dl)
+        w_expr = "CAST(q.qtf AS DOUBLE)"
+        s_expr = (
+            "w.w * -ln(w.pc / "
+            "(tf.tf * ln(1 + fs.avgdl / dl.doclen) / ln(2) + w.pc))"
+        )
     else:
         raise ValueError(kind)
+    pc_expr = (
+        "(dfreq.df + 1.0) / (fs.doc_cnt + 1.0)"
+        if kind == "ib_ll_df_h2"
+        else "(dfreq.ttf + 1.0) / (ftok.total + 1.0)"
+    )
     return (
         "WITH "
         + BM25_CTES
@@ -475,7 +488,7 @@ dfreq AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf
           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
 ftok AS (SELECT sum(doclen) AS total FROM dl),
 w AS (SELECT q.term, {w_expr} AS w,
-             (dfreq.ttf + 1.0) / (ftok.total + 1.0) AS pc
+             {pc_expr} AS pc
       FROM qt q JOIN dfreq ON q.term = dfreq.term
       CROSS JOIN fs CROSS JOIN ftok),
 scored AS (

@@ -294,12 +294,66 @@ class DFRIneLH2Bound(BoundSimilarity):
         return F.col("w") * (F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + tfn))
 
 
+class IBLLDFH2Bound(BoundSimilarity):
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c=1)) — the
+    information-based family (IBSimilarity.java:115-118):
+      tfn    = tf * log2(1 + c * avgdl / dl)   [NormalizationH2.java:57-58]
+      lambda = (float)((df + 1) / (N + 1))     [LambdaDF.java:32-38 — the
+               reference computes lambda in FLOAT; the parity mode casts]
+      score  = boost * -ln(lambda / (tfn + lambda))
+                                               [DistributionLL.java:33-35]
+    Monotone up in tf, down in doclen -> impact bounds stay sound."""
+
+    name = "ib_ll_df_h2"
+    c = 1.0
+    _LN2 = float(np.log(np.float64(2.0)))
+
+    def __init__(self, qtf, term_stats, fstats: FieldStats, boost, quantize, dtype):
+        self.quantize, self.dtype = quantize, dtype
+        self.avgdl = float(fstats.avgdl())
+        n = float(fstats.doc_count)
+        self.weights, self.pc = {}, {}
+        for t, q in qtf.items():
+            df, ttf = term_stats.get(t, (0, 0))
+            if df <= 0:
+                continue
+            self.weights[t] = float(boost) * float(q)
+            lam = dtype((df + 1.0) / (n + 1.0)) if dtype == np.float32 else (
+                (df + 1.0) / (n + 1.0)
+            )
+            self.pc[t] = float(lam)
+
+    def _doclen(self, dls):
+        if self.quantize:
+            return _quantized_len(dls).astype(np.float64)
+        return np.asarray(dls, np.float64)
+
+    def score(self, term, tfs, dls):
+        tfn = np.asarray(tfs, np.float64) * (
+            np.log(1.0 + self.c * self.avgdl / self._doclen(dls)) / self._LN2
+        )
+        lam = self.pc[term]
+        s = self.weights[term] * -np.log(lam / (tfn + lam))
+        return s.astype(self.dtype)
+
+    def score_col(self, tf, doclen):
+        ln2 = F.lit(self._LN2)
+        tfn = tf.cast("double") * F.log(
+            F.lit(1.0) + F.lit(self.c * self.avgdl) / doclen.cast("double")
+        ) / ln2
+        return F.col("w") * -F.log(F.col("pc") / (tfn + F.col("pc")))
+
+    def wdf_rows(self):
+        return [(t, float(w), float(self.pc[t])) for t, w in self.weights.items()]
+
+
 _REGISTRY = {
     "classic": ClassicBound,
     "boolean": BooleanBound,
     "lm_dirichlet": LMDirichletBound,
     "lm_jelinek_mercer": LMJelinekMercerBound,
     "dfr_ine_l_h2": DFRIneLH2Bound,
+    "ib_ll_df_h2": IBLLDFH2Bound,
 }
 
 

@@ -29,7 +29,8 @@ from lucene_spark.search.scorer import FieldStats
 
 FS = FieldStats(max_doc=100, doc_count=100, sum_total_term_freq=5000, sum_doc_freq=4000)
 STATS = {"a": (3, 10), "b": (50, 800), "zz": (0, 0)}
-SIMS = ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer", "dfr_ine_l_h2"]
+SIMS = ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer",
+        "dfr_ine_l_h2", "ib_ll_df_h2"]
 
 
 def _bind(name, qtf=None, quantize=True, dtype=np.float32):
@@ -213,6 +214,11 @@ def _brute_reference(ref_index, terms, name, k=10):
                 pc = (ttf + 1.0) / (sum_ttf + 1.0)
                 raw = _ln(1 + tf / (2000.0 * pc)) + _ln(2000.0 / (ql + 2000.0))
                 s = np.float32(max(raw, 0.0))
+            elif name == "ib_ll_df_h2":
+                avgdl = sum_ttf / N
+                lam = float(np.float32((df + 1.0) / (N + 1.0)))
+                tfn = tf * (_ln(1.0 + avgdl / ql) / _ln(2.0))
+                s = np.float32(-_ln(lam / (tfn + lam)))
             elif name == "dfr_ine_l_h2":
                 avgdl = sum_ttf / N
                 ne = N * (1.0 - ((N - 1.0) / N) ** float(ttf))
