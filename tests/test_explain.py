@@ -81,7 +81,8 @@ def test_explain_parity_mode_matches_topk(built_index):
         assert ex["value"] == pytest.approx(r["score"], rel=1e-6)
 
 
-@pytest.mark.parametrize("sim", ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer"])
+@pytest.mark.parametrize("sim", ["classic", "boolean", "lm_dirichlet",
+                                 "lm_jelinek_mercer", "dfr_ine_l_h2", "ib_ll_df_h2"])
 def test_explain_matches_similarity_score(spark, built_index, sim):
     """explain(similarity=...)['value'] equals the pruned-path score for
     that doc bit-for-bit (float32 quantized parity mode)."""
