@@ -720,6 +720,7 @@ def finalize_index(
         "generation": generation,
         "format_version": INDEX_FORMAT_VERSION,
         "analysis_fingerprint": cfg.analysis_fingerprint(),
+        "index_positions": bool(cfg.index_positions),
     }
     fsio.write_json_atomic(paths.fs, paths.fs_path(paths.field_stats), fs)
     if profile:

@@ -91,6 +91,12 @@ class Index:
         # field_stats.json is the snapshot commit marker: it names the live
         # generation of the snapshot-global artifacts (see finalize_index)
         self.generation = int(fs.get("generation", 0))
+        # None on pre-stamp indexes (unknown); else whether the positions
+        # stream exists — phrase/interval/highlight paths refuse when False
+        # (the reference throws "field ... was indexed without position
+        # data" rather than silently matching nothing)
+        ip = fs.get("index_positions")
+        self.has_positions: Optional[bool] = None if ip is None else bool(ip)
         self._merged_dir = paths.merged_g(self.generation)
         self._term_stats_dir = paths.term_stats_g(self.generation)
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
@@ -1334,6 +1340,19 @@ def make_phrase_topk_fn(
     return topk_fn
 
 
+def require_positions(index: Index, what: str) -> None:
+    """Refuse position-dependent queries on an index built with
+    index_positions=False (IllegalStateException "field ... was indexed
+    without position data" analog). Pre-stamp indexes (flag unknown) pass
+    through unchecked."""
+    if index.has_positions is False:
+        raise ValueError(
+            f"{what} requires positions, but this index was built without "
+            "position data (IndexConfig(index_positions=False)); rebuild "
+            "with index_positions=True"
+        )
+
+
 def search_phrase(
     index: Index,
     phrase,
@@ -1352,6 +1371,7 @@ def search_phrase(
     holes preserved), a term list, or [(term, offset)] pairs."""
     from .scorer import idf as _idf
 
+    require_positions(index, "PhraseQuery")
     per_seg = _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words)
     if per_seg is None:
         return index.spark.createDataFrame([], "docid long, score double")
@@ -1615,6 +1635,7 @@ def search_multi_phrase(
     the index (allTermStats, MultiPhraseQuery.java:228-236)."""
     from .scorer import idf as _idf
 
+    require_positions(index, "MultiPhraseQuery")
     spark = index.spark
     empty = spark.createDataFrame([], "docid long, score double")
     if not slots:

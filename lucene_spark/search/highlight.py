@@ -121,6 +121,9 @@ def highlight_topk(
     """Top-k hits with their best passage: (docid, score, passage_start,
     passage_end, n_hits, passage_score), ordered like the hit list (score
     desc, docid asc). Scores are the float64 oracle-comparable mode."""
+    from .executor import require_positions
+
+    require_positions(index, "highlighting")
     from .executor import apply_per_segment, search_exhaustive
     from .scorer import idf as _idf
 

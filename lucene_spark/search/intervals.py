@@ -682,8 +682,9 @@ def search_intervals(index, node) -> DataFrame:
     caller's (IntervalQuery is typically a filter/feature source; the
     reference scores it through a similarity — score policy is the
     caller's via n_intervals)."""
-    from .executor import apply_per_segment
+    from .executor import apply_per_segment, require_positions
 
+    require_positions(index, "IntervalQuery")
     distinct = sorted(set(leaf_terms(node)))
     required = required_terms(node)
     stats = index.term_stats_for(distinct)

@@ -527,3 +527,36 @@ def test_engine_3term_sloppy_phrase_end_to_end(built_index, ref_index):
     assert [r["docid"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r["score"] == pytest.approx(float(s), rel=1e-6)
+
+
+def test_phrase_refuses_positions_free_index(spark, tmp_path):
+    """An index built with index_positions=False must REFUSE phrase /
+    interval / highlight queries instead of silently matching nothing
+    (the reference throws 'indexed without position data')."""
+    import pytest as _pt
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import (
+        Index,
+        search_multi_phrase,
+        search_phrase,
+    )
+    from lucene_spark.search.intervals import IOrdered, ITerm, search_intervals
+    from lucene_spark.search.highlight import highlight_topk
+    from lucene_spark.search.plan import normalize
+
+    docs = spark.createDataFrame([(0, "a b c")], "docid long, content string")
+    d = str(tmp_path / "nopos")
+    idx = Index(spark, build_index(
+        spark, docs, d,
+        IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1,
+                    index_positions=False),
+    ))
+    with _pt.raises(ValueError, match="positions"):
+        search_phrase(idx, [("a", 0), ("b", 1)], slop=0, k=5)
+    with _pt.raises(ValueError, match="positions"):
+        search_multi_phrase(idx, [(0, ["a"]), (1, ["b"])], k=5)
+    with _pt.raises(ValueError, match="positions"):
+        search_intervals(idx, IOrdered((ITerm("a"), ITerm("b"))))
+    with _pt.raises(ValueError, match="positions"):
+        highlight_topk(idx, normalize(should=["a"], pre_analyzed=True), k=5)
