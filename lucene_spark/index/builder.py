@@ -480,6 +480,10 @@ def _invert_group(
     )
 
     drop = {"__pid__"} | (set() if cfg.keep_content else {cfg.content_col})
+    if cfg.docid_col == "docid":
+        # the engine column below carries the same values; keeping the
+        # user's would duplicate the name and corrupt every docs read
+        drop.add("docid")
     docs_tbl = table.select([c for c in table.column_names if c not in drop])
     docs_tbl = docs_tbl.add_column(0, "docid", pa.array(docids, type=pa.int64()))
     # strip Spark's row-metadata KV inherited from the staged file: Spark

@@ -270,3 +270,23 @@ def test_build_through_s3_scheme_root(spark, tmpdir_index):
     n = count_hits(idx, normalize(should=["import"]))
     assert idx.delete_by_term("import") == n > 0
     assert count_hits(idx, normalize(should=["import"])) == 0
+
+
+def test_docid_col_named_docid_docs_table_readable(spark, tmp_path):
+    """A user docid_col literally named 'docid' must not duplicate the
+    column in the docs table (any later docs read/hydrate would fail)."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, hydrate, search_topk
+    from lucene_spark.search.plan import normalize
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta"), (9, "alpha gamma")], "docid long, content string"
+    )
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1,
+                      keep_content=False)
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "dd"), cfg))
+    assert idx.docs.columns.count("docid") == 1
+    top = search_topk(idx, normalize(should=["alpha"], pre_analyzed=True), k=5)
+    hyd = hydrate(idx, top).collect()
+    assert sorted(r["docid"] for r in hyd) == [7, 9]
+    assert "content" not in idx.docs.columns  # keep_content=False honored
