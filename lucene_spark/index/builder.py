@@ -365,6 +365,16 @@ def _invert_group(
     n_rows = table.num_rows
     if cfg.docid_col:
         docids = table[cfg.docid_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # duplicate user docids silently corrupt postings (tf merges across
+        # distinct rows). The docid range partitioner co-locates equal
+        # values, so this per-segment adjacency check over the sorted
+        # column is a COMPLETE uniqueness check — and free.
+        if n_rows > 1 and bool((np.diff(docids) == 0).any()):
+            dup = int(docids[np.flatnonzero(np.diff(docids) == 0)[0]])
+            raise ValueError(
+                f"duplicate docid {dup} in docid_col {cfg.docid_col!r}: "
+                "user-supplied docids must be unique"
+            )
     else:
         docids = docid_base + np.arange(n_rows, dtype=np.int64)
 

@@ -290,3 +290,20 @@ def test_docid_col_named_docid_docs_table_readable(spark, tmp_path):
     hyd = hydrate(idx, top).collect()
     assert sorted(r["docid"] for r in hyd) == [7, 9]
     assert "content" not in idx.docs.columns  # keep_content=False honored
+
+
+def test_duplicate_user_docids_refused(spark, tmp_path):
+    """Duplicate values in docid_col silently merge postings across rows;
+    the per-segment build must refuse (the sorted docid column makes the
+    adjacency check complete — equal values co-locate)."""
+    import pytest as _pt
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+
+    docs = spark.createDataFrame(
+        [(5, "alpha one"), (5, "alpha two"), (6, "beta")],
+        "docid long, content string",
+    )
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1)
+    with _pt.raises(Exception, match="duplicate docid"):
+        build_index(spark, docs, str(tmp_path / "dup"), cfg)
