@@ -905,13 +905,20 @@ def append_to_index(
     new_docs: DataFrame,
     index_dir: str,
     cfg: IndexConfig | None = None,
+    update: bool = False,
 ) -> IndexPaths:
     """NRT-append analog (DirectoryReader.openIfChanged, SURVEY.md §2.9):
     index a new batch as fresh segments (docids continue after the current
     max), then rebuild the snapshot-global artifacts into a NEW generation
     and flip the field_stats commit marker atomically. A crash anywhere
     before the flip leaves the previous snapshot fully readable (no
-    delete-before-rebuild window)."""
+    delete-before-rebuild window).
+
+    With a user ``docid_col``, batch docids that already exist in the index
+    are REFUSED by default (two live docs would share an id — silent
+    corruption); ``update=True`` tombstones the existing docs first
+    instead — IndexWriter.updateDocument semantics (delete-then-add,
+    index/IndexWriter.java updateDocument)."""
     cfg = cfg or IndexConfig()
     paths = IndexPaths(index_dir)
     existing = read_manifests(paths)
@@ -930,6 +937,35 @@ def append_to_index(
                 f"to {cfg.analysis_fingerprint()} (stop_words/stemmer/"
                 "synonyms/index_positions must match the original build)"
             )
+    if cfg.docid_col:
+        from pyspark.sql import functions as F
+
+        from ..search.executor import Index
+
+        idx = Index(spark, paths)
+        colliding = (
+            idx.docs.select("docid")
+            .join(
+                new_docs.select(F.col(cfg.docid_col).alias("docid")).distinct(),
+                "docid",
+            )
+        )
+        if update:
+            # updateDocument = delete-then-add. The tombstone table is
+            # docid-keyed and the new doc REUSES the docid, so the old copy
+            # must be purged physically before the add (a lingering
+            # tombstone would kill the new doc too); purge also clears any
+            # earlier tombstones — semantically idempotent.
+            if idx.delete_docs_df(colliding):
+                purge_deletes(spark, index_dir, cfg)
+        else:
+            n_col = colliding.count()
+            if n_col:
+                raise ValueError(
+                    f"append_to_index: {n_col} docid(s) in the batch already "
+                    "exist in the index; pass update=True for "
+                    "delete-then-add (updateDocument) semantics"
+                )
     docid_base = max(r["last_docid"] for r in existing) + 1
     sid_base = max(r["segment_id"] for r in existing) + 1
     old_gen = live_generation(paths) or 0

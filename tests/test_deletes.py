@@ -213,3 +213,34 @@ def test_delete_by_query(spark, tmp_path):
     assert count_hits(idx, normalize(should=["beta"], pre_analyzed=True)) == 0
     hits = search_topk(idx, normalize(should=["gamma"], pre_analyzed=True), k=5).collect()
     assert [r["docid"] for r in hits] == [3]  # doc 1 tombstoned
+
+
+def test_append_collision_refused_and_update_semantics(spark, tmp_path):
+    """Appending existing user docids refuses by default; update=True is
+    IndexWriter.updateDocument (delete-then-add): the old doc disappears,
+    the new content is searchable under the same user id."""
+    import pytest as _pt
+
+    from lucene_spark.index.builder import IndexConfig, append_to_index, build_index
+    from lucene_spark.search.executor import Index, count_hits, hydrate, search_topk
+    from lucene_spark.search.plan import normalize
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i}") for i in range(10)], "docid long, content string"
+    )
+    d = str(tmp_path / "upd")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=2)
+    build_index(spark, docs, d, cfg)
+    clash = spark.createDataFrame([(5, "alpha updated")], "docid long, content string")
+
+    with _pt.raises(ValueError, match="already\\s+exist"):
+        append_to_index(spark, clash, d, cfg)
+
+    append_to_index(spark, clash, d, cfg, update=True)
+    idx = Index(spark, __import__("lucene_spark.index.builder", fromlist=["IndexPaths"]).IndexPaths(d))
+    # total live docs unchanged: 10 (doc 5 replaced, not duplicated)
+    assert count_hits(idx, normalize(should=["alpha"], pre_analyzed=True)) == 10
+    # the old content is gone, the new is live
+    assert count_hits(idx, normalize(should=["w5"], pre_analyzed=True)) == 0
+    hits = search_topk(idx, normalize(should=["updated"], pre_analyzed=True), k=5)
+    assert [r["docid"] for r in hydrate(idx, hits).collect()] == [5]
