@@ -312,7 +312,9 @@ class _Parser:
         if not clauses:
             return None
         if len(clauses) == 1:
-            return clauses[0]
+            # a single (occur, node) clause still needs the boolean wrapper
+            # (a lone MUST_NOT query is pure-negative -> MatchNone downstream)
+            return QBool((clauses[0],)) if isinstance(clauses[0], tuple) else clauses[0]
         out = []
         for c in clauses:
             # a bare negative clause keeps its MUST_NOT occur at this level
@@ -357,6 +359,13 @@ class _Parser:
         elif t.startswith("-") and len(t) > 1:
             occur = MUST_NOT
             self.toks[self.i] = t[1:]
+        elif t in ("+", "-") and self.i + 1 < len(self.toks) and self.toks[self.i + 1] == "(":
+            # prefixed group: -(a b) / +(a b) — the lexer emits the bare
+            # sign before '(' (QueryParser group modifiers); previously the
+            # lone sign analyzed to nothing and the NEGATION silently
+            # vanished
+            self.take()
+            occur = MUST if t == "+" else MUST_NOT
         node = self.atom()
         if node is None:
             return None

@@ -144,3 +144,26 @@ def test_range_query_on_docs_column(built_index):
     got = search_tree(built_index, t, k=None).count()
     want = built_index.docs.filter("lang = 'go'").count()
     assert got == want
+
+
+def test_prefixed_group_modifiers(spark, built_index):
+    """-(a b) / +(a b): the group modifier must not vanish (it previously
+    lexed as a lone sign and dropped silently); execution anti-joins the
+    group's match set; a lone negative query is pure-negative MatchNone."""
+    from lucene_spark.search.executor import search_query
+    from lucene_spark.search.plan import MUST_NOT, QBool, parse, parse_tree
+
+    t = parse_tree("stream -(hash buffer)")
+    occurs = [o for o, _ in t.clauses]
+    assert MUST_NOT in occurs
+
+    got = {r["docid"] for r in
+           search_query(built_index, parse("stream -(hash buffer)"), k=1000).collect()}
+    want_pos = {r["docid"] for r in
+                search_query(built_index, parse("stream"), k=1000).collect()}
+    want_neg = {r["docid"] for r in
+                search_query(built_index, parse("hash buffer"), k=1000).collect()}
+    assert got == want_pos - want_neg
+    assert got  # vacuity guard
+
+    assert search_query(built_index, parse("-(hash buffer)"), k=10).collect() == []
