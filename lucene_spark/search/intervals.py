@@ -53,12 +53,21 @@ class IOrdered:
     max_gaps: Optional[int] = None
     max_width: Optional[int] = None
 
+    def __post_init__(self):
+        if not self.children:
+            # Intervals.ordered requires >= 1 source (IllegalArgumentException)
+            raise ValueError("ordered requires at least one child source")
+
 
 @dataclass(frozen=True)
 class IUnordered:
     children: Tuple
     max_gaps: Optional[int] = None
     max_width: Optional[int] = None
+
+    def __post_init__(self):
+        if not self.children:
+            raise ValueError("unordered requires at least one child source")
 
 
 @dataclass(frozen=True)

@@ -575,3 +575,10 @@ def test_batched_repeated_term_children():
                 )
             ]
             assert got.get(i, []) == want, (cls.__name__, i)
+
+
+def test_empty_children_rejected_at_construction():
+    with pytest.raises(ValueError, match="at least one child"):
+        IOrdered(())
+    with pytest.raises(ValueError, match="at least one child"):
+        IUnordered(())
