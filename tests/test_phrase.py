@@ -560,3 +560,43 @@ def test_phrase_refuses_positions_free_index(spark, tmp_path):
         search_intervals(idx, IOrdered((ITerm("a"), ITerm("b"))))
     with _pt.raises(ValueError, match="positions"):
         highlight_topk(idx, normalize(should=["a"], pre_analyzed=True), k=5)
+
+
+def test_multiphrase_sloppy_batched_equals_scalar_randomized():
+    """The batched no-repeats multiphrase path (slots as virtual distinct
+    terms through sloppy_nterm_doc_freqs) must produce bit-identical
+    float32 freqs to the per-doc sloppy_phrase_freq walk over the same
+    merged slot lists."""
+    from lucene_spark.functions.phrase import (
+        sloppy_nterm_doc_freqs,
+        sloppy_phrase_freq,
+    )
+
+    rng = np.random.default_rng(77)
+    for trial in range(25):
+        n_slots = int(rng.integers(2, 5))
+        offs = sorted(rng.choice(8, size=n_slots, replace=False).tolist())
+        ndocs = int(rng.integers(1, 30))
+        slop = int(rng.integers(0, 6))
+        plists, bounds = [], []
+        per_doc = [[] for _ in range(ndocs)]
+        for s in range(n_slots):
+            parts, cnt = [], np.zeros(ndocs, dtype=np.int64)
+            for d in range(ndocs):
+                m = int(rng.integers(1, 7))
+                ps = np.sort(rng.choice(60, size=m, replace=False)).astype(np.int64)
+                parts.append(ps)
+                cnt[d] = m
+                per_doc[d].append(ps)
+            plists.append(np.concatenate(parts))
+            bounds.append(np.concatenate(([0], np.cumsum(cnt))))
+        doc_rows, freqs = sloppy_nterm_doc_freqs(
+            plists, bounds, offs, slop, dtype=np.float32
+        )
+        got = dict(zip(doc_rows.tolist(), freqs.tolist()))
+        for d in range(ndocs):
+            want = float(sloppy_phrase_freq(per_doc[d], offs, slop, dtype=np.float32))
+            if want > 0:
+                assert np.float32(got.get(d, 0.0)) == np.float32(want), (trial, d)
+            else:
+                assert d not in got, (trial, d)
