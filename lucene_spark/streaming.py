@@ -80,6 +80,11 @@ def percolate_full(
     ``not_terms`` occur (empty/null = no exclusion), and ``phrase`` (an
     exact consecutive-token run; empty/null = no phrase) occurs.
 
+    Streaming note: the NOT/phrase legs aggregate, so in Structured
+    Streaming run this from ``foreachBatch`` (micro-batch = static frame);
+    the pure pre-filter (``percolate_batch``) remains the append-mode
+    stream-static form.
+
     All three constraints are shuffle joins — no cross product, no
     per-doc Python:
       positive   explode+equi-join on term (the existing pre-filter);
