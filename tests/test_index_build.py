@@ -307,3 +307,39 @@ def test_duplicate_user_docids_refused(spark, tmp_path):
     cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1)
     with _pt.raises(Exception, match="duplicate docid"):
         build_index(spark, docs, str(tmp_path / "dup"), cfg)
+
+
+def test_s3_scheme_root_new_surfaces(spark, tmpdir_index):
+    """The round-4 surfaces work through a non-file URI root too:
+    synonym/stemmer build (fingerprint stamp via the degraded atomic-write
+    path), check_index (pyarrow + Spark reads through the scheme), and
+    updateDocument-style append."""
+    import shutil
+
+    from lucene_spark.index.builder import IndexConfig, append_to_index, build_index
+    from lucene_spark.index.check import check_index
+    from lucene_spark.search.executor import Index, count_hits
+    from lucene_spark.search.plan import normalize
+
+    backing = tmpdir_index + "/s3new"
+    shutil.rmtree(backing, ignore_errors=True)
+    root = "s3mock://" + backing
+    docs = spark.createDataFrame(
+        [(i, f"hash join runs w{i}") for i in range(30)],
+        "docid long, content string",
+    )
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=2,
+                      index_positions=True, synonyms=(("join", "merge"),))
+    idx = Index(spark, build_index(spark, docs, root, cfg))
+    assert count_hits(idx, normalize(should=["merge"], pre_analyzed=True)) == 30
+    assert check_index(idx)["clean"]
+    # append with a mismatched chain refuses through the scheme too
+    import pytest as _pt
+
+    more = spark.createDataFrame([(100, "fresh join doc")], "docid long, content string")
+    bad = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1)
+    with _pt.raises(ValueError, match="analysis chain mismatch"):
+        append_to_index(spark, more, root, bad)
+    append_to_index(spark, more, root, cfg)
+    idx2 = Index(spark, idx.paths)
+    assert count_hits(idx2, normalize(should=["merge"], pre_analyzed=True)) == 31
