@@ -306,3 +306,20 @@ def test_pruned_equals_exhaustive_random_corpora_all_sims(spark, tmp_path):
             assert [r["docid"] for r in a] == [r["docid"] for r in b], (name, clauses)
             for ra, rb in zip(a, b):
                 assert ra["score"] == pytest.approx(rb["score"], rel=1e-12)
+
+
+@pytest.mark.parametrize("name", ["classic", "lm_dirichlet"])
+def test_search_after_with_similarity(spark, built_index, name):
+    """Cursor paging under a non-default similarity: page2 equals the
+    exhaustive ranking's ranks k+1..2k."""
+    from lucene_spark.search.executor import search_exhaustive, search_topk, search_after
+
+    q = normalize(should=["stream", "hash", "parse"])
+    full = search_exhaustive(built_index, q, k=20, similarity=name).collect()
+    assert len(full) > 10
+    p1 = search_topk(built_index, q, k=5, quantize=False, dtype=np.float64,
+                     similarity=name).collect()
+    last = p1[-1]
+    p2 = search_after(built_index, q, 5, last["score"], last["docid"],
+                      quantize=False, dtype=np.float64, similarity=name).collect()
+    assert [r["docid"] for r in p1 + p2] == [r["docid"] for r in full[:10]], name
