@@ -85,8 +85,8 @@ def _no_coalesce(spark: SparkSession):
 
 MANIFEST_SCHEMA = (
     "segment_id int, first_docid long, last_docid long, num_docs long, "
-    "doc_count long, sum_doclen long, num_terms long, num_postings long, "
-    "status string, resumed boolean"
+    "doc_count long, sum_doclen long, max_doclen long, num_terms long, "
+    "num_postings long, status string, resumed boolean"
 )
 
 POSTINGS_ARROW_SCHEMA = pa.schema(
@@ -512,6 +512,9 @@ def _invert_group(
         "num_docs": int(n_rows),
         "doc_count": int((doclens > 0).sum()),  # docs with >=1 token == Terms.getDocCount()
         "sum_doclen": int(doclens.sum()),
+        # longest doc in the segment: finalize folds the max into
+        # field_stats.max_dl, the free driver-side MAXSCORE seed's anchor
+        "max_doclen": int(doclens.max()) if len(doclens) else 0,
         "num_terms": postings_tbl.num_rows,
         "num_postings": int(len(p_codes)),
         "status": "complete",
@@ -724,19 +727,40 @@ def finalize_index(
 
     # --- field stats = snapshot commit marker (TermStates/FieldStats analog,
     # SURVEY §2.4): written last via atomic replace so readers never observe
-    # a half-finalized snapshot
+    # a half-finalized snapshot.
+    # Refinalize paths (purge_deletes, append's new generation) often run
+    # with a default cfg; the analysis stamps describe how the EXISTING
+    # segments were tokenized, so they must be carried forward from the
+    # previous snapshot unchanged — restamping from a defaulted cfg would
+    # later misvalidate appends and flip has_positions (ADVICE r4).
+    fs_marker = paths.fs_path(paths.field_stats)
+    prev = fsio.read_json(paths.fs, fs_marker) if fsio.exists(paths.fs, fs_marker) else {}
+    fingerprint = (
+        prev["analysis_fingerprint"] if "analysis_fingerprint" in prev
+        else cfg.analysis_fingerprint()
+    )
+    positions_stamp = (
+        bool(prev["index_positions"]) if "index_positions" in prev
+        else bool(cfg.index_positions)
+    )
     fs = {
         "max_doc": int(sum(r["num_docs"] for r in manifest_rows)),
         "doc_count": int(sum(r["doc_count"] for r in manifest_rows)),
         "sum_total_term_freq": int(sum(r["sum_doclen"] for r in manifest_rows)),
         "sum_doc_freq": int(sum(r["num_postings"] for r in manifest_rows)),
+        # 0 when ANY manifest predates the field (unknown max -> the
+        # auto-theta seed stays disabled rather than using an unsound bound)
+        "max_dl": (
+            max(int(r["max_doclen"]) for r in manifest_rows)
+            if all("max_doclen" in r for r in manifest_rows) else 0
+        ),
         "num_segments": len(manifest_rows),
         "generation": generation,
         "format_version": INDEX_FORMAT_VERSION,
-        "analysis_fingerprint": cfg.analysis_fingerprint(),
-        "index_positions": bool(cfg.index_positions),
+        "analysis_fingerprint": fingerprint,
+        "index_positions": positions_stamp,
     }
-    fsio.write_json_atomic(paths.fs, paths.fs_path(paths.field_stats), fs)
+    fsio.write_json_atomic(paths.fs, fs_marker, fs)
     if profile:
         print(f"[build-profile] finalize: {_time.perf_counter() - _t0:.1f}s", file=sys.stderr)
 
@@ -869,6 +893,7 @@ def purge_deletes(
             "num_docs": int(len(docids)),
             "doc_count": int((doclens > 0).sum()),
             "sum_doclen": int(doclens.sum()),
+            "max_doclen": int(doclens.max()) if len(doclens) else 0,
             "num_terms": len(rows_out),
             "num_postings": int(sum(r["df"] for r in rows_out)),
             "status": "complete",

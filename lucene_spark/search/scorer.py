@@ -31,6 +31,12 @@ class FieldStats:
     doc_count: int
     sum_total_term_freq: int
     sum_doc_freq: int
+    # longest doc in the collection (0 = unknown, e.g. an index finalized
+    # before the field existed); anchors the free driver-side MAXSCORE
+    # theta seed: score(tf=1, dl=max_dl) lower-bounds every posting's
+    # contribution (monotonicity), so a term with df >= k proves at least
+    # k docs reach that partial score
+    max_dl: int = 0
 
     def avgdl(self) -> float:
         return self.sum_total_term_freq / float(self.doc_count)

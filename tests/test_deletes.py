@@ -244,3 +244,39 @@ def test_append_collision_refused_and_update_semantics(spark, tmp_path):
     assert count_hits(idx, normalize(should=["w5"], pre_analyzed=True)) == 0
     hits = search_topk(idx, normalize(should=["updated"], pre_analyzed=True), k=5)
     assert [r["docid"] for r in hydrate(idx, hits).collect()] == [5]
+
+
+def test_purge_preserves_analysis_stamps(spark, tmp_path):
+    """purge_deletes called WITHOUT the original cfg must carry the
+    analysis_fingerprint / index_positions stamps forward unchanged
+    (ADVICE r4): a defaulted refinalize used to restamp both, breaking
+    later appends and flipping has_positions."""
+    from lucene_spark.index import fsio
+    from lucene_spark.index.builder import (
+        IndexConfig, append_to_index, build_index, purge_deletes,
+    )
+    from lucene_spark.search.executor import Index
+
+    rows = [(i, f"running jumper stems doc{i} token{i % 3}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=2,
+                      index_positions=True, stemmer="porter")
+    root = str(tmp_path / "stampidx")
+    paths = build_index(spark, docs, root, cfg)
+    idx = Index(spark, paths)
+    stamped = fsio.read_json(paths.fs, paths.fs_path(paths.field_stats))
+    assert stamped["analysis_fingerprint"] == cfg.analysis_fingerprint()
+
+    idx.delete_docs([3])
+    purge_deletes(spark, root)  # note: NO cfg — default IndexConfig()
+
+    after = fsio.read_json(paths.fs, paths.fs_path(paths.field_stats))
+    assert after["analysis_fingerprint"] == cfg.analysis_fingerprint()
+    assert after["index_positions"] is True
+    idx2 = Index(spark, paths)
+    assert idx2.has_positions is True
+    # append with the TRUE cfg is still accepted (the old restamp refused it)
+    more = spark.createDataFrame([(100, "appended running text")],
+                                 "docid long, content string")
+    append_to_index(spark, more, root, cfg)
+    assert Index(spark, paths).field_stats.max_doc == 8

@@ -181,3 +181,72 @@ def test_theta_seed_refuses_unsound_shapes(built_index):
         )
         == 0.0
     )
+
+
+def test_auto_seed_theta_default_on_and_sound(built_index):
+    """The default top-k path now derives a FREE stats-only theta seed
+    (auto_seed_theta, MaxScoreAccumulator analog): results identical to
+    seeding disabled, never MORE blocks decoded, and the seed refuses
+    unsound shapes (MUST / msm / NOT / deletes / unknown max_dl)."""
+    import numpy as np
+    from lucene_spark.search.executor import (
+        auto_seed_theta, block_skip_metrics, search_topk, _topk_plan,
+    )
+    from lucene_spark.search.plan import normalize
+
+    for should in (["import", "the"], ["vector", "import", "return"],
+                   ["qzqx", "import"], ["buffer", "stream"]):
+        q = normalize(should=should)
+        auto = search_topk(built_index, q, k=10).collect()
+        off = search_topk(built_index, q, k=10, theta_seed=-1.0).collect()
+        assert [(r["docid"], r["score"]) for r in auto] == [
+            (r["docid"], r["score"]) for r in off
+        ]
+        m_auto = block_skip_metrics(built_index, q, k=10)
+        m_off = block_skip_metrics(built_index, q, k=10, theta_seed=-1.0)
+        assert m_auto["blocks_decoded"] <= m_off["blocks_decoded"]
+
+    # unsound shapes -> no seed
+    plan_q = normalize(should=["import", "vector"])
+    weights, _, _, sim = _topk_plan(built_index, plan_q, 1.0, np.float32)
+    assert auto_seed_theta(
+        built_index, normalize(must=["import"], should=["vector"]),
+        weights, sim, 10, True, np.float32,
+    ) == 0.0
+    assert auto_seed_theta(
+        built_index, normalize(should=["import", "vector"], min_should_match=2),
+        weights, sim, 10, True, np.float32,
+    ) == 0.0
+    # must_not with a term the analyzer keeps (stopwords like "the" are
+    # dropped at normalize time, leaving excluded=() — which IS seed-sound)
+    assert auto_seed_theta(
+        built_index, normalize(should=["import", "vector"], must_not=["return"]),
+        weights, sim, 10, True, np.float32,
+    ) == 0.0
+    # eligible shape -> a positive seed on this corpus
+    assert auto_seed_theta(
+        built_index, plan_q, weights, sim, 10, True, np.float32,
+    ) > 0.0
+
+
+def test_auto_seed_disabled_with_deletes(spark, tmp_path):
+    """df counts tombstoned docs, so a live delete set disables the stats
+    seed — and results stay correct either way."""
+    import numpy as np
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import (
+        Index, auto_seed_theta, search_topk, _topk_plan,
+    )
+    from lucene_spark.search.plan import normalize
+
+    rows = [(i, f"alpha beta word{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=2)
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "delseed"), cfg))
+    q = normalize(should=["alpha", "beta"], pre_analyzed=True)
+    weights, _, _, sim = _topk_plan(idx, q, 1.0, np.float32)
+    assert auto_seed_theta(idx, q, weights, sim, 10, True, np.float32) > 0.0
+    idx.delete_docs([5])
+    assert auto_seed_theta(idx, q, weights, sim, 10, True, np.float32) == 0.0
+    got = {r["docid"] for r in search_topk(idx, q, k=10).collect()}
+    assert 5 not in got and len(got) == 10

@@ -452,3 +452,30 @@ def test_feature_functions_shapes(spark, built_index):
     assert [r["docid"] for r in got] == [r["docid"] for r in base]
     for a, b in zip(got, base):
         assert a["score"] == _pt.approx(b["score"], rel=1e-12)  # w=0 no-op
+
+
+def test_feature_null_contributes_zero(spark, tmp_path):
+    """A matching doc whose feature column is NULL keeps its query score
+    (FeatureField-as-SHOULD contributes 0 for absent features,
+    FeatureField.java:106; ADVICE r4 — a NULL must not null the sum)."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, feature_topk, search_exhaustive
+    from lucene_spark.search.plan import normalize
+
+    rows = [
+        (0, "stream processing engine", 4.0),
+        (1, "stream of records", None),
+        (2, "batch only words", 9.0),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string, pagerank double")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1)
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "feat"), cfg))
+
+    q = normalize(should=["stream"], pre_analyzed=True)
+    got = {r["docid"]: r["score"]
+           for r in feature_topk(idx, q, "pagerank", function="saturation",
+                                 weight=2.0, pivot=1.0, k=10).collect()}
+    base = {r["docid"]: r["score"] for r in search_exhaustive(idx, q, k=None).collect()}
+    assert set(got) == {0, 1}  # the NULL-feature doc still matches
+    assert got[1] == pytest.approx(base[1], rel=1e-12)  # feature adds 0
+    assert got[0] == pytest.approx(base[0] + 2.0 * (1 - 1.0 / (4.0 + 1.0)), rel=1e-12)

@@ -122,3 +122,37 @@ def test_append_refuses_analysis_chain_mismatch(spark, tmp_path):
     bad = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1)
     with _pt.raises(ValueError, match="analysis chain mismatch"):
         append_to_index(spark, more, d, bad)
+
+
+def test_multiphrase_synonym_stacked_dedup(spark, tmp_path):
+    """Synonym stacking puts two alternatives of one slot at the SAME
+    position; the exact multiphrase matcher must dedup slot keys before the
+    assume_unique intersection (ADVICE r4) — phrase freq counts distinct
+    positions (UnionPostingsEnum dedup, MultiPhraseQuery.java:475), not
+    stacked tokens."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, search_multi_phrase
+    from lucene_spark.search.scorer import idf, score_arrays
+
+    rows = [
+        (0, "quick brown fox"),
+        (1, "brown quick"),
+        (2, "lazy dog sleeps"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",), num_segments=1,
+                      index_positions=True, synonyms=(("quick", "fast"),))
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "mpsyn"), cfg))
+
+    got = search_multi_phrase(
+        idx, [(0, ["quick", "fast"]), (1, ["brown"])], slop=0, k=10
+    ).collect()
+    assert [r["docid"] for r in got] == [0]
+    # freq MUST be 1 (one distinct phrase start), not 2 (stacked dup)
+    n = idx.field_stats.doc_count
+    stats = idx.term_stats_for(["quick", "fast", "brown"])
+    w = float(np.float32(sum(float(idf(stats[t][0], n)) for t in ("quick", "fast", "brown"))))
+    want = float(
+        score_arrays(np.array([1]), np.array([3]), w, idx.field_stats.avgdl())[0]
+    )
+    assert got[0]["score"] == pytest.approx(want, rel=1e-6)
