@@ -48,7 +48,7 @@ from lucene_spark.search.executor import (
 )
 from lucene_spark.search.plan import normalize
 
-INDEX_FORMAT_VERSION = 5  # v5: parquet per-segment tombstones (liveDocs shape)
+INDEX_FORMAT_VERSION = 6  # v6: per-block competitive impact pairs
 _INDEX_CACHE: dict = {}
 
 K1, B = 1.2, 0.75

@@ -88,19 +88,47 @@ def decode_block(data: bytes):
     return docids, tfs, norms
 
 
+def block_impact_pairs(tfs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+    """Competitive (tf, doclen) impact pairs for ONE block, interleaved
+    [tf0, dl0, tf1, dl1, ...] with tf strictly ascending.
+
+    The reference keeps the full set of competitive freq/norm pairs per
+    block instead of the loose (max_tf, min_doclen) corner
+    (codecs/CompetitiveImpactAccumulator.java:26,64): the block score
+    upper bound becomes max over pairs of score(tf_i, dl_i), which is
+    tight for UNBOUNDED tf shapes (Classic's sqrt(tf)) where the corner
+    massively over-estimates. Construction: one pair per distinct tf,
+    dl = min doclen among that tf's postings — every actual posting
+    (tf_p, dl_p) is dominated by its own tf's pair (equal tf, dl <= dl_p),
+    so the max-over-pairs bound is sound for every monotone similarity.
+    Deterministic and identical between the per-term and whole-segment
+    encoders (no dominance pruning, so both paths emit the same pairs)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    order = np.lexsort((norms, tfs))
+    t_s, d_s = tfs[order], norms[order]
+    first = np.concatenate(([True], t_s[1:] != t_s[:-1]))
+    out = np.empty(2 * int(first.sum()), dtype=np.int32)
+    out[0::2] = t_s[first]
+    out[1::2] = d_s[first]
+    return out
+
+
 def encode_postings(docids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
     """Cut a sorted posting list into BLOCK_SIZE blocks with skip metadata.
 
     Returns parallel lists: (block_bytes, first_docid, last_docid, max_tf,
-    min_norm). min_norm is the minimum norm *byte* in the block; because
-    byte4 codes are order-preserving, min byte == min doclen, which gives a
-    sound per-block score upper bound score(max_tf, min_norm) for block-max
-    pruning (score is monotone up in tf, down in doclen).
+    min_norm, impact_pairs). min_norm is the minimum norm *byte* in the
+    block; because byte4 codes are order-preserving, min byte == min
+    doclen, which gives a sound per-block score upper bound
+    score(max_tf, min_norm) for block-max pruning (score is monotone up in
+    tf, down in doclen). impact_pairs is the per-block competitive
+    (tf, doclen) frontier (block_impact_pairs) — the tighter bound.
     """
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.int64)
-    blocks, firsts, lasts, maxtfs, minnorms = [], [], [], [], []
+    blocks, firsts, lasts, maxtfs, minnorms, impacts = [], [], [], [], [], []
     for s in range(0, len(docids), BLOCK_SIZE):
         e = min(s + BLOCK_SIZE, len(docids))
         blocks.append(encode_block(docids[s:e], tfs[s:e], norms[s:e]))
@@ -108,7 +136,8 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
         lasts.append(int(docids[e - 1]))
         maxtfs.append(int(tfs[s:e].max()))
         minnorms.append(int(norms[s:e].min()))
-    return blocks, firsts, lasts, maxtfs, minnorms
+        impacts.append(block_impact_pairs(tfs[s:e], norms[s:e]))
+    return blocks, firsts, lasts, maxtfs, minnorms, impacts
 
 
 def encode_segment_postings(
@@ -135,7 +164,8 @@ def encode_segment_postings(
     n_terms = len(term_starts)
     if N == 0 or n_terms == 0:
         z = np.empty(0, np.int64)
-        return z, z, z, z, z, np.zeros(1, np.int64), np.empty(0, np.uint8)
+        return (z, z, z, z, z, np.zeros(1, np.int64), np.empty(0, np.uint8),
+                np.empty(0, np.int32), z)
     ids = np.asarray(ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.int64)
@@ -214,7 +244,23 @@ def encode_segment_postings(
     block_last = ids[be - 1]
     block_maxtf = np.maximum.reduceat(tfs, bs)
     block_minnorm = np.minimum.reduceat(norms, bs)
-    return nb_per_term, first, block_last, block_maxtf, block_minnorm, boff, out
+
+    # competitive impact pairs per block, vectorized over ALL blocks: one
+    # (tf, min doclen) pair per distinct tf within each block, tf ascending
+    # (block_impact_pairs semantics; CompetitiveImpactAccumulator.java:26).
+    # One lexsort of the whole posting array + groupby-first — no per-block
+    # Python. Pairs are interleaved [tf, dl, tf, dl, ...] block-major.
+    iorder = np.lexsort((norms, tfs, bop))
+    kb, kt, kd = bop[iorder], tfs[iorder], norms[iorder]
+    newg = np.concatenate(([True], (kb[1:] != kb[:-1]) | (kt[1:] != kt[:-1])))
+    pair_block = kb[newg]
+    imp_flat = np.empty(2 * len(pair_block), dtype=np.int32)
+    imp_flat[0::2] = kt[newg]
+    imp_flat[1::2] = kd[newg]
+    imp_counts = np.bincount(pair_block, minlength=nb).astype(np.int64)
+
+    return (nb_per_term, first, block_last, block_maxtf, block_minnorm, boff,
+            out, imp_flat, imp_counts)
 
 
 # --- Positions stream (IndexOptions DOCS_AND_FREQS_AND_POSITIONS,

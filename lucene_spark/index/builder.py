@@ -57,9 +57,11 @@ from contextlib import contextmanager
 # validated at Index.open (SegmentInfos version-check analog,
 # lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:305 —
 # Lucene refuses to open indexes written by a newer/incompatible codec).
-# v5: parquet per-segment tombstones; v4 and earlier used numbered
-# tombstones/delete-*.json files, migrated at open.
-INDEX_FORMAT_VERSION = 5
+# v6: per-block competitive impact pairs (block_imp column; readers of v5
+# indexes fall back to the corner bound). v5: parquet per-segment
+# tombstones; v4 and earlier used numbered tombstones/delete-*.json files,
+# migrated at open.
+INDEX_FORMAT_VERSION = 6
 
 
 @contextmanager
@@ -103,6 +105,12 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
         ("block_last", pa.list_(pa.int64())),
         ("block_maxtf", pa.list_(pa.int32())),
         ("block_mindl", pa.list_(pa.int32())),
+        # per-block competitive (tf, doclen) impact pairs, interleaved
+        # [tf0, dl0, tf1, dl1, ...] tf-ascending — the tight block upper
+        # bound for EVERY similarity (CompetitiveImpactAccumulator.java:26);
+        # readers fall back to the (max_tf, min_doclen) corner when absent
+        # (pre-v6 indexes)
+        ("block_imp", pa.list_(pa.list_(pa.int32()))),
         ("block_data", pa.list_(pa.binary())),
         # per-block positions stream (null when index_positions is off);
         # DOCS_AND_FREQS_AND_POSITIONS analog [index/IndexOptions.java:30-56]
@@ -263,8 +271,8 @@ def _encode_terms_table(
         return pa.Table.from_pylist([], schema=POSTINGS_ARROW_SCHEMA)
 
     if pos_sorted is None:
-        nbt, bf, bl, mtf, mnn, boff, buf = encode_segment_postings(
-            p_ids, p_tfs, p_dls, term_starts, term_ends
+        nbt, bf, bl, mtf, mnn, boff, buf, imp_flat, imp_counts = (
+            encode_segment_postings(p_ids, p_tfs, p_dls, term_starts, term_ends)
         )
         nb = len(bf)
         list_off = pa.array(
@@ -278,6 +286,13 @@ def _encode_terms_table(
             pa.binary(), nb,
             [None, pa.py_buffer(boff.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
         )
+        # nested impact lists straight from offsets: inner = per-block
+        # interleaved pairs, outer = per-term block list (no Python objects)
+        imp_inner_off = pa.array(
+            np.concatenate(([0], np.cumsum(2 * imp_counts))).astype(np.int32)
+        )
+        imp_inner = pa.ListArray.from_arrays(imp_inner_off, pa.array(imp_flat, type=pa.int32()))
+        imp_outer = pa.ListArray.from_arrays(list_off, imp_inner)
         term_lens = (term_ends - term_starts).astype(np.int64)
         cols = [
             pa.array(uniq_terms[p_codes[term_starts]], type=pa.string()),
@@ -292,6 +307,7 @@ def _encode_terms_table(
             larr(bl, pa.int64()),
             larr(mtf.astype(np.int32), pa.int32()),
             larr(mnn.astype(np.int32), pa.int32()),
+            imp_outer,
             pa.ListArray.from_arrays(list_off, flat_bin),
             pa.nulls(n_terms, type=pa.list_(pa.binary())),
         ]
@@ -300,7 +316,7 @@ def _encode_terms_table(
     terms_out: List[dict] = []
     for s, e in zip(term_starts, term_ends):
         ids, tfs, dls = p_ids[s:e], p_tfs[s:e], p_dls[s:e]
-        blocks, firsts, lasts, maxtfs, mindls = encode_postings(ids, tfs, dls)
+        blocks, firsts, lasts, maxtfs, mindls, impacts = encode_postings(ids, tfs, dls)
         # the term's tokens are contiguous in the sorted token array
         pos_blocks = cut_position_blocks(
             pos_sorted[run_starts[s] : run_ends[e - 1]], tfs
@@ -319,6 +335,7 @@ def _encode_terms_table(
                 "block_last": lasts,
                 "block_maxtf": maxtfs,
                 "block_mindl": mindls,
+                "block_imp": [imp.tolist() for imp in impacts],
                 "block_data": blocks,
                 "block_pos": pos_blocks,
             }
@@ -692,8 +709,13 @@ def finalize_index(
         # scale with millions of terms).
         blk_cols = [
             "block_first", "block_last", "block_maxtf", "block_mindl",
-            "block_data", "block_pos",
+            "block_imp", "block_data", "block_pos",
         ]
+        if "block_imp" not in seg_postings.columns:
+            # appending to a pre-v6 index: its segment files have no impact
+            # pairs, so the merged snapshot stays corner-bound throughout
+            # (readers fall back per-term; mixing would need mergeSchema)
+            blk_cols.remove("block_imp")
         ordered = F.array_sort(
             F.collect_list(F.struct("segment_id", *blk_cols))
         )
@@ -858,13 +880,14 @@ def purge_deletes(
                 ]
                 positions = np.concatenate(pos_parts)[np.repeat(keep, tfs)]
             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-            blocks, firsts, lasts, maxtfs, mindls = encode_postings(ids, tfs, dls)
+            blocks, firsts, lasts, maxtfs, mindls, impacts = encode_postings(ids, tfs, dls)
             r.update(
                 df=int(len(ids)), ttf=int(tfs.sum()),
                 first_docid=int(ids[0]), last_docid=int(ids[-1]),
                 max_tf=int(tfs.max()), min_doclen=int(dls.min()),
                 block_first=firsts, block_last=lasts, block_maxtf=maxtfs,
-                block_mindl=mindls, block_data=blocks,
+                block_mindl=mindls, block_imp=[imp.tolist() for imp in impacts],
+                block_data=blocks,
                 block_pos=cut_position_blocks(positions, tfs) if positions is not None else None,
             )
             rows_out.append(r)

@@ -36,7 +36,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from ..functions.codec import decode_block, decode_block_positions
+from ..functions.codec import block_impact_pairs, decode_block, decode_block_positions
 from ..functions.smallfloat import int_to_byte4
 
 _POSTINGS_REPORT_SCHEMA = (
@@ -55,6 +55,9 @@ def _check_postings_map(check_positions: bool):
                 bl = list(r["block_last"])
                 bmt = list(r["block_maxtf"])
                 bmd = list(r["block_mindl"])
+                bimp = r["block_imp"] if "block_imp" in r.index else None
+                if isinstance(bimp, float):  # null row (pre-v6 segment)
+                    bimp = None
                 data = list(r["block_data"])
                 pos_blocks = list(r["block_pos"]) if r["block_pos"] is not None else None
                 if not (len(bf) == len(bl) == len(bmt) == len(bmd) == len(data)):
@@ -78,6 +81,14 @@ def _check_postings_map(check_positions: bool):
                         viol.append(f"block-{i}-maxtf-mismatch")
                     if i < len(bmd) and int(dls.min()) != int(bmd[i]):
                         viol.append(f"block-{i}-mindl-mismatch")
+                    if bimp is not None and i < len(bimp):
+                        # competitive impact pairs must EXACTLY match the
+                        # recompute from decoded content — block-max bounds
+                        # built from them would otherwise be unsound
+                        want = block_impact_pairs(tfs, dls)
+                        got = np.asarray(bimp[i], dtype=np.int32)
+                        if len(got) != len(want) or np.any(got != want):
+                            viol.append(f"block-{i}-impacts-mismatch")
                     if check_positions and pos_blocks is not None and i < len(pos_blocks):
                         try:
                             pos = decode_block_positions(bytes(pos_blocks[i]), tfs)

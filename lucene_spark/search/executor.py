@@ -721,10 +721,46 @@ def make_topk_fn(
 
         contrib = {t: np.zeros(n, dtype=dtype) for t in scoring}
 
+        def block_ubs(t, r):
+            """Per-block score upper bounds for one (term, salt) row: max
+            over the block's competitive (tf, doclen) impact pairs
+            (CompetitiveImpactAccumulator.java:26 — tight even for
+            unbounded-tf shapes like Classic's sqrt(tf)); corner
+            (block_maxtf, block_mindl) fallback for pre-v6 indexes."""
+            imp = r["block_imp"] if "block_imp" in r.index else None
+            if imp is None or isinstance(imp, float):  # absent column / null row
+                return sim.score(
+                    t,
+                    np.asarray(r["block_maxtf"], dtype=np.int64),
+                    np.asarray(r["block_mindl"], dtype=np.int64),
+                ).astype(np.float64)
+            lens = np.fromiter((len(x) for x in imp), np.int64, len(imp))
+            flat = (
+                np.concatenate([np.asarray(x, np.int64) for x in imp])
+                if len(imp) else np.empty(0, np.int64)
+            )
+            s = sim.score(t, flat[0::2], flat[1::2]).astype(np.float64)
+            starts = np.concatenate(([0], np.cumsum(lens // 2)[:-1]))
+            return np.maximum.reduceat(s, starts) if len(s) else s
+
+        _ub_cache: Dict[str, list] = {}
+
+        def term_ubs(t):
+            if t not in _ub_cache:
+                _ub_cache[t] = [block_ubs(t, r) for r in rows[t]]
+            return _ub_cache[t]
+
         def umax(t):
-            mt = max(int(r["max_tf"]) for r in rows[t])
-            md = min(int(r["min_doclen"]) for r in rows[t])
-            return sim.bound(t, mt, md)
+            # max over per-block bounds == the term's tightest whole-list
+            # bound (MaxScoreCache.java:74 computes the same from impacts)
+            return max(
+                (float(u.max()) for u in term_ubs(t) if len(u)),
+                default=sim.bound(
+                    t,
+                    max(int(r["max_tf"]) for r in rows[t]),
+                    min(int(r["min_doclen"]) for r in rows[t]),
+                ),
+            )
 
         if req:
             # --- conjunction: lead with rarest required term
@@ -828,19 +864,15 @@ def make_topk_fn(
                     sel_theta = theta
 
                 refresh_sel()
-                for r in rows[t]:
+                for r, ub in zip(rows[t], term_ubs(t)):
                     bf = np.asarray(r["block_first"], dtype=np.int64)
                     bl = np.asarray(r["block_last"], dtype=np.int64)
                     data = r["block_data"]
                     nb = len(bf)
                     counters[0] += nb
-                    # per-block upper bounds from the impact metadata —
-                    # sound for every registered similarity (monotone)
-                    ub = sim.score(
-                        t,
-                        np.asarray(r["block_maxtf"], dtype=np.int64),
-                        np.asarray(r["block_mindl"], dtype=np.int64),
-                    ).astype(np.float64)
+                    # per-block upper bounds from the competitive impact
+                    # pairs (block_ubs) — sound for every registered
+                    # similarity (monotone)
                     border = np.argsort(-ub, kind="stable")
                     # once the remaining clause credit (this term included)
                     # cannot reach msm, blocks only matter for docs already
@@ -859,7 +891,30 @@ def make_topk_fn(
                             if sel is not None and len(sel):
                                 lo = np.searchsorted(sel, bf[cidx], "left")
                                 hi = np.searchsorted(sel, bl[cidx], "right")
-                                keep |= hi > lo
+                                has = hi > lo
+                                if (
+                                    theta > 0 and nmatch is None
+                                    and after_bound is None
+                                ):
+                                    # per-block candidate potential
+                                    # (BlockMaxMaxscore refinement,
+                                    # MaxScoreBulkScorer.java:26): replace
+                                    # the term's GLOBAL max with this
+                                    # block's own ub — a candidate inside
+                                    # whose acc + block ub + remaining max
+                                    # still misses theta proves its final
+                                    # total < theta, so the block can skip
+                                    # even though it holds candidates.
+                                    # (msm/cursor modes keep the coarse
+                                    # test: counts/guarantees need the
+                                    # candidate decode to stay complete.)
+                                    for z in np.flatnonzero(has):
+                                        cmax = float(
+                                            acc[sel[lo[z]:hi[z]] - base].max()
+                                        )
+                                        if cmax + ub[cidx[z]] + rest < theta * scale:
+                                            has[z] = False
+                                keep |= has
                             elif sel is None and not new_docs_ok:
                                 # theta not live yet: every seen doc is
                                 # still a candidate
@@ -1027,6 +1082,42 @@ def _topk_plan(index: Index, q: NormalizedQuery, boost: float, dtype,
     return weights, req, rows, sim
 
 
+# largest posting list the auto seed will decode on the driver: bounded
+# work (<= a few hundred 256-entry blocks through the parquet row-group
+# seek) regardless of corpus size — the same term-dictionary-seek shape as
+# term_stats_for, never data-sized
+AUTO_SEED_DECODE_CAP = 100_000
+
+
+def _driver_term_postings(index: Index, term: str):
+    """(tfs, doclens) of one term's postings, read driver-side through the
+    pyarrow row-group seek on the term-sorted segment postings files (the
+    FST term-dictionary *seek* shape, not a scan; no Spark job). Returns
+    (None, None) on any failure — callers fall back to stats bounds."""
+    try:
+        import pyarrow.parquet as pq
+
+        from ..index import fsio
+
+        files = fsio.list_files(
+            index.paths.fs, index.paths.fs_path(index.paths.postings), suffix=".parquet"
+        )
+        tbl = pq.ParquetDataset(
+            files, filesystem=index.paths.fs, filters=[("term", "==", term)]
+        ).read(columns=["block_data"])
+    except Exception:
+        return None, None
+    tfs, dls = [], []
+    for blocks in tbl["block_data"].to_pylist():
+        for b in blocks or ():
+            _, tf, dl = decode_block(bytes(b))
+            tfs.append(tf)
+            dls.append(dl)
+    if not tfs:
+        return None, None
+    return np.concatenate(tfs), np.concatenate(dls)
+
+
 def auto_seed_theta(
     index: Index,
     q: NormalizedQuery,
@@ -1036,45 +1127,61 @@ def auto_seed_theta(
     quantize: bool,
     dtype,
 ) -> float:
-    """FREE (driver-side arithmetic, no Spark job) global lower bound of the
-    k-th best score — the default-on MaxScoreAccumulator analog
+    """Driver-side (no Spark job) global lower bound of the k-th best
+    score — the default-on MaxScoreAccumulator analog
     (search/MaxScoreAccumulator.java:23; Lucene's concurrent slices share a
-    threshold for free, a batch engine derives one from global stats).
+    threshold for free, a batch engine derives one on the driver).
 
-    For any SHOULD term t with df(t) >= k, every one of its >= k matching
-    docs scores at least W_t * shape(tf=1, dl=max_dl) on t alone (every
-    registered similarity is monotone up in tf, down in doclen), and in a
-    pure disjunction each of those docs' FULL score only grows — so the
-    max of that value over eligible terms lower-bounds the global k-th
-    best score. On ultrarare|hot shapes the rare term's huge idf puts this
-    seed above every hot-only block bound, so the hot list's blocks skip
-    from the first chunk (decode ratio 0.98 -> <0.1 at 1M docs) without
-    the extra scheduling round trip the explicit ``seed_theta`` pass pays.
+    Two tiers, both sound for a pure disjunction (a doc's full score only
+    grows beyond any single term's partial):
+
+    1. EXACT partials of the rarest term (df >= k, df <= decode cap): its
+       postings are decoded through the parquet row-group seek and the
+       k-th best actual score(tf, dl) is a lower bound of the global k-th
+       best full score — the same bound the explicit ``seed_theta`` Spark
+       pass computes, at term-dictionary-seek cost.
+    2. Stats-only fallback: for any SHOULD term t with df(t) >= k, every
+       one of its >= k matching docs scores at least W_t * shape(tf=1,
+       dl=max_dl) on t alone (every registered similarity is monotone up
+       in tf, down in doclen).
 
     Sound only when: pure disjunction (MUST/minShouldMatch restrict the
     qualifying set below df; MUST_NOT can exclude the term's docs) and no
-    live tombstones (df counts deleted docs). Returns 0.0 (no seed)
-    otherwise, or when the index predates the max_dl stat."""
+    live tombstones (df counts deleted docs — a tombstoned doc among the
+    top k would fake the bound). Returns 0.0 (no seed) otherwise."""
     if q.required or q.min_should_match > 0 or q.excluded or len(q.optional) < 2:
         return 0.0
     if index.has_deletes:
         return 0.0
-    max_dl = int(getattr(index.field_stats, "max_dl", 0) or 0)
-    if max_dl <= 0:
-        return 0.0
     stats = index.term_stats_for([t for t, _ in q.optional])
     avgdl = float(index.field_stats.avgdl())
-    one = np.array([1], np.int64)
-    dl = np.array([max_dl], np.int64)
-    best = 0.0
-    for t, _c in q.optional:
-        if t not in weights or t not in stats or stats[t][0] < k:
-            continue
+
+    def partial(t, tfs, dls):
         if sim is not None:
-            s = float(sim.score(t, one, dl)[0])
-        else:
-            s = float(score_arrays(one, dl, weights[t], avgdl, quantize, dtype)[0])
-        best = max(best, s)
+            return np.asarray(sim.score(t, tfs, dls), np.float64)
+        return np.asarray(
+            score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype), np.float64
+        )
+
+    best = 0.0
+    # tier 1: exact k-th partial of the rarest decodable term
+    elig = sorted(
+        (stats[t][0], t)
+        for t, _c in q.optional
+        if t in weights and t in stats and stats[t][0] >= k
+    )
+    if elig and elig[0][0] <= AUTO_SEED_DECODE_CAP:
+        tfs, dls = _driver_term_postings(index, elig[0][1])
+        if tfs is not None and len(tfs) >= k:
+            s = partial(elig[0][1], tfs, dls)
+            best = float(np.partition(s, len(s) - k)[len(s) - k])
+    # tier 2: stats bound over every eligible term (tf=1 at the longest doc)
+    max_dl = int(getattr(index.field_stats, "max_dl", 0) or 0)
+    if max_dl > 0:
+        one = np.array([1], np.int64)
+        dl = np.array([max_dl], np.int64)
+        for _df, t in elig:
+            best = max(best, float(partial(t, one, dl)[0]))
     # same downward slack as the explicit seed (float re-association)
     return best * PRUNE_SCALE[dtype] if best > 0.0 else 0.0
 

@@ -57,7 +57,7 @@ def test_encode_postings_blocks_and_metadata():
     ids = np.cumsum(np.arange(1, n + 1))
     tfs = (ids % 9) + 1
     norms = (ids % 200) + 1
-    blocks, firsts, lasts, maxtfs, minnorms = encode_postings(ids, tfs, norms)
+    blocks, firsts, lasts, maxtfs, minnorms, impacts = encode_postings(ids, tfs, norms)
     assert len(blocks) == 3
     assert firsts == [int(ids[0]), int(ids[256]), int(ids[512])]
     assert lasts == [int(ids[255]), int(ids[511]), int(ids[599])]
@@ -126,7 +126,7 @@ def test_block_roundtrip_property(rows):
     n = len(ids)
     tfs = np.array([rows[i % len(rows)][1] for i in range(n)], dtype=np.int64)
     norms = np.array([rows[i % len(rows)][2] for i in range(n)], dtype=np.int64)
-    blocks, firsts, lasts, _, _ = encode_postings(ids, tfs, norms)
+    blocks, firsts, lasts, _, _, _ = encode_postings(ids, tfs, norms)
     dec_ids = np.concatenate([decode_block(b)[0] for b in blocks])
     dec_tfs = np.concatenate([decode_block(b)[1] for b in blocks])
     dec_norms = np.concatenate([decode_block(b)[2] for b in blocks])
@@ -160,10 +160,12 @@ def test_segment_encoder_byte_identical_to_per_term():
         ).astype(np.int64)
         tfs = rng.integers(1, 30, size=N).astype(np.int64)
         norms = rng.integers(0, 256, size=N).astype(np.int64)
-        nbt, bf, bl, mtf, mnn, boff, buf = encode_segment_postings(ids, tfs, norms, ts, te)
+        nbt, bf, bl, mtf, mnn, boff, buf, imp_flat, imp_counts = encode_segment_postings(
+            ids, tfs, norms, ts, te)
+        imp_off = np.concatenate(([0], np.cumsum(2 * imp_counts)))
         bi = 0
         for t in range(n_terms):
-            blocks, firsts, lasts, maxtfs, minnorms = encode_postings(
+            blocks, firsts, lasts, maxtfs, minnorms, impacts = encode_postings(
                 ids[ts[t]:te[t]], tfs[ts[t]:te[t]], norms[ts[t]:te[t]]
             )
             assert nbt[t] == len(blocks)
@@ -172,6 +174,8 @@ def test_segment_encoder_byte_identical_to_per_term():
                 assert (bf[bi], bl[bi], mtf[bi], mnn[bi]) == (
                     firsts[j], lasts[j], maxtfs[j], minnorms[j],
                 )
+                # competitive impact pairs identical between the two paths
+                assert imp_flat[imp_off[bi]:imp_off[bi + 1]].tolist() == impacts[j].tolist()
                 bi += 1
         assert bi == len(bf)
 
@@ -182,5 +186,5 @@ def test_segment_encoder_empty():
     from lucene_spark.functions.codec import encode_segment_postings
 
     z = np.empty(0, np.int64)
-    nbt, bf, bl, mtf, mnn, boff, buf = encode_segment_postings(z, z, z, z, z)
+    nbt, bf, bl, mtf, mnn, boff, buf, imp_flat, imp_counts = encode_segment_postings(z, z, z, z, z)
     assert len(nbt) == 0 and len(buf) == 0
