@@ -37,6 +37,7 @@ from lucene_spark.oracle import (
     dismax_sql,
     similarity_topk_sql,
     synonym_index_bm25_sql,
+    synonym_multiword_bm25_sql,
 )
 from lucene_spark.search.executor import (
     Index,
@@ -653,6 +654,42 @@ def q_synonym_index_topk(spark, sf):
     return _topk(_syn_index(spark, sf), should=["join"])
 
 
+# one-way multi-word rules: n->1 ("hash join" collapses to an alias term)
+# and 1->n ("spark" emits a two-token sequence at consecutive positions)
+MW_SYN_RULES = {"hash join": ["hashjoin"], "spark": ["big data"]}
+
+
+def _mw_syn_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Index with MULTI-WORD index-time synonym rules (SynonymGraphFilter +
+    FlattenGraphFilter analog, functions/synonyms.py multiword_expansion)."""
+    key = ("mwsyn", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_mwsyn"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("text", "content")
+    )
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+        index_positions=True, synonyms=MW_SYN_RULES,
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_synonym_multiword_topk(spark, sf):
+    """BM25 top-k against the multi-word-synonym index: 'hashjoin' scores
+    docs where 'hash join' occurred adjacently (n->1 rule), 'data' scores
+    gain the 1->n emissions from every 'spark' occurrence; norms stay on
+    the original stream."""
+    return _topk(_mw_syn_index(spark, sf), should=["hashjoin", "data"])
+
+
 SIM_TERMS = {"spark": 1, "join": 1, "window": 1}
 
 
@@ -1199,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_complete": q_suggest_complete,
         "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
+        "synonym_multiword_topk": q_synonym_multiword_topk,
         "classic_topk": q_classic_topk,
         "boolean_sim_topk": q_boolean_sim_topk,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
@@ -1741,6 +1779,9 @@ WHERE term LIKE '{SUGGEST_PREFIX}%'
 GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
         "dismax_topk": dismax_sql(DISMAX_CLAUSES, tie=DISMAX_TIE),
         "synonym_index_topk": synonym_index_bm25_sql(SYN_GROUPS, {"join": 1}),
+        "synonym_multiword_topk": synonym_multiword_bm25_sql(
+            MW_SYN_RULES, {"hashjoin": 1, "data": 1}
+        ),
         "classic_topk": similarity_topk_sql("classic", SIM_TERMS),
         "boolean_sim_topk": similarity_topk_sql("boolean", SIM_TERMS),
         "lm_dirichlet_topk": similarity_topk_sql("lm_dirichlet", SIM_TERMS),

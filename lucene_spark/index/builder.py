@@ -424,12 +424,42 @@ def _invert_group(
     # discounted from norms (discountOverlaps, BM25Similarity.java:72)
     doclens = np.bincount(flat_docix, minlength=n_rows).astype(np.int64)
     if cfg.synonyms:
-        from ..functions.synonyms import expand_tokens, synonym_expansion
-
-        counts, offsets, flat_map, vocab = synonym_expansion(vocab, cfg.synonyms)
-        codes, flat_docix, flat_pos = expand_tokens(
-            codes, flat_docix, flat_pos, counts, offsets, flat_map
+        from ..functions.synonyms import (
+            expand_tokens,
+            multiword_expansion,
+            split_rules,
+            synonym_expansion,
         )
+
+        singles, multi = split_rules(cfg.synonyms)
+        n_orig = len(codes)
+        emission_mask = None
+        if multi:
+            # stream-level graph pass FIRST, on the pristine analyzed
+            # stream (position-adjacency matching); emissions are excluded
+            # from the singles pass below — the reference's single-pass
+            # no-reprocessing (SynonymGraphFilter.java:78)
+            codes, flat_docix, flat_pos, vocab = multiword_expansion(
+                codes, flat_docix, flat_pos, vocab, multi
+            )
+            if len(codes) > n_orig:
+                # emissions were appended after the stream; restore (doc,
+                # pos) stream order so the stable (code, doc) sort below
+                # keeps per-(term, doc) position lists ascending (the
+                # positions delta codec requires it)
+                emission_mask = np.zeros(len(codes), dtype=bool)
+                emission_mask[n_orig:] = True
+                order = np.lexsort((flat_pos, flat_docix))
+                codes = codes[order]
+                flat_docix = flat_docix[order]
+                flat_pos = flat_pos[order]
+                emission_mask = emission_mask[order]
+        if singles:
+            counts, offsets, flat_map, vocab = synonym_expansion(vocab, singles)
+            codes, flat_docix, flat_pos = expand_tokens(
+                codes, flat_docix, flat_pos, counts, offsets, flat_map,
+                skip_mask=emission_mask,
+            )
     # remap codes so code order == sorted term order (term-sorted output
     # rows -> parquet min/max row-group pruning on term)
     if len(vocab):

@@ -97,7 +97,11 @@ def _check_postings_map(check_positions: bool):
                             bounds = np.concatenate(([0], np.cumsum(tfs)))
                             for j in range(len(tfs)):
                                 pp = pos[bounds[j] : bounds[j + 1]]
-                                if len(pp) > 1 and np.any(np.diff(pp) <= 0):
+                                # equal positions are LEGAL (stacked synonym tokens of the
+                                # same term, e.g. a 1->n multiword emission colliding
+                                # with a natural occurrence) — Lucene's CheckIndex only
+                                # rejects pos < lastPos (CheckIndex.java checkPostings)
+                                if len(pp) > 1 and np.any(np.diff(pp) < 0):
                                     viol.append(f"block-{i}-positions-not-ascending")
                                     break
                         except Exception:

@@ -428,6 +428,64 @@ ORDER BY sum(s) DESC, docid ASC LIMIT {k}"""
     )
 
 
+def synonym_multiword_bm25_sql(
+    rules: Dict[str, Sequence[str]], qtf: Dict[str, int], k: int = 10
+) -> str:
+    """BM25 top-k over an index built with MULTI-WORD index-time synonym
+    rules (functions/synonyms.py multiword_expansion): an n-token source is
+    matched on position adjacency in the analyzed stream (tpos self-joins
+    on pos+j), each matched anchor emits every token of every output
+    sequence once; tf counts originals + emissions, doc length stays on
+    the ORIGINAL token stream (discountOverlaps). ``rules`` is the one-way
+    dict spec ({'hash join': ['hashjoin'], 'spark': ['big data']});
+    source tokens must be non-stop analyzed terms."""
+    em_sqls = []
+    for ri, (src, outs) in enumerate(sorted(rules.items())):
+        src_toks = src.split()
+        joins = "".join(
+            f"\n      JOIN tpos s{ri}_{j} ON s{ri}_{j}.doc_id = s{ri}_0.doc_id"
+            f" AND s{ri}_{j}.pos = s{ri}_0.pos + {j} AND s{ri}_{j}.term = '{t}'"
+            for j, t in enumerate(src_toks[1:], start=1)
+        )
+        for out in outs:
+            for t in out.split():
+                em_sqls.append(
+                    f"SELECT s{ri}_0.doc_id, '{t}' AS term FROM tpos s{ri}_0"
+                    f"{joins}\n      WHERE s{ri}_0.term = '{src_toks[0]}'"
+                )
+    emissions = "\nUNION ALL\n".join(em_sqls)
+    qt_vals = ", ".join(f"('{t}', {int(w)})" for t, w in sorted(qtf.items()))
+    return (
+        "WITH "
+        + TOKS_CTE
+        + ","
+        + TPOS_CTE.lstrip()
+        + f""",
+etoks AS (SELECT doc_id, term FROM toks
+          UNION ALL
+          {emissions}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM etoks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+fs AS (SELECT count(*) AS doc_cnt,
+              sum(doclen) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+qt(term, qtf) AS (VALUES {qt_vals}),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+w AS (SELECT q.term,
+             q.qtf * ln(1 + (fs.doc_cnt - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
+      FROM qt q JOIN dfreq ON q.term = dfreq.term CROSS JOIN fs),
+scored AS (
+  SELECT tf.doc_id,
+         w.w - w.w / (1 + CAST(tf.tf AS DOUBLE)
+                          * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))) AS s
+  FROM tf JOIN w ON tf.term = w.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs)
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM scored GROUP BY 1
+ORDER BY sum(s) DESC, docid ASC LIMIT {k}"""
+    )
+
+
 def similarity_topk_sql(kind: str, qtf: Dict[str, int], k: int = 10) -> str:
     """Top-k OR query under an alternative similarity (Similarity seam,
     lucene/core/src/java/org/apache/lucene/search/similarities/): same

@@ -44,6 +44,108 @@ def test_multiword_synonym_rejected():
         synonym_expansion(np.array(["a"], dtype=object), (("new york", "nyc"),))
 
 
+def test_split_rules_partitions():
+    from lucene_spark.functions.synonyms import split_rules
+
+    singles, multi = split_rules(
+        (("new york", "nyc"), ("fast", "quick"))
+    )
+    assert singles == {"fast": ["fast", "quick"], "quick": ["quick", "fast"]}
+    assert (("new", "york"), [("nyc",)]) in multi
+    assert (("nyc",), [("new", "york")]) in multi
+
+
+def test_multiword_expansion_stream():
+    """Bidirectional multi-word group: n-token source emits the output at
+    the match start; 1-token source emits an n-token output at consecutive
+    positions (flatten semantics); reversed word order does not match."""
+    from lucene_spark.functions.synonyms import multiword_expansion, split_rules
+
+    _, multi = split_rules((("new york", "nyc"),))
+    vocab = np.array(["city", "love", "new", "nyc", "york"], dtype=object)
+    # doc0 "new york city" / doc1 "love nyc" / doc2 "york new"
+    codes = np.array([2, 4, 0, 1, 3, 4, 2], dtype=np.int64)
+    docix = np.array([0, 0, 0, 1, 1, 2, 2], dtype=np.int64)
+    pos = np.array([0, 1, 2, 0, 1, 0, 1], dtype=np.int64)
+    c2, d2, p2, v2 = multiword_expansion(codes, docix, pos, vocab, multi)
+    emitted = sorted(
+        (v2[c], int(d), int(p))
+        for c, d, p in zip(c2[7:], d2[7:], p2[7:])
+    )
+    assert emitted == [("new", 1, 1), ("nyc", 0, 0), ("york", 1, 2)]
+
+
+def test_multiword_stop_hole_blocks_match():
+    """A stopword between source words consumes a position (StopFilter
+    increments) so the n-gram source does NOT match across the hole."""
+    from lucene_spark.functions.synonyms import multiword_expansion, split_rules
+
+    _, multi = split_rules({"big apple": ["nyc"]})
+    vocab = np.array(["apple", "big"], dtype=object)
+    # "big <stophole> apple": positions 0, 2
+    codes = np.array([1, 0], dtype=np.int64)
+    docix = np.array([0, 0], dtype=np.int64)
+    pos = np.array([0, 2], dtype=np.int64)
+    c2, _, _, _ = multiword_expansion(codes, docix, pos, vocab, multi)
+    assert len(c2) == 2  # no emission
+
+
+def test_multiword_requires_positions():
+    from lucene_spark.functions.synonyms import multiword_expansion, split_rules
+
+    _, multi = split_rules({"big apple": ["nyc"]})
+    with pytest.raises(ValueError, match="positions"):
+        multiword_expansion(
+            np.array([0], dtype=np.int64), np.array([0], dtype=np.int64),
+            None, np.array(["big"], dtype=object), multi,
+        )
+
+
+def test_multiword_synonym_index_end_to_end(spark, tmp_path):
+    """Index-time multi-word rules through the builder: querying the
+    1-token alias matches the 2-token phrase docs and vice versa; the
+    emitted 2-token output answers an exact phrase query; norms stay on
+    the original stream; single-token groups compose in the same spec."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import (
+        Index,
+        count_hits,
+        decoded_postings,
+        search_phrase,
+    )
+    from lucene_spark.search.plan import normalize
+
+    rows = [
+        (0, "new york city traffic"),
+        (1, "love nyc lots"),
+        (2, "york new backwards"),
+        (3, "machine learning rocks"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    cfg = IndexConfig(
+        docid_col="docid", order_cols=("docid",), num_segments=2,
+        hot_df_threshold=100, index_positions=True,
+        synonyms=(("new york", "nyc"), ("machine learning", "ml"),
+                  ("rocks", "rules")),
+    )
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "mw"), cfg))
+
+    assert count_hits(idx, normalize(should=["nyc"], pre_analyzed=True)) == 2
+    assert count_hits(idx, normalize(should=["ml"], pre_analyzed=True)) == 1
+    assert count_hits(idx, normalize(should=["rules"], pre_analyzed=True)) == 1
+    # the emitted graph answers the exact phrase on BOTH directions
+    ph = search_phrase(idx, [("new", 0), ("york", 1)], slop=0, k=5).collect()
+    assert sorted(r["docid"] for r in ph) == [0, 1]
+    dec = {(r["term"], r["docid"]): (r["tf"], r["doclen"])
+           for r in decoded_postings(idx, ["nyc", "new", "york"]).collect()}
+    # norms discount every emission: doclens equal the original stream
+    assert dec[("nyc", 0)] == (1, 4) and dec[("new", 1)][1] == 3
+    # positions stream stays codec-legal (ascending, equal allowed)
+    from lucene_spark.index.check import check_index
+
+    assert check_index(idx)["clean"]
+
+
 def test_synonym_index_end_to_end(spark, tmp_path):
     """Groups (join, merge): querying either term matches docs containing
     the other; tf sums member occurrences; norms discount the stacked
