@@ -38,6 +38,9 @@ from lucene_spark.oracle import (
     similarity_topk_sql,
     synonym_index_bm25_sql,
     synonym_multiword_bm25_sql,
+    CJK_HAN,
+    CJK_LAT,
+    cjk_bigram_bm25_sql,
 )
 from lucene_spark.search.executor import (
     Index,
@@ -682,6 +685,46 @@ def _mw_syn_index(spark: SparkSession, sf_dir: str) -> Index:
     return idx
 
 
+def _cjk_index(spark: SparkSession, sf_dir: str) -> Index:
+    """CJK-bigram index (CJKAnalyzer analog, functions/cjk.py) over the
+    deterministically translated documents corpus (every [a-z0-9_] char ->
+    a distinct Han char; translate is bit-identical across Spark/DuckDB)."""
+    key = ("cjk", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_cjk"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.translate("text", CJK_LAT, CJK_HAN).alias("content"))
+    )
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+        index_positions=True, analyzer="cjk_bigram",
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _cjk_query_terms(word: str):
+    from lucene_spark.functions.cjk import analyze_cjk
+
+    return analyze_cjk(word.translate(str.maketrans(CJK_LAT, CJK_HAN)))
+
+
+def q_cjk_bigram_topk(spark, sf):
+    """BM25 top-k over the CJK-bigram index: the query word goes through
+    the same chain (translate + bigram), producing overlapping Han bigram
+    terms scored as an OR (how CJKAnalyzer queries score in the
+    reference)."""
+    return _topk(
+        _cjk_index(spark, sf), should=_cjk_query_terms("join"), pre_analyzed=True
+    )
+
+
 def q_synonym_multiword_topk(spark, sf):
     """BM25 top-k against the multi-word-synonym index: 'hashjoin' scores
     docs where 'hash join' occurred adjacently (n->1 rule), 'data' scores
@@ -1237,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
         "synonym_multiword_topk": q_synonym_multiword_topk,
+        "cjk_bigram_topk": q_cjk_bigram_topk,
         "classic_topk": q_classic_topk,
         "boolean_sim_topk": q_boolean_sim_topk,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
@@ -1781,6 +1825,9 @@ GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
         "synonym_index_topk": synonym_index_bm25_sql(SYN_GROUPS, {"join": 1}),
         "synonym_multiword_topk": synonym_multiword_bm25_sql(
             MW_SYN_RULES, {"hashjoin": 1, "data": 1}
+        ),
+        "cjk_bigram_topk": cjk_bigram_bm25_sql(
+            {t: 1 for t in _cjk_query_terms("join")}
         ),
         "classic_topk": similarity_topk_sql("classic", SIM_TERMS),
         "boolean_sim_topk": similarity_topk_sql("boolean", SIM_TERMS),

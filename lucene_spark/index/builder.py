@@ -141,6 +141,11 @@ class IndexConfig:
     # original position and are discounted from norms (discountOverlaps).
     # Chain order: tokenize -> lower -> stop -> [stem] -> [synonyms].
     synonyms: Optional[object] = None
+    # "standard" (default) or "cjk_bigram" (CJKAnalyzer analog,
+    # functions/cjk.py): adjacent Han/hiragana single-char tokens fuse
+    # into overlapping bigrams; query text must go through
+    # functions.cjk.analyze_cjk for the same chain.
+    analyzer: str = "standard"
 
     def analysis_fingerprint(self) -> str:
         """Stable digest of everything that changes what TERMS an identical
@@ -157,8 +162,13 @@ class IndexConfig:
             syn = sorted(tuple(sorted(g)) for g in self.synonyms)
         else:
             syn = None
-        key = repr((sorted(self.stop_words), self.stemmer, syn,
-                    bool(self.index_positions)))
+        # analyzer joins the key only when non-default so every fingerprint
+        # stamped by earlier format versions stays valid for append
+        parts = (sorted(self.stop_words), self.stemmer, syn,
+                 bool(self.index_positions))
+        if self.analyzer != "standard":
+            parts = parts + (self.analyzer,)
+        key = repr(parts)
         return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
@@ -397,13 +407,28 @@ def _invert_group(
 
     # --- analyze + invert == analyzer chain + TermsHashPerField.add:
     # Arrow-kernel tokenize/dict-encode, then lexsort (code, doc) + RLE.
-    if cfg.index_positions:
+    if cfg.analyzer not in ("standard", "cjk_bigram"):
+        raise ValueError(
+            f"unknown analyzer {cfg.analyzer!r} (supported: standard, cjk_bigram)"
+        )
+    # the CJK bigram pass tests position adjacency, so it always needs the
+    # positions stream even when the index itself won't store positions
+    need_pos = cfg.index_positions or cfg.analyzer == "cjk_bigram"
+    if need_pos:
         codes, flat_docix, vocab, flat_pos = flat_code_tokens(
             table[cfg.content_col], cfg.stop_words, with_positions=True
         )
     else:
         codes, flat_docix, vocab = flat_code_tokens(table[cfg.content_col], cfg.stop_words)
         flat_pos = None
+    if cfg.analyzer == "cjk_bigram":
+        from ..functions.cjk import cjk_bigram_stream
+
+        codes, flat_docix, flat_pos, vocab = cjk_bigram_stream(
+            codes, flat_docix, flat_pos, vocab
+        )
+        if not cfg.index_positions:
+            flat_pos = None
     if cfg.stemmer:
         if cfg.stemmer != "porter":
             raise ValueError(f"unknown stemmer {cfg.stemmer!r} (supported: porter)")
@@ -825,6 +850,11 @@ def build_index(
 ) -> IndexPaths:
     """Full build: stage -> segments -> global stats -> salted merge."""
     cfg = cfg or IndexConfig()
+    if cfg.analyzer not in ("standard", "cjk_bigram"):
+        # fail on the driver, not wrapped inside an executor UDF
+        raise ValueError(
+            f"unknown analyzer {cfg.analyzer!r} (supported: standard, cjk_bigram)"
+        )
     paths = IndexPaths(index_dir)
     fsio.mkdirs(paths.fs, paths.fs_path(index_dir))
     gen = live_generation(paths)

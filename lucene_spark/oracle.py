@@ -486,6 +486,55 @@ ORDER BY sum(s) DESC, docid ASC LIMIT {k}"""
     )
 
 
+# Deterministic CJK corpus derivation for the cjk_bigram entry: every
+# [a-z0-9_] char of documents.text maps to a distinct Han char (translate
+# is identical in Spark, DuckDB and Python — verified), so each doc
+# becomes runs of Han chars the cjk_bigram analyzer fuses into
+# overlapping bigrams. No external data.
+CJK_LAT = "abcdefghijklmnopqrstuvwxyz0123456789_"
+CJK_HAN = "一二三四五六七八九十百千万丁人入八力刀又口土士夕大女子寸小山川工已干弓才久"
+
+
+def cjk_bigram_bm25_sql(qtf: Dict[str, int], k: int = 10) -> str:
+    """BM25 top-k over the cjk_bigram index of the translated documents
+    corpus. The engine's position-adjacency pairing makes bigrams cross
+    word boundaries (exactly like CJKBigramFilter's char buffer crossing
+    token boundaries), so the oracle stream is the space-stripped char
+    sequence: token i = substr(s, i, 2) for i in 1..len-1 (the lone-char
+    doc emits its unigram); doclen = emitted token count."""
+    qt_vals = ", ".join(f"('{t}', {int(w)})" for t, w in sorted(qtf.items()))
+    return f"""WITH chars AS (
+  SELECT doc_id, replace(translate(text, '{CJK_LAT}', '{CJK_HAN}'), ' ', '') AS s
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(s) = 1 THEN s
+              ELSE substr(s, CAST(i AS INT), 2) END AS term
+  FROM chars,
+       unnest(generate_series(1, CASE WHEN length(s) <= 1 THEN 1
+                                      ELSE length(s) - 1 END)) AS t(i)
+  WHERE length(s) >= 1),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doclen FROM grams GROUP BY 1),
+fs AS (SELECT count(*) AS doc_cnt,
+              sum(doclen) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+qt(term, qtf) AS (VALUES {qt_vals}),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+w AS (SELECT q.term,
+             q.qtf * ln(1 + (fs.doc_cnt - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
+      FROM qt q JOIN dfreq ON q.term = dfreq.term CROSS JOIN fs),
+scored AS (
+  SELECT tf.doc_id,
+         w.w - w.w / (1 + CAST(tf.tf AS DOUBLE)
+                          * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))) AS s
+  FROM tf JOIN w ON tf.term = w.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs)
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM scored GROUP BY 1
+ORDER BY sum(s) DESC, docid ASC LIMIT {k}"""
+
+
 def similarity_topk_sql(kind: str, qtf: Dict[str, int], k: int = 10) -> str:
     """Top-k OR query under an alternative similarity (Similarity seam,
     lucene/core/src/java/org/apache/lucene/search/similarities/): same
