@@ -1246,6 +1246,27 @@ def q_percolate_full(spark, sf):
     return percolate_full(_docs(spark, sf), qdf).orderBy("qid", "doc_id")
 
 
+PERCOLATE_TREE_QUERIES = [
+    (1, "(spark OR flink) AND join"),
+    (2, '"hash join" -slow'),
+    (3, "quer* AND window"),
+    (4, "((table AND hash) OR stream) -merge"),
+]
+
+
+def q_percolate_tree(spark, sf):
+    """Arbitrary-query percolation (QueryDecomposer.java:33 analog):
+    stored queries are STRINGS in the engine's syntax — nested booleans,
+    NOT, exact phrases, prefix/wildcard — decomposed to DNF clauses and
+    evaluated via the shuffle-join legs of percolate_full (patterns
+    expand against the batch vocabulary first)."""
+    from lucene_spark.streaming import percolate_tree
+
+    return percolate_tree(_docs(spark, sf), PERCOLATE_TREE_QUERIES).orderBy(
+        "qid", "doc_id"
+    )
+
+
 def q_tpch_join_util(spark, sf):
     orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
     customer = spark.read.parquet(os.path.join(sf, "customer.parquet"))
@@ -1274,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 additions: never driver-checked yet
         "percolate_full": q_percolate_full,
+        "percolate_tree": q_percolate_tree,
         "feature_saturation_topk": q_feature_saturation_topk,
         "sort_after_page2": q_sort_after_page2,
         "suggest_complete": q_suggest_complete,
@@ -1623,6 +1645,56 @@ def _percolate_full_sql() -> str:
             f"len(list_intersect({TOKSET}, [{lst}])) AS n_matched "
             f"FROM documents d WHERE " + " AND ".join(conds)
         )
+    return (
+        "WITH "
+        + TPOS_CTE.strip()
+        + "\n"
+        + " UNION ALL ".join(parts)
+        + " ORDER BY qid, doc_id"
+    )
+
+
+def _percolate_tree_sql() -> str:
+    """Oracle for percolate_tree: one hand-lowered SELECT per stored query
+    (PERCOLATE_TREE_QUERIES), whitespace tokens, UNION ALL."""
+    def has(*terms):
+        lst = ", ".join(repr(t) for t in terms)
+        return f"len(list_intersect({TOKSET}, [{lst}])) > 0"
+
+    def lacks(*terms):
+        lst = ", ".join(repr(t) for t in terms)
+        return f"len(list_intersect({TOKSET}, [{lst}])) = 0"
+
+    def phrase(*terms):
+        joins, wheres = [], [f"t0.term = {terms[0]!r}"]
+        for i in range(1, len(terms)):
+            joins.append(
+                f"JOIN tpos t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i}"
+            )
+            wheres.append(f"t{i}.term = {terms[i]!r}")
+        return (
+            "EXISTS (SELECT 1 FROM tpos t0 "
+            + " ".join(joins)
+            + " WHERE t0.doc_id = d.doc_id AND "
+            + " AND ".join(wheres)
+            + ")"
+        )
+
+    def like(pat):
+        return f"len(list_filter({TOKSET}, t -> t LIKE {pat!r})) > 0"
+
+    conds = {
+        1: f"{has('spark', 'flink')} AND {has('join')}",
+        2: f"{phrase('hash', 'join')} AND {lacks('slow')}",
+        3: f"{like('quer%')} AND {has('window')}",
+        4: f"(({has('table')} AND {has('hash')}) OR {has('stream')}) "
+           f"AND {lacks('merge')}",
+    }
+    parts = [
+        f"SELECT {qid} AS qid, doc_id FROM documents d WHERE {cond}"
+        for qid, cond in sorted(conds.items())
+    ]
     return (
         "WITH "
         + TPOS_CTE.strip()
@@ -2036,6 +2108,7 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         "percolate": _percolate_sql(),
         "percolate_full": _percolate_full_sql(),
+        "percolate_tree": _percolate_tree_sql(),
         "tpch_join_util": """
 SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -133,6 +133,241 @@ def percolate_full(
     return cand.join(phrase_fail, ["qid", "doc_id"], "left_anti")
 
 
+def decompose_query(node, max_clauses: int = 64):
+    """QueryDecomposer analog (monitor/QueryDecomposer.java:33): lower a
+    parsed query tree to a disjunction of conjunctive clauses the join
+    machinery can evaluate. Each clause is
+    ``{terms, nots, phrases, patterns}``: the doc must contain EVERY term,
+    NONE of the nots, every phrase (exact, consecutive), and at least one
+    token matching every LIKE pattern. A doc matches the query when any
+    clause matches.
+
+    Matching semantics (scores are irrelevant to percolation):
+    MUST clauses AND-merge (clause cross-product); SHOULD clauses form the
+    disjunction — and are IGNORED when MUSTs exist (optional clauses never
+    gate a match, BooleanQuery matching semantics); MUST_NOT must lower to
+    pure terms (a term, or a boolean of SHOULD terms — De Morgan turns
+    NOT(a OR b) into nots {a, b}). Unsupported shapes (sloppy phrase,
+    fuzzy, range, NOT over phrase/prefix, pure-negative booleans) raise
+    loudly rather than percolate wrongly."""
+    from .search.plan import (
+        MUST,
+        MUST_NOT,
+        QBool,
+        QPhrase,
+        QPrefix,
+        QTerm,
+        QWildcard,
+        SHOULD,
+    )
+
+    def like_pattern(raw: str, star_suffix: bool = False) -> str:
+        esc = raw.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        esc = esc.replace("*", "%").replace("?", "_")
+        return esc + "%" if star_suffix else esc
+
+    def pure_terms(n) -> set:
+        if isinstance(n, QTerm):
+            return {n.term}
+        if isinstance(n, QBool) and all(
+            occ == SHOULD and isinstance(c, QTerm) for occ, c in n.clauses
+        ):
+            return {c.term for _, c in n.clauses}
+        raise NotImplementedError(
+            f"MUST_NOT over {type(n).__name__} is not percolatable (only a "
+            "term or a disjunction of terms lowers via De Morgan)"
+        )
+
+    def merge(a, b):
+        return {
+            "terms": a["terms"] | b["terms"],
+            "nots": a["nots"] | b["nots"],
+            "phrases": a["phrases"] + b["phrases"],
+            "patterns": a["patterns"] + b["patterns"],
+        }
+
+    def dnf(n):
+        if isinstance(n, QTerm):
+            return [{"terms": {n.term}, "nots": set(), "phrases": [], "patterns": []}]
+        if isinstance(n, QPhrase):
+            if n.slop != 0:
+                raise NotImplementedError("sloppy-phrase percolation unsupported")
+            terms = []
+            for i, (t, off) in enumerate(n.terms_off):
+                if off != i:
+                    raise NotImplementedError(
+                        "phrase with position holes is not percolatable "
+                        "(parse stored queries with stop_words=frozenset())"
+                    )
+                terms.append(t)
+            return [{"terms": set(), "nots": set(), "phrases": [terms], "patterns": []}]
+        if isinstance(n, QPrefix):
+            return [{"terms": set(), "nots": set(), "phrases": [],
+                     "patterns": [like_pattern(n.prefix, star_suffix=True)]}]
+        if isinstance(n, QWildcard):
+            return [{"terms": set(), "nots": set(), "phrases": [],
+                     "patterns": [like_pattern(n.pattern)]}]
+        if isinstance(n, QBool):
+            musts = [c for occ, c in n.clauses if occ == MUST]
+            shoulds = [c for occ, c in n.clauses if occ == SHOULD]
+            nots = [c for occ, c in n.clauses if occ == MUST_NOT]
+            if musts:
+                acc = [{"terms": set(), "nots": set(), "phrases": [], "patterns": []}]
+                for m in musts:
+                    acc = [merge(a, b) for a in acc for b in dnf(m)]
+                    if len(acc) > max_clauses:
+                        raise ValueError(
+                            f"query decomposes to >{max_clauses} clauses"
+                        )
+            elif shoulds:
+                acc = [c for s in shoulds for c in dnf(s)]
+                if len(acc) > max_clauses:
+                    raise ValueError(f"query decomposes to >{max_clauses} clauses")
+            else:
+                raise NotImplementedError(
+                    "pure-negative boolean is not percolatable (no positive leg)"
+                )
+            for nn in nots:
+                nt = pure_terms(nn)
+                for c in acc:
+                    c["nots"] = c["nots"] | nt
+            return acc
+        raise NotImplementedError(
+            f"{type(n).__name__} percolation unsupported (term/phrase/prefix/"
+            "wildcard/boolean only)"
+        )
+
+    clauses = dnf(node)
+    for c in clauses:
+        if not (c["terms"] or c["phrases"] or c["patterns"]):
+            raise NotImplementedError("clause with no positive constraint")
+    return clauses
+
+
+def percolate_tree(
+    docs: DataFrame,
+    stored,
+    text_col: str = "text",
+) -> DataFrame:
+    """Arbitrary-query percolation: stored queries are STRINGS in the
+    engine's query syntax (nested booleans, +must / -not, "phrases",
+    prefix* and wild?card*), decomposed per QueryDecomposer into the join
+    legs of percolate_full. ``stored``: list of (qid, query_string).
+
+    Stored queries are parsed with an empty stop set — the percolator's
+    tokenizer is a plain whitespace split, so stopwords are ordinary
+    terms here.
+
+    Every leg is a shuffle equi-join scaling in Σ terms; the only
+    broadcast is the pattern table (patterns expand against the BATCH
+    VOCABULARY first — |vocab| × |patterns| comparisons distributed over
+    the vocab, then equi-joins all the way down). Returns (qid, doc_id)
+    distinct."""
+    from .search.plan import parse_tree
+
+    spark = docs.sparkSession
+    rows = []
+    for qid, qstr in stored:
+        for ci, c in enumerate(decompose_query(parse_tree(qstr, stop_words=frozenset()))):
+            rows.append((
+                int(qid), int(ci), sorted(c["terms"]), sorted(c["nots"]),
+                c["phrases"], c["patterns"],
+            ))
+    clauses = spark.createDataFrame(
+        rows,
+        "qid int, cid int, terms array<string>, not_terms array<string>, "
+        "phrases array<array<string>>, patterns array<string>",
+    )
+
+    dterms = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    key = ["qid", "cid"]
+
+    # --- terms leg: all of the clause's terms present
+    tleg = clauses.filter(F.size("terms") > 0).select(
+        *key, F.size("terms").alias("n_terms"), F.explode("terms").alias("term")
+    )
+    ok_t = (
+        tleg.join(dterms, "term")
+        .groupBy(*key, "n_terms", "doc_id")
+        .agg(F.count_distinct("term").alias("nm"))
+        .filter(F.col("nm") == F.col("n_terms"))
+        .select(*key, "doc_id")
+    )
+
+    # --- pattern leg: expand LIKE patterns against the batch vocabulary,
+    # then equi-join; every pattern must be matched by >= 1 doc token
+    prow = clauses.filter(F.size("patterns") > 0).select(
+        *key, F.size("patterns").alias("n_pat"), F.explode("patterns").alias("pat")
+    )
+    vocab = dterms.select("term").distinct()
+    pterm = vocab.join(F.broadcast(prow), F.expr("term LIKE pat"))
+    ok_x = (
+        pterm.join(dterms, "term")
+        .groupBy(*key, "n_pat", "doc_id")
+        .agg(F.count_distinct("pat").alias("nm"))
+        .filter(F.col("nm") == F.col("n_pat"))
+        .select(*key, "doc_id")
+    )
+
+    # --- phrase leg: anchor trick per phrase, then all phrases present
+    ph = clauses.filter(F.size("phrases") > 0).select(
+        *key, F.size("phrases").alias("n_ph"),
+        F.posexplode("phrases").alias("pid", "phr"),
+    )
+    slots = ph.select(
+        *key, "n_ph", "pid", F.size("phr").alias("n_slots"),
+        F.posexplode("phr").alias("slot", "term"),
+    )
+    dpos = docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("pos", "term")
+    )
+    anchored = (
+        dpos.join(slots, "term")
+        .select(*key, "n_ph", "pid", "doc_id", "n_slots",
+                "slot", (F.col("pos") - F.col("slot")).alias("anchor"))
+        .groupBy(*key, "n_ph", "pid", "doc_id", "anchor", "n_slots")
+        .agg(F.count_distinct("slot").alias("hit_slots"))
+        .filter(F.col("hit_slots") == F.col("n_slots"))
+        .select(*key, "n_ph", "pid", "doc_id")
+        .distinct()
+    )
+    ok_p = (
+        anchored.groupBy(*key, "n_ph", "doc_id")
+        .agg(F.count_distinct("pid").alias("nm"))
+        .filter(F.col("nm") == F.col("n_ph"))
+        .select(*key, "doc_id")
+    )
+
+    # --- combine: every applicable leg must hold
+    sat = (
+        ok_t.withColumns({"t": F.lit(1), "p": F.lit(0), "x": F.lit(0)})
+        .unionByName(ok_p.withColumns({"t": F.lit(0), "p": F.lit(1), "x": F.lit(0)}))
+        .unionByName(ok_x.withColumns({"t": F.lit(0), "p": F.lit(0), "x": F.lit(1)}))
+        .groupBy(*key, "doc_id")
+        .agg(F.max("t").alias("t"), F.max("p").alias("p"), F.max("x").alias("x"))
+    )
+    meta = clauses.select(
+        *key, F.size("terms").alias("n_terms"), F.size("phrases").alias("n_ph"),
+        F.size("patterns").alias("n_pat"),
+    )
+    match = (
+        sat.join(meta, key)
+        .filter((F.col("n_terms") == 0) | (F.col("t") == 1))
+        .filter((F.col("n_ph") == 0) | (F.col("p") == 1))
+        .filter((F.col("n_pat") == 0) | (F.col("x") == 1))
+        .select(*key, "doc_id")
+    )
+
+    # --- NOT leg: anti-join docs containing any excluded term
+    nrow = clauses.select(*key, F.explode("not_terms").alias("term"))
+    bad = nrow.join(dterms, "term").select(*key, "doc_id").distinct()
+    match = match.join(bad, key + ["doc_id"], "left_anti")
+
+    return match.select("qid", "doc_id").distinct()
+
+
 def percolate_stream(spark: SparkSession, stream_df: DataFrame, queries: DataFrame,
                      text_col: str = "text", query_name: str = "percolator"):
     """Run the percolator as a Structured Streaming query into a memory

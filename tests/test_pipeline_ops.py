@@ -491,3 +491,115 @@ def test_percolate_full_not_and_phrase(spark):
     # (terms ok, phrase broken); q2 excludes doc2 (fast)
     assert (1, 1) in got and (1, 2) not in got
     assert (2, 2) not in got and (2, 1) in got
+
+
+def test_decompose_query_shapes():
+    """QueryDecomposer analog: DNF lowering + loud rejection of
+    unpercolatable shapes."""
+    import pytest as _pt
+
+    from lucene_spark.search.plan import parse_tree
+    from lucene_spark.streaming import decompose_query
+
+    def d(q):
+        return decompose_query(parse_tree(q, stop_words=frozenset()))
+
+    # OR of ANDs -> two clauses
+    cl = d("(spark AND join) OR flink")
+    assert len(cl) == 2
+    assert {frozenset(c["terms"]) for c in cl} == {
+        frozenset({"spark", "join"}), frozenset({"flink"})
+    }
+    # AND over OR -> cross product
+    cl = d("(spark OR flink) AND join")
+    assert {frozenset(c["terms"]) for c in cl} == {
+        frozenset({"spark", "join"}), frozenset({"flink", "join"})
+    }
+    # NOT over an OR of terms lowers via De Morgan into every clause
+    cl = d("join -(slow OR fast)")
+    assert len(cl) == 1 and cl[0]["nots"] == {"slow", "fast"}
+    # SHOULD clauses are ignored for matching when a MUST exists
+    cl = d("+join spark window")
+    assert len(cl) == 1 and cl[0]["terms"] == {"join"}
+    # phrase + prefix legs
+    cl = d('"hash join" AND spar*')
+    assert cl[0]["phrases"] == [["hash", "join"]]
+    assert cl[0]["patterns"] == ["spar%"]
+    # unsupported shapes refuse loudly
+    with _pt.raises(NotImplementedError, match="MUST_NOT over"):
+        d('join -"hash join"')
+    with _pt.raises(NotImplementedError, match="pure-negative"):
+        d("-join -spark")
+    with _pt.raises(NotImplementedError, match="sloppy"):
+        d('"hash join"~2')
+
+
+def test_percolate_tree_randomized_differential(spark):
+    """percolate_tree vs a direct python evaluator of the parsed tree on
+    randomized docs: DNF + join legs must reproduce boolean semantics."""
+    import fnmatch
+    import random
+
+    from lucene_spark.search.plan import (
+        MUST,
+        MUST_NOT,
+        QBool,
+        QPhrase,
+        QPrefix,
+        QTerm,
+        QWildcard,
+        SHOULD,
+        parse_tree,
+    )
+    from lucene_spark.streaming import percolate_tree
+
+    rng = random.Random(427)
+    pool = ["spark", "join", "window", "hash", "table", "fast", "slow",
+            "stream", "query", "merge"]
+    docs = [(i, " ".join(rng.choices(pool, k=rng.randint(2, 8))))
+            for i in range(60)]
+
+    stored = [
+        (1, "(spark OR flink) AND join"),
+        (2, '"hash join" -slow'),
+        (3, "quer* AND window"),
+        (4, "((table AND hash) OR stream) -merge"),
+        (5, "+join +\"spark join\" -table"),
+        (6, "wind?w OR (fast AND slo*)"),
+        (7, "spark join window"),  # pure disjunction of SHOULDs
+    ]
+
+    def ev(node, toks):
+        ts = set(toks)
+        if isinstance(node, QTerm):
+            return node.term in ts
+        if isinstance(node, QPhrase):
+            terms = [t for t, _ in node.terms_off]
+            return any(
+                toks[i : i + len(terms)] == terms
+                for i in range(len(toks) - len(terms) + 1)
+            )
+        if isinstance(node, QPrefix):
+            return any(t.startswith(node.prefix) for t in ts)
+        if isinstance(node, QWildcard):
+            return any(fnmatch.fnmatchcase(t, node.pattern) for t in ts)
+        if isinstance(node, QBool):
+            musts = [c for o, c in node.clauses if o == MUST]
+            shoulds = [c for o, c in node.clauses if o == SHOULD]
+            nots = [c for o, c in node.clauses if o == MUST_NOT]
+            pos = (all(ev(m, toks) for m in musts) if musts
+                   else any(ev(s, toks) for s in shoulds))
+            return pos and not any(ev(n, toks) for n in nots)
+        raise AssertionError(type(node))
+
+    want = sorted(
+        (qid, d)
+        for qid, q in stored
+        for d, t in docs
+        if ev(parse_tree(q, stop_words=frozenset()), t.split())
+    )
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["qid"], r["doc_id"]) for r in percolate_tree(ddf, stored).collect()
+    )
+    assert got == want
