@@ -244,6 +244,38 @@ def q_facet_counts_lang(spark, sf):
     return facet_counts(_index(spark, sf), normalize(should=["spark"]), "lang")
 
 
+def _doc_taxonomy_path():
+    """3-level taxonomy path derived from doc metadata:
+    source / lang / size-bucket."""
+    return F.concat_ws(
+        "/", F.col("source"), F.col("lang"),
+        F.when(F.col("n_chars") < 300, "small").otherwise("large"),
+    )
+
+
+def q_facet_tree_rollup(spark, sf):
+    """Hierarchical facet counts with taxonomy rollup
+    (FastTaxonomyFacetCounts.java:40): every matching doc counts toward
+    each ancestor prefix of its source/lang/size path — the whole tree in
+    one explode + one shuffle."""
+    from lucene_spark.search.aggregates import facet_tree
+
+    return facet_tree(
+        _index(spark, sf), normalize(should=["spark"]), _doc_taxonomy_path()
+    )
+
+
+def q_facet_tree_children(spark, sf):
+    """getTopChildren on a subtree (TaxonomyFacets.getTopChildren): the
+    immediate children of node 'src1' by rolled-up count."""
+    from lucene_spark.search.aggregates import facet_tree
+
+    return facet_tree(
+        _index(spark, sf), normalize(should=["spark"]), _doc_taxonomy_path(),
+        parent="src1", k=10,
+    )
+
+
 def q_range_facets_nchars(spark, sf):
     from lucene_spark.search.aggregates import range_facets
 
@@ -1359,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_in_set_facet": q_term_in_set_facet,
         "range_query_count": q_range_query_count,
         "facet_counts_lang": q_facet_counts_lang,
+        "facet_tree_rollup": q_facet_tree_rollup,
+        "facet_tree_children": q_facet_tree_children,
         "range_facets_nchars": q_range_facets_nchars,
         "group_topk_lang": q_group_topk_lang,
         "docvalues_stats": q_docvalues_stats,
@@ -1652,6 +1686,21 @@ def _percolate_full_sql() -> str:
         + " UNION ALL ".join(parts)
         + " ORDER BY qid, doc_id"
     )
+
+
+# rollup node counts over the source/lang/size taxonomy of matching docs:
+# extends the hits CTE with nodes(node, n); append a final SELECT
+_FACET_TREE_NODES = """,
+nodes AS (
+  SELECT node, count(*) AS n FROM (
+    SELECT unnest([
+      d.source,
+      d.source || '/' || d.lang,
+      d.source || '/' || d.lang || '/' ||
+        (CASE WHEN d.n_chars < 300 THEN 'small' ELSE 'large' END)]) AS node
+    FROM hits JOIN documents d USING (doc_id))
+  GROUP BY node)
+SELECT node, n FROM nodes"""
 
 
 def _percolate_tree_sql() -> str:
@@ -1959,6 +2008,13 @@ ORDER BY dist ASC, df DESC, term ASC LIMIT 5""",
         + """
 SELECT d.lang, count(*) AS n FROM hits JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY n DESC, d.lang ASC""",
+        "facet_tree_rollup": bm25_matches_cte({"spark": 1})
+        + _FACET_TREE_NODES
+        + "\nORDER BY n DESC, node ASC",
+        "facet_tree_children": bm25_matches_cte({"spark": 1})
+        + _FACET_TREE_NODES
+        + "\nWHERE node LIKE 'src1/%' AND len(string_split(node, '/')) = 2"
+        + "\nORDER BY n DESC, node ASC LIMIT 10",
         "range_facets_nchars": bm25_matches_cte({"join": 1})
         + """
 SELECT bucket, count(*) AS n FROM (

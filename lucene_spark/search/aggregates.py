@@ -34,6 +34,47 @@ def facet_counts(index: Index, q: NormalizedQuery, dim: str, **kw) -> DataFrame:
     )
 
 
+def facet_tree(index: Index, q: NormalizedQuery, path, k: int | None = None,
+               parent: str | None = None, sep: str = "/", **kw) -> DataFrame:
+    """Hierarchical taxonomy facet counts with rollup
+    (facet/taxonomy/FastTaxonomyFacetCounts.java:40 +
+    TaxonomyFacets.getTopChildren): ``path`` is a '/'-separated category
+    path per doc (a column name or any string Column expression); every
+    matching doc counts toward each ancestor prefix of its path (the
+    taxonomy rollup). With ``parent`` set, returns the getTopChildren
+    analog — the immediate children of that node ordered by rolled-up
+    count desc (parent '' or None-with-parent='' = root children; omit
+    ``parent`` entirely for ALL tree nodes).
+
+    One explode + one groupBy: the ancestor set is built with pure array
+    exprs (split -> transform(sequence) -> slice/array_join), so the plan
+    is a single shuffle regardless of tree depth."""
+    import re as _re
+
+    col = F.col(path) if isinstance(path, str) else path
+    m = search_exhaustive(index, q, k=None, **kw).select("docid")
+    j = m.join(index.docs, "docid").select(col.alias("__path__"))
+    pat = _re.escape(sep)
+    parts = F.split(F.col("__path__"), pat)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), sep),
+    )
+    counts = (
+        j.select(F.explode(prefixes).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n"))
+    )
+    if parent is not None:
+        depth = (parent.count(sep) + 2) if parent else 1
+        cond = F.size(F.split(F.col("node"), pat)) == depth
+        if parent:
+            cond = cond & F.col("node").startswith(parent + sep)
+        counts = counts.filter(cond)
+    out = counts.orderBy(F.col("n").desc(), F.col("node").asc())
+    return out.limit(k) if k else out
+
+
 def range_facets(index: Index, q: NormalizedQuery, col: str,
                  edges: Sequence[int], **kw) -> DataFrame:
     """Counts per numeric range bucket (LongRangeFacetCounts.java:41).

@@ -213,3 +213,37 @@ def test_sort_search_after_multi_key(spark, built_index):
         pages.extend(page)
         cursor = page[-1]
     assert [r["docid"] for r in pages] == [r["docid"] for r in full]
+
+
+def test_facet_tree_rollup_and_children(built_index, ref_index):
+    """Hierarchical facets: rollup counts equal per-prefix sums of the
+    matching docs' paths; getTopChildren filters to the immediate children
+    of the parent node."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.aggregates import facet_tree
+
+    q = normalize(should=["import"])
+    path = F.concat_ws("/", F.col("lang"), (F.col("docid") % 2).cast("string"))
+    got = {r["node"]: r["n"] for r in facet_tree(built_index, q, path).collect()}
+
+    docs = {r["docid"]: r["lang"] for r in built_index.docs.select("docid", "lang").collect()}
+    want = {}
+    for d in ref_index.postings["import"]:
+        p1, p2 = docs[d], f"{docs[d]}/{d % 2}"
+        want[p1] = want.get(p1, 0) + 1
+        want[p2] = want.get(p2, 0) + 1
+    assert got == want
+
+    # children of the most common lang: exactly its depth-2 nodes
+    top_lang = max((v, k) for k, v in want.items() if "/" not in k)[1]
+    kids = facet_tree(built_index, q, path, parent=top_lang, k=10).collect()
+    assert {r["node"] for r in kids} == {
+        k for k in want if k.startswith(top_lang + "/")
+    }
+    # rollup invariant: parent count == sum of child counts (every doc has
+    # a full-depth path here)
+    assert want[top_lang] == sum(want[k] for k in want if k.startswith(top_lang + "/"))
+    # ordering: count desc, node asc
+    pairs = [(r["n"], r["node"]) for r in kids]
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
