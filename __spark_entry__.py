@@ -1242,6 +1242,113 @@ def q_highlight_topk(spark, sf):
     )
 
 
+def _offs_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Index with the offsets stream (IndexOptions ..._AND_OFFSETS analog,
+    IndexConfig(index_offsets=True)) for postings-sourced passages."""
+    key = ("offs", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_offs"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("text", "content")
+    )
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+        index_positions=True, index_offsets=True,
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_term_offsets_topk(spark, sf):
+    """Postings-sourced char offsets: for each top-10 'join' hit, the FIRST
+    occurrence's (start, end) char span decoded from the offsets stream —
+    a hard end-to-end check of the ..._AND_OFFSETS write+read path."""
+    import numpy as np
+
+    from lucene_spark.search.executor import search_exhaustive, term_offsets_for_docs
+
+    idx = _offs_index(spark, sf)
+    q = normalize(should=["join"])
+    top = search_exhaustive(idx, q, k=10)
+    ids = np.array([r["docid"] for r in top.collect()], dtype=np.int64)
+    offs = term_offsets_for_docs(idx, ["join"], ids)
+    first = offs.groupBy("docid").agg(
+        F.min("start").alias("first_start"),
+        F.min(F.struct("start", "end")).alias("__se__"),
+    )
+    return (
+        top.join(first, "docid")
+        .select(
+            "docid", F.round("score", 4).alias("score"), "first_start",
+            F.col("__se__.end").alias("first_end"),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
+
+
+def q_passage_highlight_topk(spark, sf):
+    """Sentence-snapped passage highlighting from the offsets stream
+    (UnifiedHighlighter + PassageScorer parity, OffsetSource.POSTINGS):
+    the corpus has no sentence punctuation, so each doc is one sentence
+    and the passage spans it — every match wrapped, tf-normalized
+    PassageScorer score."""
+    from lucene_spark.search.highlight import passage_highlight_topk
+
+    res = passage_highlight_topk(
+        _offs_index(spark, sf), normalize(should=["join"]), k=10,
+        max_passages=1, source="postings",
+    )
+    return res.select(
+        "docid", F.round("score", 4).alias("score"), "snippet",
+        "passage_score", "n_hits",
+    )
+
+
+def _term_offsets_sql() -> str:
+    return (
+        bm25_matches_cte({"join": 1})
+        + """,
+top AS (SELECT doc_id, score FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id AS docid, round(score, 4) AS score,
+       instr(' ' || d.text || ' ', ' join ') - 1 AS first_start,
+       instr(' ' || d.text || ' ', ' join ') + 3 AS first_end
+FROM top JOIN documents d USING (doc_id)
+ORDER BY score DESC, docid ASC"""
+    )
+
+
+def _passage_highlight_sql() -> str:
+    # whole doc = one sentence: snippet wraps every 'join' token; the
+    # PassageScorer formula over (f occurrences, L chars, start 0)
+    f = "len(list_filter(string_split(d.text, ' '), t -> t = 'join'))"
+    L = "length(d.text)"
+    score = (
+        f"round((1 + 1/ln(87.0)) * ({f} / ({f} + 1.2 * (0.25 + 0.75 * {L}/87.0)))"
+        f" * (2.2 * ln(1 + (1 + {L}/87.0 + 0.5) / ({f} + 0.5))), 6)"
+    )
+    snip = (
+        "array_to_string(list_transform(string_split(d.text, ' '), "
+        "t -> CASE WHEN t = 'join' THEN '<b>' || t || '</b>' ELSE t END), ' ')"
+    )
+    return (
+        bm25_matches_cte({"join": 1})
+        + f""",
+top AS (SELECT doc_id, score FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id AS docid, round(score, 4) AS score,
+       {snip} AS snippet,
+       {score} AS passage_score,
+       {f} AS n_hits
+FROM top JOIN documents d USING (doc_id)
+ORDER BY score DESC, docid ASC"""
+    )
+
+
 PERCOLATE_QUERIES = [
     (1, ["spark", "join"], 2),
     (2, ["window", "hash", "table"], 2),
@@ -1346,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell_suggest,
         "interval_topk": q_interval_topk,
         "highlight_topk": q_highlight_topk,
+        "term_offsets_topk": q_term_offsets_topk,
+        "passage_highlight_topk": q_passage_highlight_topk,
         "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: no SQL oracle (iterative k-means)
         "ann_ivf_fixed_topk": q_ann_ivf_fixed_topk,
         # --- last driver-checked in r2 (r3's 50-entry cap skipped them)
@@ -1900,6 +2009,8 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "interval_topk": _interval_topk_sql("spark", "join", 4),
         "highlight_topk": _highlight_sql(),
+        "term_offsets_topk": _term_offsets_sql(),
+        "passage_highlight_topk": _passage_highlight_sql(),
         "interval_ordered_topk": _interval_ordered_sql("spark", "join", 4),
         "interval_near_topk": _interval_near_sql("spark", "join", 6),
         "interval_before_count": """

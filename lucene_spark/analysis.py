@@ -238,6 +238,52 @@ def analyze_with_positions(
     return out
 
 
+def tokenize_with_spans(text: str) -> List[tuple]:
+    """tokenize() + the (start, end) CHAR span of each token in the
+    original text (OffsetAttribute analog: offsets refer to the un-lowered
+    input, StandardTokenizer setAttributes). Same tokens in the same order
+    as tokenize() on every input (tested)."""
+    if not text:
+        return []
+    out: List[tuple] = []
+    word_re = _ASCII_WORD_RE if text.isascii() else _WORD_RE
+    for m in word_re.finditer(text):
+        run, base = m.group(), m.start()
+        if "." in run or "'" in run or "’" in run or ":" in run or "," in run:
+            pieces, off = [], 0
+            for sp in _ILLEGAL_JOINER.split(run):
+                pieces.append((sp, off))
+                off += len(sp) + 1  # the split joiner char is 1 char wide
+        else:
+            pieces = [(run, 0)]
+        for sp, off in pieces:
+            lead = len(sp) - len(sp.lstrip(".'’:,"))
+            sp2 = sp.strip(".'’:,")
+            if not sp2:
+                continue
+            start = base + off + lead
+            while len(sp2) > MAX_TOKEN_LEN:
+                out.append((sp2[:MAX_TOKEN_LEN], start, start + MAX_TOKEN_LEN))
+                sp2 = sp2[MAX_TOKEN_LEN:]
+                start += MAX_TOKEN_LEN
+            if sp2:
+                out.append((sp2, start, start + len(sp2)))
+    return out
+
+
+def analyze_with_offsets(
+    text: str, stop_words: frozenset = ENGLISH_STOP_WORDS
+) -> List[tuple]:
+    """(term, position, start_char, end_char) per surviving token:
+    analyze_with_positions + OffsetAttribute spans."""
+    out: List[tuple] = []
+    for pos, (tok, s, e) in enumerate(tokenize_with_spans(text)):
+        low = _lower_cp(tok)
+        if low not in stop_words:
+            out.append((low, pos, s, e))
+    return out
+
+
 def analyze_stemmed(text: str, stop_words: frozenset = ENGLISH_STOP_WORDS) -> List[str]:
     """Query-time EnglishAnalyzer chain incl. the stemming tail (tokenize ->
     possessive strip -> lowercase -> stop -> Porter) — use for queries
@@ -266,10 +312,51 @@ def analyze_batch(texts: pd.Series, stop_words: frozenset = ENGLISH_STOP_WORDS) 
     return pd.Series(out, index=texts.index)
 
 
+def _ascii_token_spans(arr, n: int):
+    """Vectorized (start, end) char spans of every [0-9A-Za-z_] run in an
+    Arrow string array (byte == char for the ASCII docs this is used on):
+    one boolean LUT gather over the concatenated value buffer + two
+    flatnonzero calls — no per-doc Python. Returns (tok_docix, starts,
+    ends) with doc-relative char offsets, tokens in stream order."""
+    import pyarrow as pa
+
+    lut = np.zeros(256, dtype=bool)
+    for c in b"0123456789_abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+        lut[c] = True
+    otype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    voff = np.frombuffer(arr.buffers()[1], dtype=otype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = arr.buffers()[2]
+    buf = (
+        np.frombuffer(data, dtype=np.uint8)[voff[0] : voff[-1]]
+        if data is not None and voff[-1] > voff[0]
+        else np.empty(0, dtype=np.uint8)
+    )
+    base = voff[0]
+    tok = lut[buf]
+    db = voff - base  # doc start byte (relative), len n+1
+    prev = np.concatenate(([False], tok[:-1]))
+    nxt = np.concatenate((tok[1:], [False]))
+    if len(tok):
+        # doc boundaries break runs even when adjacent docs' bytes would
+        # otherwise join into one [0-9A-Za-z_] run
+        ds = db[:-1]
+        prev[ds[ds < len(tok)]] = False
+        de = db[1:] - 1
+        nxt[de[(de >= 0) & (de < len(tok))]] = False
+    starts = np.flatnonzero(tok & ~prev)
+    ends = np.flatnonzero(tok & ~nxt) + 1
+    tok_docix = np.searchsorted(db, starts, side="right") - 1
+    rel = db[tok_docix]
+    return tok_docix, starts - rel, ends - rel
+
+
 def flat_code_tokens(
     arr,
     stop_words: frozenset = ENGLISH_STOP_WORDS,
     with_positions: bool = False,
+    with_offsets: bool = False,
 ):
     """Arrow-native analyze for the index build hot path.
 
@@ -291,6 +378,8 @@ def flat_code_tokens(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if with_offsets and not with_positions:
+        raise ValueError("with_offsets requires with_positions")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -300,7 +389,11 @@ def flat_code_tokens(
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=object),
         )
-        return empty + (np.empty(0, dtype=np.int64),) if with_positions else empty
+        if with_positions:
+            empty = empty + (np.empty(0, dtype=np.int64),)
+        if with_offsets:
+            empty = empty + (np.empty(0, dtype=np.int64),)
+        return empty
 
     is_ascii = pc.string_is_ascii(arr.fill_null("")).to_numpy(zero_copy_only=False)
     clean = pc.if_else(pa.array(is_ascii), arr.fill_null(""), pa.scalar(""))
@@ -329,6 +422,23 @@ def flat_code_tokens(
         # split are separators, not tokens; docix is sorted ascending)
         first_idx = np.searchsorted(docix, docix, side="left")
         positions = np.arange(len(docix), dtype=np.int64) - first_idx
+    offsets = None
+    if with_offsets:
+        # hot-path docs contain NO joiner chars at all (any occurrence
+        # routes the doc to the fallback), so their tokens are exactly the
+        # [0-9A-Za-z_] runs of the original text — one LUT scan gives the
+        # char spans, aligned 1:1 with the kept split tokens
+        sdoc, sst, sen = _ascii_token_spans(clean, n)
+        if len(fallback_docs):
+            good = ~in_bad[sdoc]
+            sdoc, sst, sen = sdoc[good], sst[good], sen[good]
+        if len(sdoc) != len(docix) or not np.array_equal(sdoc, docix):
+            raise AssertionError(
+                "offset scan misaligned with token stream "
+                f"({len(sdoc)} spans vs {len(docix)} tokens)"
+            )
+        # packed (start, length): length <= MAX_TOKEN_LEN < 512
+        offsets = sst * np.int64(512) + (sen - sst)
 
     enc = pc.dictionary_encode(flat_good.combine_chunks() if isinstance(flat_good, pa.ChunkedArray) else flat_good)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -341,32 +451,50 @@ def flat_code_tokens(
         codes, docix = codes[km], docix[km]
         if positions is not None:
             positions = positions[km]
+        if offsets is not None:
+            offsets = offsets[km]
 
     if len(fallback_docs):
         vmap = {v: i for i, v in enumerate(vocab_list)}
         extra_codes: List[int] = []
         extra_docix: List[int] = []
         extra_pos: List[int] = []
+        extra_off: List[int] = []
         for d in fallback_docs:
             text = arr[int(d)].as_py()
-            for tok, pos in analyze_with_positions(
-                text if isinstance(text, str) else "", stop_words
-            ):
-                c = vmap.get(tok)
-                if c is None:
-                    c = len(vocab_list)
-                    vmap[tok] = c
-                    vocab_list.append(tok)
-                extra_codes.append(c)
-                extra_docix.append(int(d))
-                extra_pos.append(pos)
+            text = text if isinstance(text, str) else ""
+            if with_offsets:
+                for tok, pos, s, e in analyze_with_offsets(text, stop_words):
+                    c = vmap.get(tok)
+                    if c is None:
+                        c = len(vocab_list)
+                        vmap[tok] = c
+                        vocab_list.append(tok)
+                    extra_codes.append(c)
+                    extra_docix.append(int(d))
+                    extra_pos.append(pos)
+                    extra_off.append(s * 512 + (e - s))
+            else:
+                for tok, pos in analyze_with_positions(text, stop_words):
+                    c = vmap.get(tok)
+                    if c is None:
+                        c = len(vocab_list)
+                        vmap[tok] = c
+                        vocab_list.append(tok)
+                    extra_codes.append(c)
+                    extra_docix.append(int(d))
+                    extra_pos.append(pos)
         if extra_codes:
             codes = np.concatenate((codes, np.array(extra_codes, dtype=np.int64)))
             docix = np.concatenate((docix, np.array(extra_docix, dtype=np.int64)))
             if positions is not None:
                 positions = np.concatenate((positions, np.array(extra_pos, dtype=np.int64)))
+            if offsets is not None:
+                offsets = np.concatenate((offsets, np.array(extra_off, dtype=np.int64)))
 
     vocab = np.array(vocab_list, dtype=object)
+    if with_offsets:
+        return codes, docix, vocab, positions, offsets
     if with_positions:
         return codes, docix, vocab, positions
     return codes, docix, vocab

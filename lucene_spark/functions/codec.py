@@ -310,6 +310,63 @@ def cut_position_blocks(positions: np.ndarray, tfs: np.ndarray) -> list:
     return out
 
 
+# --- Offsets stream (IndexOptions DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+# --- Lucene104PostingsFormat .pos offset payload): per posting the first
+# --- value is the absolute startOffset, the rest are ascending start
+# --- deltas; the token lengths follow as a second varint run in the same
+# --- blob (count == tfs.sum() each, so no framing is needed).
+
+def encode_block_offsets(starts: np.ndarray, lengths: np.ndarray,
+                         tfs: np.ndarray) -> bytes:
+    """Encode concatenated per-posting ascending start offsets + lengths."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(starts) == 0:
+        return b""
+    vals = np.empty(len(starts), dtype=np.int64)
+    vals[0] = starts[0]
+    np.subtract(starts[1:], starts[:-1], out=vals[1:])
+    psts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    vals[psts] = starts[psts]
+    return varint_encode(np.concatenate((vals, lengths)))
+
+
+def decode_block_offsets(data: bytes, tfs: np.ndarray):
+    """Inverse of encode_block_offsets -> (starts, ends) int64 arrays."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    vals = varint_decode(data)
+    if len(vals) == 0:
+        return vals, vals
+    ntok = int(tfs.sum())
+    svals, lengths = vals[:ntok], vals[ntok:]
+    psts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    c = np.cumsum(svals)
+    base = c[psts] - svals[psts]
+    starts = c - np.repeat(base, tfs)
+    return starts, starts + lengths
+
+
+def cut_offset_blocks(offsets_packed: np.ndarray, tfs: np.ndarray) -> list:
+    """Per-block offset blobs aligned with the BLOCK_SIZE posting cuts;
+    ``offsets_packed`` is start*512 + length (the analyzer's packing)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    offsets_packed = np.asarray(offsets_packed, dtype=np.int64)
+    starts = offsets_packed >> 9
+    lengths = offsets_packed & 511
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    out = []
+    for s in range(0, len(tfs), BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, len(tfs))
+        out.append(
+            encode_block_offsets(
+                starts[bounds[s] : bounds[e]], lengths[bounds[s] : bounds[e]],
+                tfs[s:e],
+            )
+        )
+    return out
+
+
 # --- VarInt (LEB128) codec: used for round-trip parity tests and as an
 # --- alternative tail-block encoding, mirroring Lucene's VInt tail.
 

@@ -115,6 +115,9 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
         # per-block positions stream (null when index_positions is off);
         # DOCS_AND_FREQS_AND_POSITIONS analog [index/IndexOptions.java:30-56]
         ("block_pos", pa.list_(pa.binary())),
+        # per-block offsets stream (IndexOptions ..._AND_OFFSETS analog;
+        # null when index_offsets is off)
+        ("block_off", pa.list_(pa.binary())),
     ]
 )
 
@@ -131,6 +134,10 @@ class IndexConfig:
     merge_bucket_segments: int = 8  # segments per salt bucket for hot terms
     keep_content: bool = True  # store content in docs table for hydration
     index_positions: bool = False  # store per-posting positions (phrase queries)
+    # store per-occurrence (start, end) CHAR offsets alongside positions
+    # (IndexOptions DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analog) for
+    # postings-sourced passage highlighting; requires index_positions
+    index_offsets: bool = False
     # "porter" -> EnglishAnalyzer tail (possessive strip -> stop re-check ->
     # PorterStemFilter, analysis/common/.../en/PorterStemFilter.java:51);
     # applied to the dictionary-encoded vocab, O(unique terms) Python
@@ -168,6 +175,8 @@ class IndexConfig:
                  bool(self.index_positions))
         if self.analyzer != "standard":
             parts = parts + (self.analyzer,)
+        if self.index_offsets:
+            parts = parts + ("offsets",)
         key = repr(parts)
         return hashlib.sha256(key.encode()).hexdigest()[:16]
 
@@ -266,6 +275,7 @@ def _encode_terms_table(
     run_starts: np.ndarray,
     run_ends: np.ndarray,
     pos_sorted,
+    off_sorted=None,
 ) -> pa.Table:
     """Build the per-segment postings Arrow table.
 
@@ -274,7 +284,11 @@ def _encode_terms_table(
     and direct ListArray/BinaryArray construction from offsets — no
     per-term Python objects at all. With positions enabled the per-term
     loop remains (varint position streams are inherently per-block)."""
-    from ..functions.codec import cut_position_blocks, encode_segment_postings
+    from ..functions.codec import (
+        cut_offset_blocks,
+        cut_position_blocks,
+        encode_segment_postings,
+    )
 
     n_terms = len(term_starts)
     if n_terms == 0:
@@ -320,6 +334,7 @@ def _encode_terms_table(
             imp_outer,
             pa.ListArray.from_arrays(list_off, flat_bin),
             pa.nulls(n_terms, type=pa.list_(pa.binary())),
+            pa.nulls(n_terms, type=pa.list_(pa.binary())),
         ]
         return pa.Table.from_arrays(cols, schema=POSTINGS_ARROW_SCHEMA)
 
@@ -330,6 +345,10 @@ def _encode_terms_table(
         # the term's tokens are contiguous in the sorted token array
         pos_blocks = cut_position_blocks(
             pos_sorted[run_starts[s] : run_ends[e - 1]], tfs
+        )
+        off_blocks = (
+            cut_offset_blocks(off_sorted[run_starts[s] : run_ends[e - 1]], tfs)
+            if off_sorted is not None else None
         )
         terms_out.append(
             {
@@ -348,6 +367,7 @@ def _encode_terms_table(
                 "block_imp": [imp.tolist() for imp in impacts],
                 "block_data": blocks,
                 "block_pos": pos_blocks,
+                "block_off": off_blocks,
             }
         )
     return pa.Table.from_pylist(terms_out, schema=POSTINGS_ARROW_SCHEMA)
@@ -414,7 +434,13 @@ def _invert_group(
     # the CJK bigram pass tests position adjacency, so it always needs the
     # positions stream even when the index itself won't store positions
     need_pos = cfg.index_positions or cfg.analyzer == "cjk_bigram"
-    if need_pos:
+    flat_off = None
+    if cfg.index_offsets:
+        codes, flat_docix, vocab, flat_pos, flat_off = flat_code_tokens(
+            table[cfg.content_col], cfg.stop_words,
+            with_positions=True, with_offsets=True,
+        )
+    elif need_pos:
         codes, flat_docix, vocab, flat_pos = flat_code_tokens(
             table[cfg.content_col], cfg.stop_words, with_positions=True
         )
@@ -496,6 +522,7 @@ def _invert_group(
     else:
         uniq_terms = vocab
     pos_sorted = None
+    off_sorted = None
     if len(codes):
         # fused sort key (code, doc): one int64 np.sort, no argsort/gather
         key = codes.astype(np.int64) * np.int64(max(n_rows, 1)) + flat_docix
@@ -505,6 +532,8 @@ def _invert_group(
             order = np.argsort(key, kind="stable")
             key = key[order]
             pos_sorted = flat_pos[order]
+            if flat_off is not None:
+                off_sorted = flat_off[order]
         else:
             key.sort()
         new_run = np.empty(len(key), dtype=bool)
@@ -530,7 +559,7 @@ def _invert_group(
     # --- block encoding (FreqProxTermsWriter flush analog)
     postings_tbl = _encode_terms_table(
         segment_id, uniq_terms, p_codes, p_ids, p_tfs, p_dls,
-        term_starts, term_ends, run_starts, run_ends, pos_sorted,
+        term_starts, term_ends, run_starts, run_ends, pos_sorted, off_sorted,
     )
 
     # --- write shards (Lucene flush-to-segment-files analog) through the
@@ -766,6 +795,8 @@ def finalize_index(
             "block_first", "block_last", "block_maxtf", "block_mindl",
             "block_imp", "block_data", "block_pos",
         ]
+        if "block_off" in seg_postings.columns:
+            blk_cols.append("block_off")
         if "block_imp" not in seg_postings.columns:
             # appending to a pre-v6 index: its segment files have no impact
             # pairs, so the merged snapshot stays corner-bound throughout
@@ -820,6 +851,10 @@ def finalize_index(
         bool(prev["index_positions"]) if "index_positions" in prev
         else bool(cfg.index_positions)
     )
+    offsets_stamp = (
+        bool(prev["index_offsets"]) if "index_offsets" in prev
+        else bool(cfg.index_offsets)
+    )
     fs = {
         "max_doc": int(sum(r["num_docs"] for r in manifest_rows)),
         "doc_count": int(sum(r["doc_count"] for r in manifest_rows)),
@@ -836,6 +871,7 @@ def finalize_index(
         "format_version": INDEX_FORMAT_VERSION,
         "analysis_fingerprint": fingerprint,
         "index_positions": positions_stamp,
+        "index_offsets": offsets_stamp,
     }
     fsio.write_json_atomic(paths.fs, fs_marker, fs)
     if profile:
@@ -855,6 +891,14 @@ def build_index(
         raise ValueError(
             f"unknown analyzer {cfg.analyzer!r} (supported: standard, cjk_bigram)"
         )
+    if cfg.index_offsets:
+        if not cfg.index_positions:
+            raise ValueError("index_offsets requires index_positions=True")
+        if cfg.synonyms or cfg.stemmer or cfg.analyzer != "standard":
+            raise ValueError(
+                "index_offsets composes only with the plain standard chain "
+                "(synonym/stemmer/cjk emissions have no source span yet)"
+            )
     paths = IndexPaths(index_dir)
     fsio.mkdirs(paths.fs, paths.fs_path(index_dir))
     gen = live_generation(paths)

@@ -36,7 +36,12 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from ..functions.codec import block_impact_pairs, decode_block, decode_block_positions
+from ..functions.codec import (
+    block_impact_pairs,
+    decode_block,
+    decode_block_offsets,
+    decode_block_positions,
+)
 from ..functions.smallfloat import int_to_byte4
 
 _POSTINGS_REPORT_SCHEMA = (
@@ -60,6 +65,12 @@ def _check_postings_map(check_positions: bool):
                     bimp = None
                 data = list(r["block_data"])
                 pos_blocks = list(r["block_pos"]) if r["block_pos"] is not None else None
+                off_blocks = (
+                    list(r["block_off"])
+                    if "block_off" in r.index and r["block_off"] is not None
+                    and not isinstance(r["block_off"], float)
+                    else None
+                )
                 if not (len(bf) == len(bl) == len(bmt) == len(bmd) == len(data)):
                     viol.append("block-metadata-arity")
                 for i, blob in enumerate(data):
@@ -106,6 +117,24 @@ def _check_postings_map(check_positions: bool):
                                     break
                         except Exception:
                             viol.append(f"block-{i}-positions-undecodable")
+                    if off_blocks is not None and i < len(off_blocks):
+                        try:
+                            ost, oen = decode_block_offsets(bytes(off_blocks[i]), tfs)
+                            if len(ost) != int(tfs.sum()):
+                                viol.append(f"block-{i}-offsets-count")
+                            elif np.any(oen < ost):
+                                viol.append(f"block-{i}-offsets-negative-span")
+                            else:
+                                bounds = np.concatenate(([0], np.cumsum(tfs)))
+                                for j in range(len(tfs)):
+                                    so = ost[bounds[j] : bounds[j + 1]]
+                                    # starts must never regress within a
+                                    # posting (CheckIndex offset checks)
+                                    if len(so) > 1 and np.any(np.diff(so) < 0):
+                                        viol.append(f"block-{i}-offsets-not-ascending")
+                                        break
+                        except Exception:
+                            viol.append(f"block-{i}-offsets-undecodable")
                     ids_all.append(ids)
                     tf_total += int(tfs.sum())
                     n += len(ids)

@@ -98,6 +98,9 @@ class Index:
         # data" rather than silently matching nothing)
         ip = fs.get("index_positions")
         self.has_positions: Optional[bool] = None if ip is None else bool(ip)
+        io_ = fs.get("index_offsets")
+        # None = pre-offsets-format index (unknown -> treated as absent)
+        self.has_offsets: Optional[bool] = None if io_ is None else bool(io_)
         self._merged_dir = paths.merged_g(self.generation)
         self._term_stats_dir = paths.term_stats_g(self.generation)
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
@@ -1312,6 +1315,91 @@ def _decode_rows_pos(row, sel: Optional[np.ndarray], counters: List[int]):
         np.concatenate(tfs_l),
         np.concatenate(dls_l),
         np.concatenate(pos_l),
+    )
+
+
+def _decode_rows_off(row, sel: Optional[np.ndarray], counters: List[int]):
+    """Like _decode_rows_pos but decodes the OFFSETS stream of the kept
+    blocks: returns (ids, tfs, starts, ends) — the char spans of every
+    occurrence (IndexOptions ..._AND_OFFSETS read path)."""
+    from ..functions.codec import decode_block_offsets
+
+    bf = np.asarray(row["block_first"], dtype=np.int64)
+    bl = np.asarray(row["block_last"], dtype=np.int64)
+    data, odata = row["block_data"], row.get("block_off") if hasattr(row, "get") else row["block_off"]
+    if odata is None or (isinstance(odata, float) and np.isnan(odata)):
+        raise ValueError(
+            "index was built without offset data; rebuild with "
+            "IndexConfig(index_offsets=True) or use the analysis offset source"
+        )
+    counters[0] += len(bf)
+    if sel is not None:
+        lo = np.searchsorted(sel, bf, "left")
+        hi = np.searchsorted(sel, bl, "right")
+        keep = np.flatnonzero(hi > lo)
+    else:
+        keep = np.arange(len(bf))
+    counters[1] += len(keep)
+    z = np.empty(0, np.int64)
+    if len(keep) == 0:
+        return z, z, z, z
+    ids_l, tfs_l, st_l, en_l = [], [], [], []
+    for i in keep:
+        ids, tfs, _dls = decode_block(bytes(data[i]))
+        st, en = decode_block_offsets(bytes(odata[i]), tfs)
+        ids_l.append(ids)
+        tfs_l.append(tfs)
+        st_l.append(st)
+        en_l.append(en)
+    return (
+        np.concatenate(ids_l),
+        np.concatenate(tfs_l),
+        np.concatenate(st_l),
+        np.concatenate(en_l),
+    )
+
+
+def term_offsets_for_docs(index: Index, terms, docids: np.ndarray) -> DataFrame:
+    """Distributed postings-sourced offsets: every (docid, term) occurrence
+    span for the given docid set (candidate-restricted block decode, like
+    the phrase two-phase). Returns (docid, term, start, end) rows."""
+    terms = sorted(set(terms))
+    sel = np.sort(np.asarray(docids, dtype=np.int64))
+
+    def fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
+        counters = [0, 0]
+        s = _live_mask(sel, deleted)
+        cur = sel if s is None else sel[s]
+        out = {"docid": [], "term": [], "start": [], "end": []}
+        if len(cur):
+            for t, grp in pdf.groupby("term"):
+                rows = [r for _, r in grp.iterrows()]
+                rows.sort(key=lambda r: r["first_docid"])
+                parts = [_decode_rows_off(r, cur, counters) for r in rows]
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                st = np.concatenate([p[2] for p in parts])
+                en = np.concatenate([p[3] for p in parts])
+                m = cur[np.searchsorted(cur, ids).clip(max=len(cur) - 1)] == ids
+                occ = np.repeat(m, tfs)
+                st, en = st[occ], en[occ]
+                ids_occ = np.repeat(ids[m], tfs[m])
+                out["docid"].extend(int(d) for d in ids_occ)
+                out["term"].extend([t] * len(ids_occ))
+                out["start"].extend(int(v) for v in st)
+                out["end"].extend(int(v) for v in en)
+        return pd.DataFrame(
+            {
+                "docid": np.array(out["docid"], dtype=np.int64),
+                "term": np.array(out["term"], dtype=object),
+                "start": np.array(out["start"], dtype=np.int32),
+                "end": np.array(out["end"], dtype=np.int32),
+            }
+        )
+
+    rows = index.seg_postings.filter(F.col("term").isin(terms))
+    return apply_per_segment(
+        index, rows, fn, "docid long, term string, start int, end int"
     )
 
 

@@ -158,3 +158,215 @@ def highlight_topk(
         top_df.join(hl, "docid")
         .orderBy(F.col("score").desc(), F.col("docid").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence-aware passages (UnifiedHighlighter + PassageScorer parity)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# BreakIterator.getSentenceInstance analog (UnifiedHighlighter.java:113):
+# a sentence ends after [.!?;]+ (plus any closing quotes/brackets) followed
+# by whitespace, or at a newline. The trailing whitespace belongs to the
+# PRECEDING sentence, like the JDK iterator. Divergence (documented): the
+# ICU/JDK locale rules for abbreviations ("e.g. ") are not modeled.
+_SENT_RE = _re.compile(r"[.!?;]+[\"'\)\]]*\s+|\n+")
+
+
+def sentence_bounds(text: str):
+    """Sorted sentence start offsets, always beginning at 0, plus the text
+    length as the final bound: passages snap to [bounds[i], bounds[i+1])."""
+    bounds = [0]
+    for m in _SENT_RE.finditer(text):
+        if m.end() < len(text):
+            bounds.append(m.end())
+    bounds.append(len(text))
+    return bounds
+
+
+def score_passage(matches, passage_start: int, passage_len: int,
+                  content_len: int, doc_tf: Dict[str, int],
+                  k1: float = 1.2, b: float = 0.75,
+                  pivot: float = 87.0) -> float:
+    """PassageScorer.score (uhighlight/PassageScorer.java:66-137):
+    norm(start) * sum over unique matched terms of
+    tf(freqInPassage, passageLen) * weight(contentLength, freqInDoc) with
+    weight = (k1+1)*ln(1 + (numDocs+0.5)/(ttf+0.5)), numDocs = 1 +
+    contentLength/pivot; tf = f/(f + k1*((1-b) + b*len/pivot));
+    norm = 1 + 1/ln(pivot + start)."""
+    import math
+
+    in_passage: Dict[str, int] = {}
+    for term, _s, _e in matches:
+        in_passage[term] = in_passage.get(term, 0) + 1
+    num_docs = 1.0 + content_len / pivot
+    score = 0.0
+    for term, f in in_passage.items():
+        w = (k1 + 1.0) * math.log(1.0 + (num_docs + 0.5) / (doc_tf.get(term, f) + 0.5))
+        tfn = f / (f + k1 * ((1.0 - b) + b * (passage_len / pivot)))
+        score += tfn * w
+    return score * (1.0 + 1.0 / math.log(pivot + passage_start))
+
+
+def build_passages(content: str, matches, max_passages: int,
+                   pre: str = "<b>", post: str = "</b>"):
+    """FieldHighlighter.highlightOffsetsEnums analog: walk matches in
+    offset order, open a new passage (snapped to the enclosing sentence
+    bounds) whenever a match starts past the current passage's end, score
+    each passage, keep the top ``max_passages`` (score desc, start asc),
+    render them in document order joined by "... " with matches wrapped in
+    pre/post (DefaultPassageFormatter.java:71)."""
+    import bisect
+
+    if not matches:
+        return "", 0.0, 0
+    bounds = sentence_bounds(content)
+    matches = sorted(matches, key=lambda m: (m[1], m[2]))
+    doc_tf: Dict[str, int] = {}
+    for term, _s, _e in matches:
+        doc_tf[term] = doc_tf.get(term, 0) + 1
+    passages = []  # (start, end, [matches])
+    cur = None
+    for term, s, e in matches:
+        if cur is not None and s < cur[1]:
+            cur[2].append((term, s, e))
+            if e > cur[1]:  # match crosses the passage end: extend
+                cur[1] = min(e, len(content))
+            continue
+        ps = bounds[max(bisect.bisect_right(bounds, s) - 1, 0)]
+        pe = bounds[min(bisect.bisect_left(bounds, max(e, ps + 1)), len(bounds) - 1)]
+        if pe <= e:  # match crosses the last bound
+            pe = len(content)
+        cur = [ps, pe, [(term, s, e)]]
+        passages.append(cur)
+    scored = [
+        (score_passage(ms, ps, pe - ps, len(content), doc_tf), ps, pe, ms)
+        for ps, pe, ms in passages
+    ]
+    top = sorted(scored, key=lambda t: (-round(t[0], 9), t[1]))[:max_passages]
+    top.sort(key=lambda t: t[1])  # render in document order
+    pieces = []
+    n_hits = 0
+    for _sc, ps, pe, ms in top:
+        out, cursor = [], ps
+        for term, s, e in ms:
+            if s < cursor:
+                continue  # overlapping duplicate (stacked term)
+            out.append(content[cursor:s])
+            out.append(pre)
+            out.append(content[s:e])
+            out.append(post)
+            cursor = e
+            n_hits += 1
+        out.append(content[cursor:pe])
+        pieces.append("".join(out).strip())
+    total = sum(t[0] for t in top)
+    return "... ".join(pieces), round(total, 6), n_hits
+
+
+PASSAGE_SCHEMA = "docid long, snippet string, passage_score double, n_hits int"
+
+
+def passage_highlight_topk(
+    index,
+    q: NormalizedQuery,
+    k: int = 10,
+    max_passages: int = 2,
+    source: str = "auto",
+) -> DataFrame:
+    """Top-k hits with sentence-snapped best passages (UnifiedHighlighter
+    parity shape): (docid, score, snippet, passage_score, n_hits) ordered
+    like the hit list. ``source``: 'postings' reads the stored offsets
+    stream (index_offsets=True builds, OffsetSource.POSTINGS), 'analysis'
+    re-tokenizes the k stored docs (OffsetSource.ANALYSIS), 'auto' picks
+    postings when the index has them.
+
+    Scale shape: top-k bounds everything — the postings decode is
+    candidate-restricted to the k docids, re-analysis touches exactly k
+    stored rows inside one mapInPandas; no full-corpus work either way."""
+    from .executor import search_exhaustive, term_offsets_for_docs
+
+    spark = index.spark
+    empty = spark.createDataFrame(
+        [], "docid long, score double, snippet string, passage_score double,"
+        " n_hits int"
+    )
+    if source == "auto":
+        source = "postings" if index.has_offsets else "analysis"
+    if source == "postings" and index.has_offsets is False:
+        raise ValueError(
+            "index has no offsets stream (IndexConfig(index_offsets=True)); "
+            "use source='analysis'"
+        )
+    top_rows = search_exhaustive(index, q, k=k).collect()
+    if not top_rows:
+        return empty
+    docids = np.array(sorted(r["docid"] for r in top_rows), dtype=np.int64)
+    terms = sorted(q.scoring_terms)
+    content_col = "content" if "content" in index.docs.columns else None
+    if content_col is None:
+        raise ValueError("passage highlighting needs stored content (keep_content=True)")
+    hyd = index.docs.filter(F.col("docid").isin([int(d) for d in docids])).select(
+        "docid", F.col(content_col).alias("__content__")
+    )
+
+    mp = int(max_passages)
+    if source == "postings":
+        offs = term_offsets_for_docs(index, terms, docids)
+        grouped = offs.groupBy("docid").agg(
+            F.collect_list(F.struct("term", "start", "end")).alias("__occ__")
+        )
+        joined = hyd.join(grouped, "docid", "left")
+
+        def assemble(pdf_iter):
+            for pdf in pdf_iter:
+                rows = {"docid": [], "snippet": [], "passage_score": [], "n_hits": []}
+                for _, r in pdf.iterrows():
+                    occ = r["__occ__"]
+                    ms = (
+                        [(o["term"], int(o["start"]), int(o["end"])) for o in occ]
+                        if occ is not None and len(occ) else []
+                    )
+                    snip, psc, nh = build_passages(r["__content__"] or "", ms, mp)
+                    rows["docid"].append(int(r["docid"]))
+                    rows["snippet"].append(snip)
+                    rows["passage_score"].append(psc)
+                    rows["n_hits"].append(nh)
+                yield pd.DataFrame(rows)
+
+        hl = joined.mapInPandas(assemble, PASSAGE_SCHEMA)
+    else:
+        tset = set(terms)
+
+        def assemble(pdf_iter):
+            from lucene_spark.analysis import _lower_cp, tokenize_with_spans
+
+            for pdf in pdf_iter:
+                rows = {"docid": [], "snippet": [], "passage_score": [], "n_hits": []}
+                for _, r in pdf.iterrows():
+                    content = r["__content__"] or ""
+                    ms = [
+                        (low, s, e)
+                        for tok, s, e in tokenize_with_spans(content)
+                        if (low := _lower_cp(tok)) in tset
+                    ]
+                    snip, psc, nh = build_passages(content, ms, mp)
+                    rows["docid"].append(int(r["docid"]))
+                    rows["snippet"].append(snip)
+                    rows["passage_score"].append(psc)
+                    rows["n_hits"].append(nh)
+                yield pd.DataFrame(rows)
+
+        hl = hyd.mapInPandas(assemble, PASSAGE_SCHEMA)
+
+    top_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["docid"]), float(r["score"])) for r in top_rows],
+            "docid long, score double",
+        )
+    )
+    return (
+        top_df.join(hl, "docid")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
