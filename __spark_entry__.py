@@ -813,6 +813,20 @@ def q_ib_topk(spark, sf):
     return _sim_topk(spark, sf, "ib_ll_df_h2")
 
 
+def q_dfi_topk(spark, sf):
+    """DFISimilarity(IndependenceStandardized) — divergence from
+    independence (DFISimilarity.java:69-81,
+    IndependenceStandardized.java:33-35); freq at/under the expected
+    frequency scores exactly 0."""
+    return _sim_topk(spark, sf, "dfi_standardized")
+
+
+def q_axiomatic_topk(spark, sf):
+    """AxiomaticF2EXP (s=0.25, k=0.35) — axiomatic retrieval
+    (Axiomatic.java:106-117, AxiomaticF2EXP.java:57-85)."""
+    return _sim_topk(spark, sf, "axiomatic_f2exp")
+
+
 MULTI_PHRASE_SLOTS = [(0, ["table", "part"]), (1, ["hash", "filter"])]
 BLENDED_TERMS = ["spark", "vector"]
 FUNC_SCORE_EXPR = "score * (1.0 + n_chars / 1000.0)"
@@ -1448,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jelinek_topk": q_lm_jelinek_topk,
         "dfr_topk": q_dfr_topk,
         "ib_topk": q_ib_topk,
+        "dfi_topk": q_dfi_topk,
+        "axiomatic_topk": q_axiomatic_topk,
         "min_should_match_topk": q_min_should_match_topk,
         "min_should_match_req_topk": q_min_should_match_req_topk,
         "spell_suggest": q_spell_suggest,
@@ -2067,6 +2083,8 @@ GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
         "lm_jelinek_topk": similarity_topk_sql("lm_jelinek_mercer", SIM_TERMS),
         "dfr_topk": similarity_topk_sql("dfr_ine_l_h2", SIM_TERMS),
         "ib_topk": similarity_topk_sql("ib_ll_df_h2", SIM_TERMS),
+        "dfi_topk": similarity_topk_sql("dfi_standardized", SIM_TERMS),
+        "axiomatic_topk": similarity_topk_sql("axiomatic_f2exp", SIM_TERMS),
         "min_should_match_topk": bm25_topk_sql(
             {t: 1 for t in MSM_TERMS}, min_should_match=MSM_N
         ),

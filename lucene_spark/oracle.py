@@ -579,6 +579,23 @@ def similarity_topk_sql(kind: str, qtf: Dict[str, int], k: int = 10) -> str:
             "w.w * -ln(w.pc / "
             "(tf.tf * ln(1 + fs.avgdl / dl.doclen) / ln(2) + w.pc))"
         )
+    elif kind == "dfi_standardized":
+        # expected = pc * doclen, pc = (ttf+1)/(total_tokens+1); score 0 when
+        # freq <= expected else log2((freq-expected)/sqrt(expected) + 1)
+        # (DFISimilarity.java:69-81, IndependenceStandardized.java:33-35)
+        w_expr = "CAST(q.qtf AS DOUBLE)"
+        s_expr = (
+            "CASE WHEN tf.tf <= w.pc * dl.doclen THEN 0.0 ELSE "
+            "w.w * ln((tf.tf - w.pc * dl.doclen) / sqrt(w.pc * dl.doclen) + 1)"
+            " / ln(2) END"
+        )
+    elif kind == "axiomatic_f2exp":
+        # score = qtf * ((N+1)/df)^0.35 * f/(f + 0.25 + 0.25*dl/avgdl)
+        # (Axiomatic.java:106-117, AxiomaticF2EXP.java:57-85)
+        w_expr = "q.qtf * pow((fs.doc_cnt + 1.0) / dfreq.df, 0.35)"
+        s_expr = (
+            "w.w * tf.tf / (tf.tf + 0.25 + 0.25 * dl.doclen / fs.avgdl)"
+        )
     else:
         raise ValueError(kind)
     pc_expr = (

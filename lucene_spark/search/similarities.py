@@ -347,6 +347,97 @@ class IBLLDFH2Bound(BoundSimilarity):
         return [(t, float(w), float(self.pc[t])) for t, w in self.weights.items()]
 
 
+class DFIStandardizedBound(BoundSimilarity):
+    """DFISimilarity(IndependenceStandardized) — divergence from
+    independence (DFISimilarity.java:69-81):
+      expected = (ttf+1) * docLen / (numberOfFieldTokens+1)
+      score    = 0                         when freq <= expected
+                 boost * log2((freq - expected)/sqrt(expected) + 1)
+                                           (IndependenceStandardized.java:33-35)
+    Monotone up in tf; down in doclen (expected grows with docLen), so the
+    impact bounds stay sound."""
+
+    name = "dfi_standardized"
+    _LN2 = float(np.log(np.float64(2.0)))
+
+    def __init__(self, qtf, term_stats, fstats: FieldStats, boost, quantize, dtype):
+        self.quantize, self.dtype = quantize, dtype
+        self.tokens = float(fstats.sum_total_term_freq)
+        self.weights, self.pc = {}, {}
+        for t, q in qtf.items():
+            df, ttf = term_stats.get(t, (0, 0))
+            if df <= 0:
+                continue
+            self.weights[t] = float(boost) * float(q)
+            # expected-per-unit-doclen rides the pc column
+            self.pc[t] = (ttf + 1.0) / (self.tokens + 1.0)
+
+    def _doclen(self, dls):
+        if self.quantize:
+            return _quantized_len(dls).astype(np.float64)
+        return np.asarray(dls, np.float64)
+
+    def score(self, term, tfs, dls):
+        tfs = np.asarray(tfs, np.float64)
+        expected = self.pc[term] * self._doclen(dls)
+        # clamp before the log: rows at/under expected are zeroed below,
+        # but a large negative measure would otherwise log() a negative
+        measure = np.maximum((tfs - expected) / np.sqrt(expected), 0.0)
+        s = self.weights[term] * (np.log(measure + 1.0) / self._LN2)
+        return np.where(tfs <= expected, 0.0, s).astype(self.dtype)
+
+    def score_col(self, tf, doclen):
+        expected = F.col("pc") * doclen.cast("double")
+        measure = (tf.cast("double") - expected) / F.sqrt(expected)
+        s = F.col("w") * (F.log(measure + F.lit(1.0)) / F.lit(self._LN2))
+        return F.when(tf.cast("double") <= expected, F.lit(0.0)).otherwise(s)
+
+    def wdf_rows(self):
+        return [(t, float(w), float(self.pc[t])) for t, w in self.weights.items()]
+
+
+class AxiomaticF2EXPBound(BoundSimilarity):
+    """AxiomaticF2EXP (s=0.25, k=0.35) — the axiomatic retrieval family
+    (Axiomatic.java:106-117, AxiomaticF2EXP.java:57-85):
+      score = boost * [freq / (freq + s + s*docLen/avgdl)]
+                    * ((N+1)/df)^k            (tf=ln=1, gamma=0)
+    Monotone up in freq, down in docLen -> impact bounds sound."""
+
+    name = "axiomatic_f2exp"
+    s = 0.25
+    k = 0.35
+
+    def __init__(self, qtf, term_stats, fstats: FieldStats, boost, quantize, dtype):
+        self.quantize, self.dtype = quantize, dtype
+        self.avgdl = float(fstats.avgdl())
+        n = float(fstats.doc_count)
+        self.weights = {}
+        for t, q in qtf.items():
+            df, _ttf = term_stats.get(t, (0, 0))
+            if df <= 0:
+                continue
+            idf = float(np.power((n + 1.0) / float(df), self.k))
+            self.weights[t] = float(boost) * float(q) * idf
+
+    def _doclen(self, dls):
+        if self.quantize:
+            return _quantized_len(dls).astype(np.float64)
+        return np.asarray(dls, np.float64)
+
+    def score(self, term, tfs, dls):
+        tfs = np.asarray(tfs, np.float64)
+        tfln = tfs / (tfs + self.s + self.s * self._doclen(dls) / self.avgdl)
+        s = self.weights[term] * tfln
+        return np.maximum(s, 0.0).astype(self.dtype)
+
+    def score_col(self, tf, doclen):
+        tfd = tf.cast("double")
+        tfln = tfd / (
+            tfd + F.lit(self.s) + F.lit(self.s) * doclen.cast("double") / F.lit(self.avgdl)
+        )
+        return F.col("w") * tfln
+
+
 _REGISTRY = {
     "classic": ClassicBound,
     "boolean": BooleanBound,
@@ -354,6 +445,8 @@ _REGISTRY = {
     "lm_jelinek_mercer": LMJelinekMercerBound,
     "dfr_ine_l_h2": DFRIneLH2Bound,
     "ib_ll_df_h2": IBLLDFH2Bound,
+    "dfi_standardized": DFIStandardizedBound,
+    "axiomatic_f2exp": AxiomaticF2EXPBound,
 }
 
 

@@ -30,7 +30,7 @@ from lucene_spark.search.scorer import FieldStats
 FS = FieldStats(max_doc=100, doc_count=100, sum_total_term_freq=5000, sum_doc_freq=4000)
 STATS = {"a": (3, 10), "b": (50, 800), "zz": (0, 0)}
 SIMS = ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer",
-        "dfr_ine_l_h2", "ib_ll_df_h2"]
+        "dfr_ine_l_h2", "ib_ll_df_h2", "dfi_standardized", "axiomatic_f2exp"]
 
 
 def _bind(name, qtf=None, quantize=True, dtype=np.float32):
@@ -120,6 +120,37 @@ def test_dfr_golden():
     tfn = 4 * math.log(1.0 + avgdl / 25.0) / math.log(2.0)
     got = sim.score("a", np.array([4]), np.array([25]))
     assert got[0] == pytest.approx(a * (1.0 - 1.0 / (1.0 + tfn)))
+
+
+def test_dfi_golden_and_zero_cutoff():
+    """DFISimilarity(Standardized) golden: expected = (ttf+1)*dl/(tokens+1);
+    freq <= expected scores EXACTLY 0 (DFISimilarity.java:76)."""
+    import math
+
+    sim = _bind("dfi_standardized", quantize=False, dtype=np.float64)
+    df, ttf = STATS["a"]
+    pc = (ttf + 1.0) / (FS.sum_total_term_freq + 1.0)
+    dl = 10
+    exp = pc * dl
+    got = sim.score("a", np.array([5]), np.array([dl]))[0]
+    want = math.log((5 - exp) / math.sqrt(exp) + 1) / math.log(2)
+    assert got == pytest.approx(want, rel=1e-12)
+    # a huge doc makes expected exceed freq -> exact zero, no NaN
+    big = int(exp * 1e6)
+    assert sim.score("a", np.array([1]), np.array([big]))[0] == 0.0
+
+
+def test_axiomatic_golden():
+    """AxiomaticF2EXP golden: ((N+1)/df)^0.35 * f/(f+0.25+0.25*dl/avgdl)."""
+    import math
+
+    sim = _bind("axiomatic_f2exp", quantize=False, dtype=np.float64)
+    df, _ = STATS["a"]
+    idf = ((FS.doc_count + 1.0) / df) ** 0.35
+    f, dl = 3.0, 7.0
+    want = idf * f / (f + 0.25 + 0.25 * dl / FS.avgdl())
+    got = sim.score("a", np.array([3]), np.array([7]))[0]
+    assert got == pytest.approx(want, rel=1e-12)
 
 
 def test_unknown_similarity_raises():
@@ -225,6 +256,17 @@ def _brute_reference(ref_index, terms, name, k=10):
                 a = _ln((N + 1.0) / (ne + 0.5)) / _ln(2.0)
                 tfn = tf * (_ln(1.0 + avgdl / ql) / _ln(2.0))
                 s = np.float32(a * (1.0 - 1.0 / (1.0 + tfn)))
+            elif name == "dfi_standardized":
+                exp = (ttf + 1.0) * ql / (sum_ttf + 1.0)
+                if tf <= exp:
+                    s = np.float32(0.0)
+                else:
+                    meas = (tf - exp) / math.sqrt(exp)
+                    s = np.float32(_ln(meas + 1.0) / _ln(2.0))
+            elif name == "axiomatic_f2exp":
+                avgdl = sum_ttf / N
+                idf = ((N + 1.0) / df) ** 0.35
+                s = np.float32(idf * tf / (tf + 0.25 + 0.25 * ql / avgdl))
             else:  # lm_jelinek_mercer
                 pc = (ttf + 1.0) / (sum_ttf + 1.0)
                 s = np.float32(_ln(1 + (0.9 * tf / ql) / (0.1 * pc)))
