@@ -578,3 +578,219 @@ def sloppy_nterm_doc_freqs(
 
     out = np.flatnonzero(freqs > 0)
     return out, freqs[out]
+
+
+def sloppy_rpt_doc_freqs(
+    plists: Sequence[np.ndarray],
+    bounds: Sequence[np.ndarray],
+    offsets: Sequence[int],
+    slop: int,
+    groups: Sequence[Sequence[int]],
+    dtype=np.float32,
+):
+    """Per-doc phraseFreq for a REPEATING-TERM sloppy phrase (simple
+    rptGroups case: every group's members share ONE positions list), as a
+    synchronized batched walk — the micro-step machinery of
+    sloppy_nterm_doc_freqs extended with vectorized collision chains.
+
+    Semantics are the scalar _sloppy_match_lengths_rpt verbatim:
+      - init: the j-th member (by offset) of a group starts at the j-th
+        occurrence (advanceRepeatGroups simple case,
+        SloppyPhraseMatcher.java:486-494); docs with fewer occurrences
+        than a group needs can never position and score 0;
+      - after each mover advance, occurrence collisions resolve by
+        advancing the LESSER of the colliding pair — with a shared
+        positions list the colliding pps hold the SAME raw position, so
+        (adjusted-pos, offset) order makes the lesser simply the member
+        with the LARGER offset; the chain continues from the advanced pp
+        (advanceRpts, :317-354). One chain round = one vectorized pass
+        over all active docs; re-seating is free (the argmin re-pop reads
+        current positions).
+    Exhaustion inside a chain emits the current match length like mover
+    exhaustion (the scalar inner loop's single not-ok path). Emissions
+    fold left-to-right in ``dtype`` — bit-identical to the scalar matcher
+    (randomized differential in tests/test_phrase.py).
+
+    ``groups``: pp-index lists sorted by offset. Returns (doc_rows,
+    freqs) for rows with freq > 0 (rows index the bounds rows).
+    """
+    n = len(plists)
+    ndocs0 = len(bounds[0]) - 1
+    z = np.empty(0, np.int64)
+    if ndocs0 == 0 or n < 2:
+        return z, np.empty(0, dtype)
+    offs = np.asarray(offsets, dtype=np.int64)
+    group_of = np.full(n, -1, dtype=np.int64)
+    init_occ = np.zeros(n, dtype=np.int64)
+    for gi, g in enumerate(groups):
+        for j, i in enumerate(g):
+            group_of[i] = gi
+            init_occ[i] = j
+    in_group = group_of >= 0
+
+    starts0 = np.stack([np.asarray(b[:-1], np.int64) for b in bounds], axis=1)
+    lens0 = np.stack(
+        [np.asarray(b[1:], np.int64) - np.asarray(b[:-1], np.int64) for b in bounds],
+        axis=1,
+    )
+    if (lens0 <= 0).any():
+        raise ValueError("every doc needs >= 1 position per term")
+    # a doc whose shared list is shorter than a group's stagger can never
+    # position (the scalar init returns [])
+    viable = (lens0 > init_occ[None, :]).all(axis=1)
+    docmap = np.flatnonzero(viable)
+    ndocs = len(docmap)
+    if ndocs == 0:
+        return z, np.empty(0, dtype)
+    starts = starts0[docmap]
+    lens = lens0[docmap]
+
+    rows = np.arange(ndocs, dtype=np.int64)
+    cur = np.tile(init_occ, (ndocs, 1))
+    curpos = np.empty((ndocs, n), dtype=np.int64)
+    for t in range(n):
+        curpos[:, t] = plists[t][starts[:, t] + cur[:, t]] - offs[t]
+
+    key = curpos * 256 + offs[None, :]
+    mover = np.argmin(key, axis=1)
+    end = curpos.max(axis=1)
+    pos_m = np.take_along_axis(curpos, mover[:, None], 1)[:, 0]
+    ml = end - pos_m
+    km = key.copy()
+    km[rows, mover] = np.iinfo(np.int64).max
+    next_pos = km.min(axis=1) >> np.int64(8)
+
+    freqs = np.zeros(ndocs, dtype=dtype)
+    one = dtype(1)
+
+    act = rows
+    cur_a, curpos_a = cur, curpos
+    starts_a, lens_a = starts, lens
+    mover_a, end_a, ml_a, next_a = mover, end, ml, next_pos
+
+    SCALAR_TAIL = 96
+    dead_a = np.zeros(ndocs, dtype=bool)
+    glists = [np.asarray(g, dtype=np.int64) for g in groups]
+
+    while len(act):
+        if int((~dead_a).sum()) <= SCALAR_TAIL and ndocs > SCALAR_TAIL:
+            # convoy cutoff: finish the few longest docs with the scalar
+            # rpt matcher FROM SCRATCH (the definition), overwriting their
+            # accumulator — bit-identical by construction
+            for r in act[~dead_a].tolist():
+                d0 = int(docmap[r])
+                pls = [
+                    plists[t][starts0[d0, t] : starts0[d0, t] + lens0[d0, t]]
+                    for t in range(n)
+                ]
+                f = dtype(0)
+                for mlen in sloppy_match_lengths(pls, offsets, slop,
+                                                 groups=groups):
+                    f = f + one / (one + dtype(mlen))
+                freqs[r] = f
+            break
+        m = len(act)
+        rix = np.arange(m)
+        # 1. advance each doc's mover
+        cur_a[rix, mover_a] += 1
+        cm = cur_a[rix, mover_a]
+        exhausted = ~dead_a & (cm >= lens_a[rix, mover_a])
+        if exhausted.any():
+            er = act[exhausted]
+            eml = ml_a[exhausted]
+            hit = eml <= slop
+            if hit.any():
+                idx = er[hit]
+                freqs[idx] = freqs[idx] + one / (one + eml[hit].astype(dtype))
+            dead_a = dead_a | exhausted
+            if int(dead_a.sum()) == m:
+                break
+        # 2. gather the mover's new adjusted position
+        p = np.zeros(m, dtype=np.int64)
+        live = ~dead_a
+        for t in range(n):
+            g = (mover_a == t) & live
+            if g.any():
+                p[g] = plists[t][starts_a[g, t] + cur_a[g, t]] - offs[t]
+        curpos_a[rix[live], mover_a[live]] = p[live]
+        end_a = np.where(live, np.maximum(end_a, p), end_a)
+
+        # 2b. collision chains (advanceRpts): chain head starts at the
+        # mover; each round resolves one collision step for every doc
+        head = mover_a.copy()
+        chain = live & in_group[np.minimum(head, n - 1)]
+        while chain.any():
+            raw = (
+                np.take_along_axis(curpos_a, head[:, None], 1)[:, 0]
+                + offs[np.minimum(head, n - 1)]
+            )
+            partner = np.full(m, -1, dtype=np.int64)
+            for gi, g in enumerate(glists):
+                gm = chain & (group_of[np.minimum(head, n - 1)] == gi)
+                if not gm.any():
+                    continue
+                for mem in g.tolist():  # group order == collide_at scan order
+                    cand = gm & (partner < 0) & (head != mem) & (
+                        curpos_a[:, mem] + offs[mem] == raw
+                    )
+                    partner[cand] = mem
+            chain = chain & (partner >= 0)
+            if not chain.any():
+                break
+            pk = np.minimum(partner.clip(min=0), n - 1)
+            # lesser of the colliding pair by (adjusted pos, offset): same
+            # raw position, so the LARGER offset is the lesser pp
+            q = np.where(offs[np.minimum(head, n - 1)] > offs[pk], head, partner)
+            q = np.where(chain, q, 0)
+            cur_a[rix[chain], q[chain]] += 1
+            cq = np.take_along_axis(cur_a, q[:, None], 1)[:, 0]
+            lq = np.take_along_axis(lens_a, q[:, None], 1)[:, 0]
+            exh = chain & (cq >= lq)
+            if exh.any():
+                er = act[exh]
+                eml = ml_a[exh]
+                hit = eml <= slop
+                if hit.any():
+                    idx = er[hit]
+                    freqs[idx] = freqs[idx] + one / (one + eml[hit].astype(dtype))
+                dead_a = dead_a | exh
+                chain = chain & ~exh
+                live = ~dead_a
+                if not chain.any():
+                    break
+            np_ = np.zeros(m, dtype=np.int64)
+            for t in range(n):
+                g = chain & (q == t)
+                if g.any():
+                    np_[g] = plists[t][starts_a[g, t] + cur_a[g, t]] - offs[t]
+            curpos_a[rix[chain], q[chain]] = np_[chain]
+            end_a = np.where(chain, np.maximum(end_a, np_), end_a)
+            head = np.where(chain, q, head)
+
+        live = ~dead_a
+        if not live.any():
+            break
+        # the mover may have advanced again inside its chain: re-read
+        p = np.take_along_axis(curpos_a, mover_a[:, None], 1)[:, 0]
+
+        # 3. p > next_pos -> (maybe emit) + re-pop; else shrink
+        done = live & (p > next_a)
+        if done.any():
+            hit = done & (ml_a <= slop)
+            if hit.any():
+                idx = act[hit]
+                freqs[idx] = freqs[idx] + one / (one + ml_a[hit].astype(dtype))
+            sub = np.flatnonzero(done)
+            keys = curpos_a[sub] * 256 + offs[None, :]
+            mv = np.argmin(keys, axis=1)
+            mover_a[sub] = mv
+            pm = np.take_along_axis(curpos_a[sub], mv[:, None], 1)[:, 0]
+            ml_a[sub] = end_a[sub] - pm
+            keys[np.arange(len(sub)), mv] = np.iinfo(np.int64).max
+            next_a[sub] = keys.min(axis=1) >> np.int64(8)
+        shrink = live & ~done
+        if shrink.any():
+            ml_a = np.where(shrink, np.minimum(ml_a, end_a - p), ml_a)
+
+    out = np.flatnonzero(freqs > 0)
+    return docmap[out], freqs[out]

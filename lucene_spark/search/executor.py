@@ -1555,29 +1555,52 @@ def make_phrase_topk_fn(
             freqs = freqs_d.astype(np.float64)
             dls_m = doclens[rows_i]
         else:
-            # repeating phrase terms: per-doc rptGroups walk
+            # repeating phrase terms (rptGroups, simple case — every pp is
+            # one term so group members share ONE positions list)
             bounds = {
                 t: np.concatenate(([0], np.cumsum(per_term[t][1])))
                 for t in distinct
             }
             offs = [o for _, o in terms_off]
             tlist = [t for t, _ in terms_off]
-            docs_l, freqs_l, dls_l = [], [], []
-            for i, d in enumerate(cand):
-                plists = []
-                for t, _ in terms_off:
-                    b = bounds[t]
-                    plists.append(per_term[t][2][b[i] : b[i + 1]])
-                f = sloppy_phrase_freq(plists, offs, slop, dtype=dtype, terms=tlist)
-                if f > 0:
-                    docs_l.append(d)
-                    freqs_l.append(float(f))
-                    dls_l.append(doclens[i])
-            if not docs_l:
-                return z, z.astype(np.float64), counters
-            docs = np.array(docs_l, dtype=np.int64)
-            freqs = np.array(freqs_l, dtype=np.float64)
-            dls_m = np.array(dls_l, dtype=np.int64)
+            members: Dict[str, list] = {}
+            for i, t in enumerate(tlist):
+                members.setdefault(t, []).append(i)
+            groups = [g for g in members.values() if len(g) > 1]
+            if max(offs) < 256:
+                # batched rptGroups walk: the synchronized micro-step
+                # machinery + vectorized collision chains — no
+                # per-candidate-doc Python (sloppy_rpt_doc_freqs,
+                # bit-identical randomized differential vs the scalar walk)
+                from ..functions.phrase import sloppy_rpt_doc_freqs
+
+                plists = [per_term[t][2] for t, _ in terms_off]
+                bnds = [bounds[t] for t, _ in terms_off]
+                rows_i, freqs_d = sloppy_rpt_doc_freqs(
+                    plists, bnds, offs, slop, groups, dtype=dtype
+                )
+                if len(rows_i) == 0:
+                    return z, z.astype(np.float64), counters
+                docs = cand[rows_i]
+                freqs = freqs_d.astype(np.float64)
+                dls_m = doclens[rows_i]
+            else:
+                docs_l, freqs_l, dls_l = [], [], []
+                for i, d in enumerate(cand):
+                    plists = []
+                    for t, _ in terms_off:
+                        b = bounds[t]
+                        plists.append(per_term[t][2][b[i] : b[i + 1]])
+                    f = sloppy_phrase_freq(plists, offs, slop, dtype=dtype, terms=tlist)
+                    if f > 0:
+                        docs_l.append(d)
+                        freqs_l.append(float(f))
+                        dls_l.append(doclens[i])
+                if not docs_l:
+                    return z, z.astype(np.float64), counters
+                docs = np.array(docs_l, dtype=np.int64)
+                freqs = np.array(freqs_l, dtype=np.float64)
+                dls_m = np.array(dls_l, dtype=np.int64)
 
         scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
         sel_ids, sel_sc = _select_topk(docs, scores, k)

@@ -600,3 +600,96 @@ def test_multiphrase_sloppy_batched_equals_scalar_randomized():
                 assert np.float32(got.get(d, 0.0)) == np.float32(want), (trial, d)
             else:
                 assert d not in got, (trial, d)
+
+
+def test_sloppy_rpt_batched_bit_identical_randomized():
+    """sloppy_rpt_doc_freqs (batched rptGroups walk incl. vectorized
+    collision chains) is BIT-IDENTICAL to the scalar
+    _sloppy_match_lengths_rpt accumulation on randomized repeating-term
+    phrase shapes (VERDICT r4 ask #10)."""
+    import random
+    from collections import defaultdict
+
+    import numpy as np
+
+    from lucene_spark.functions.phrase import (
+        sloppy_match_lengths,
+        sloppy_rpt_doc_freqs,
+    )
+
+    rng = random.Random(427)
+    shapes_by_n = {
+        2: [[("a", 0), ("a", 2)]],
+        3: [[("a", 0), ("b", 1), ("a", 2)], [("a", 0), ("a", 1), ("b", 3)],
+            [("a", 0), ("b", 1), ("b", 2)]],
+        4: [[("a", 0), ("b", 1), ("a", 2), ("b", 3)],
+            [("a", 0), ("a", 1), ("a", 2), ("c", 3)]],
+    }
+    one = np.float32(1)
+    for trial in range(150):
+        shape = rng.choice(shapes_by_n[rng.choice([2, 3, 3, 4])])
+        terms = [t for t, _ in shape]
+        offs = [o for _, o in shape]
+        mem = defaultdict(list)
+        for i, t in enumerate(terms):
+            mem[t].append(i)
+        groups = [g for g in mem.values() if len(g) > 1]
+        slop = rng.randint(0, 4)
+        ndocs = rng.randint(1, 20)
+        distinct = sorted(set(terms))
+        doc_lists = {t: [] for t in distinct}
+        for _ in range(ndocs):
+            for t in distinct:
+                pos = sorted(rng.sample(range(0, 20), rng.randint(1, 8)))
+                doc_lists[t].append(np.array(pos, dtype=np.int64))
+        plists, bounds = [], []
+        for t, _ in shape:
+            plists.append(np.concatenate(doc_lists[t]))
+            bounds.append(np.concatenate(
+                ([0], np.cumsum([len(x) for x in doc_lists[t]]))))
+        rows, freqs = sloppy_rpt_doc_freqs(plists, bounds, offs, slop, groups)
+        got = dict(zip(rows.tolist(), freqs.tolist()))
+        for d in range(ndocs):
+            f = np.float32(0.0)
+            for ml in sloppy_match_lengths(
+                [doc_lists[t][d] for t, _ in shape], offs, slop, groups=groups
+            ):
+                f = f + one / (one + np.float32(ml))
+            if f > 0:
+                assert np.float32(got[d]) == f, (trial, d, shape, slop)
+            else:
+                assert d not in got, (trial, d, shape, slop)
+
+
+def test_sloppy_rpt_batched_scalar_tail_consistent():
+    """The convoy-cutoff scalar tail (few surviving docs with long lists)
+    produces the same freqs as the pure batched path."""
+    import numpy as np
+
+    from lucene_spark.functions import phrase as ph
+
+    rng = np.random.default_rng(8)
+    ndocs = 150
+    doc_a, doc_b = [], []
+    for d in range(ndocs):
+        # one long doc keeps the walk alive after the others die
+        na = 400 if d == 0 else int(rng.integers(2, 6))
+        pool = rng.permutation(1000)
+        doc_a.append(np.sort(pool[:na]).astype(np.int64))
+        doc_b.append(np.sort(pool[na:na + 3]).astype(np.int64))
+    pa = np.concatenate(doc_a)
+    ba = np.concatenate(([0], np.cumsum([len(x) for x in doc_a])))
+    pb = np.concatenate(doc_b)
+    bb = np.concatenate(([0], np.cumsum([len(x) for x in doc_b])))
+    rows, freqs = ph.sloppy_rpt_doc_freqs(
+        [pa, pb, pa], [ba, bb, ba], [0, 1, 2], 3, [[0, 2]]
+    )
+    got = dict(zip(rows.tolist(), [float(f) for f in freqs]))
+    for d in range(ndocs):
+        f = ph.sloppy_phrase_freq(
+            [doc_a[d], doc_b[d], doc_a[d]], [0, 1, 2], 3, terms=["a", "b", "a"]
+        )
+        if f > 0:
+            assert np.float32(got[d]) == np.float32(f), d
+        else:
+            assert d not in got, d
