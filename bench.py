@@ -235,6 +235,27 @@ def main() -> None:
             )
     ratio = ratios.get("and_rare_hot")
 
+    # --- round-5 operators over the sf corpus (positions + offsets index,
+    # build cached outside the timed window)
+    offs_idx = entry._offs_index(spark, sf_dir)
+    # repeating-term sloppy phrase ("spark X spark", hot term repeated):
+    # the batched rptGroups micro-step walk (no per-candidate-doc Python)
+    from lucene_spark.search.executor import search_phrase
+
+    t0 = time.perf_counter()
+    search_phrase(
+        offs_idx, [("spark", 0), ("join", 1), ("spark", 2)], slop=3, k=K
+    ).collect()
+    q_secs["q_sloppy_rpt_phrase"] = round(time.perf_counter() - t0, 4)
+    # sentence-snapped passage highlighting from the offsets stream
+    from lucene_spark.search.highlight import passage_highlight_topk
+
+    t0 = time.perf_counter()
+    passage_highlight_topk(
+        offs_idx, normalize(should=["spark", "join"]), k=10, source="postings"
+    ).collect()
+    q_secs["passage_highlight_top10"] = round(time.perf_counter() - t0, 4)
+
     # --- percolator at 10k stored queries: the term-partitioned pre-filter
     # (one equi-join + one agg) vs broadcast cross-evaluation
     from lucene_spark.streaming import percolate_batch, percolate_prefiltered
@@ -272,6 +293,20 @@ def main() -> None:
     t0 = time.perf_counter()
     percolate_full(doc_df, qdf_full).count()
     q_secs[f"percolate_{nq//1000}k_full"] = round(time.perf_counter() - t0, 4)
+    # arbitrary-query percolation: 10k STRING queries (nested boolean +
+    # NOT + phrase + prefix shapes) through decompose + the join legs
+    from lucene_spark.streaming import percolate_tree
+
+    tree_q = [
+        (i, f"({words[i % V]} OR {words[(i * 7 + 1) % V]}) "
+            f"AND {words[(i * 13 + 2) % V]}"
+            + (f" -{words[(i * 3 + 5) % V]}" if i % 5 == 0 else "")
+            + (f" AND {words[(i * 11 + 3) % V][:4]}*" if i % 9 == 0 else ""))
+        for i in range(nq)
+    ]
+    t0 = time.perf_counter()
+    percolate_tree(doc_df, tree_q).count()
+    q_secs[f"percolate_{nq//1000}k_tree"] = round(time.perf_counter() - t0, 4)
     # crossJoin broadcast form: kept ONLY as a tiny-set comparison row
     # (<=200 queries) — it is the O(docs x queries) baseline the
     # prefiltered plan replaces, not a headline (VERDICT r4 weak#1)
