@@ -343,6 +343,52 @@ def q_synonym_topk(spark, sf):
 MLT_SEED_DOC = 0
 
 
+def _tvec_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Index with per-doc term vectors (TermVectorsFormat analog) and NO
+    stored content — MoreLikeThis seeds straight from the docid-major
+    (docid, term, tf) store."""
+    key = ("tvec", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_tvec"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("text", "content")
+    )
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+        term_vectors=True, keep_content=False,
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_term_vector_doc(spark, sf):
+    """One doc's term vector read from the docid-major store (parquet
+    row-group pruning on docid) — term/tf rows, term-ordered."""
+    return (
+        _tvec_index(spark, sf)
+        .term_vector(MLT_SEED_DOC)
+        .select("term", F.col("tf").cast("long").alias("tf"))
+        .orderBy("term")
+    )
+
+
+def q_mlt_term_vector_topk(spark, sf):
+    """MoreLikeThis seeded from the TERM VECTOR instead of re-analysis
+    (MoreLikeThis.java:149 over TermVectorsFormat): identical result to
+    the stored-content MLT, but needs no stored content at all."""
+    from lucene_spark.search.aggregates import more_like_this_from_doc
+
+    res = more_like_this_from_doc(_tvec_index(spark, sf), MLT_SEED_DOC,
+                                  max_terms=3, k=10)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 def q_more_like_this(spark, sf):
     """MoreLikeThis (MoreLikeThis.java:149): top-3 tf*idf terms of the seed
     doc -> OR query top-10."""
@@ -1506,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 additions: never driver-checked yet
         "percolate_full": q_percolate_full,
         "percolate_tree": q_percolate_tree,
+        "term_vector_doc": q_term_vector_doc,
+        "mlt_term_vector_topk": q_mlt_term_vector_topk,
         "feature_saturation_topk": q_feature_saturation_topk,
         "sort_after_page2": q_sort_after_page2,
         "suggest_complete": q_suggest_complete,
@@ -2354,6 +2402,10 @@ FROM documents ORDER BY doc_id""",
         "percolate": _percolate_sql(),
         "percolate_full": _percolate_full_sql(),
         "percolate_tree": _percolate_tree_sql(),
+        "term_vector_doc": f"WITH {TOKS_CTE.strip()} "
+        f"SELECT term, count(*) AS tf FROM toks WHERE doc_id = {MLT_SEED_DOC} "
+        "GROUP BY term ORDER BY term",
+        "mlt_term_vector_topk": _mlt_sql(),
         "tpch_join_util": """
 SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

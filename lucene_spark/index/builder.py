@@ -148,6 +148,11 @@ class IndexConfig:
     # original position and are discounted from norms (discountOverlaps).
     # Chain order: tokenize -> lower -> stop -> [stem] -> [synonyms].
     synonyms: Optional[object] = None
+    # per-doc term vectors (TermVectorsFormat analog): a docid-major
+    # (docid, term, tf[, positions]) parquet store written at build —
+    # MoreLikeThis-from-a-doc and per-doc term inspection without
+    # re-analysis, and without needing stored content
+    term_vectors: bool = False
     # "standard" (default) or "cjk_bigram" (CJKAnalyzer analog,
     # functions/cjk.py): adjacent Han/hiragana single-char tokens fuse
     # into overlapping bigrams; query text must go through
@@ -226,6 +231,10 @@ class IndexPaths:
     @property
     def norms(self) -> str:
         return os.path.join(self.root, "norms")
+
+    @property
+    def tvec(self) -> str:
+        return os.path.join(self.root, "tvec")
 
     @property
     def postings(self) -> str:
@@ -590,6 +599,38 @@ def _invert_group(
         filesystem=fs,
     )
 
+    if cfg.term_vectors:
+        # --- term vectors (TermVectorsFormat analog,
+        # codecs/TermVectorsFormat.java): the SAME inverted arrays written
+        # docid-major — per-doc term/tf(/positions) without re-analysis.
+        # Rows sorted by docid -> parquet min/max stats prune on docid.
+        fsio.mkdirs(fs, paths.fs_path(paths.tvec))
+        perm = np.lexsort((p_codes, p_ids))
+        tv_tbl = pa.table(
+            {
+                "docid": pa.array(p_ids[perm], type=pa.int64()),
+                "term": pa.array(uniq_terms[p_codes[perm]], type=pa.string()),
+                "tf": pa.array(p_tfs[perm].astype(np.int32), type=pa.int32()),
+            }
+        )
+        if pos_sorted is not None and len(p_codes):
+            # (term, doc) runs are contiguous in pos_sorted: list offsets
+            # are the run bounds; take() reorders rows to docid-major
+            lo = pa.array(
+                np.concatenate((run_starts, [run_ends[-1] if len(run_ends) else 0]))
+                .astype(np.int32)
+            )
+            plist = pa.ListArray.from_arrays(
+                lo, pa.array(pos_sorted, type=pa.int64())
+            ).take(pa.array(perm))
+            tv_tbl = tv_tbl.append_column("positions", plist)
+        pq.write_table(
+            tv_tbl,
+            paths.fs_path(os.path.join(paths.tvec, f"segment-{segment_id:05d}.parquet")),
+            row_group_size=16384,
+            filesystem=fs,
+        )
+
     drop = {"__pid__"} | (set() if cfg.keep_content else {cfg.content_col})
     if cfg.docid_col == "docid":
         # the engine column below carries the same values; keeping the
@@ -855,6 +896,10 @@ def finalize_index(
         bool(prev["index_offsets"]) if "index_offsets" in prev
         else bool(cfg.index_offsets)
     )
+    tvec_stamp = (
+        bool(prev["term_vectors"]) if "term_vectors" in prev
+        else bool(cfg.term_vectors)
+    )
     fs = {
         "max_doc": int(sum(r["num_docs"] for r in manifest_rows)),
         "doc_count": int(sum(r["doc_count"] for r in manifest_rows)),
@@ -872,6 +917,7 @@ def finalize_index(
         "analysis_fingerprint": fingerprint,
         "index_positions": positions_stamp,
         "index_offsets": offsets_stamp,
+        "term_vectors": tvec_stamp,
     }
     fsio.write_json_atomic(paths.fs, fs_marker, fs)
     if profile:
@@ -1081,13 +1127,22 @@ def append_to_index(
     # with the existing vocabulary (stamp written by finalize_index)
     fs_path = paths.fs_path(paths.field_stats)
     if fsio.exists(paths.fs, fs_path):
-        stamped = fsio.read_json(paths.fs, fs_path).get("analysis_fingerprint")
+        prev_fs = fsio.read_json(paths.fs, fs_path)
+        stamped = prev_fs.get("analysis_fingerprint")
         if stamped is not None and stamped != cfg.analysis_fingerprint():
             raise ValueError(
                 "append_to_index: analysis chain mismatch — the index was "
                 f"built with fingerprint {stamped}, this IndexConfig hashes "
                 f"to {cfg.analysis_fingerprint()} (stop_words/stemmer/"
                 "synonyms/index_positions must match the original build)"
+            )
+        tv = prev_fs.get("term_vectors")
+        if tv is not None and bool(tv) != bool(cfg.term_vectors):
+            raise ValueError(
+                "append_to_index: term_vectors mismatch — the index was "
+                f"built with term_vectors={bool(tv)}; appending with "
+                f"term_vectors={bool(cfg.term_vectors)} would leave the "
+                "per-doc store inconsistent across segments"
             )
     if cfg.docid_col:
         from pyspark.sql import functions as F

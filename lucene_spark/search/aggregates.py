@@ -326,3 +326,39 @@ def sort_search_after(
         (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in sort_spec
     ] + [F.col("docid").asc()]
     return m.select("docid", *cols).filter(pred).orderBy(*order).limit(k)
+
+
+def more_like_this_from_doc(
+    index: Index, docid: int, max_terms: int = 3, k: int = 10,
+    quantize: bool = False, **kw
+) -> DataFrame:
+    """MoreLikeThis seeded from a doc's TERM VECTOR (MoreLikeThis.java:149
+    via TermVectorsFormat instead of re-analysis): top ``max_terms`` terms
+    of the doc by tf*idf become an OR query. Works without stored content
+    (keep_content=False) — the whole seed read touches one docid's parquet
+    row groups."""
+    import numpy as np
+
+    from .executor import search_topk
+    from .plan import normalize
+
+    tv = [
+        (r["term"], int(r["tf"]))
+        for r in index.term_vector(docid).select("term", "tf").collect()
+    ]
+    if not tv:
+        raise ValueError(f"doc {docid} has no term vector (unknown docid?)")
+    stats = index.term_stats_for([t for t, _ in tv])
+    n = index.field_stats.doc_count
+    scored = [
+        (t, tf * float(np.log(1.0 + (n - stats[t][0] + 0.5) / (stats[t][0] + 0.5))))
+        for t, tf in tv
+        if t in stats
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    terms = [t for t, _ in scored[:max_terms]]
+    q = normalize(should=terms, pre_analyzed=True)
+    import numpy as _np
+
+    return search_topk(index, q, k=k, quantize=quantize,
+                       dtype=_np.float64 if not quantize else _np.float32, **kw)

@@ -101,6 +101,8 @@ class Index:
         io_ = fs.get("index_offsets")
         # None = pre-offsets-format index (unknown -> treated as absent)
         self.has_offsets: Optional[bool] = None if io_ is None else bool(io_)
+        tv = fs.get("term_vectors")
+        self.has_term_vectors: Optional[bool] = None if tv is None else bool(tv)
         self._merged_dir = paths.merged_g(self.generation)
         self._term_stats_dir = paths.term_stats_g(self.generation)
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
@@ -275,6 +277,22 @@ class Index:
     @property
     def norms(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.norms)
+
+    @property
+    def term_vectors(self) -> DataFrame:
+        """Per-doc term vectors (TermVectorsFormat analog): docid-major
+        (docid, term, tf[, positions]) rows; requires a
+        term_vectors=True build."""
+        if not self.has_term_vectors:
+            raise ValueError(
+                "index has no term vectors (IndexConfig(term_vectors=True))"
+            )
+        return self.spark.read.parquet(self.paths.tvec)
+
+    def term_vector(self, docid: int) -> DataFrame:
+        """One doc's term vector — the docid filter prunes parquet row
+        groups (rows are docid-sorted per segment shard)."""
+        return self.term_vectors.filter(F.col("docid") == int(docid))
 
     def term_stats_for(self, terms: Sequence[str]) -> Dict[str, Tuple[int, int]]:
         """Driver-side lookup of (df, ttf) for a few query terms
