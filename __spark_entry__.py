@@ -343,6 +343,68 @@ def q_synonym_topk(spark, sf):
 MLT_SEED_DOC = 0
 
 
+QSYN_RULES = {"hash join": ["table scan"]}
+QSYN_TEXT = "slow hash join"
+
+
+def q_synonym_query_topk(spark, sf):
+    """QUERY-time synonym graph (SynonymGraphFilter at query time +
+    QueryBuilder.analyzeGraphBoolean): 'hash join' in the query text
+    lowers to a SHOULD group of the original phrase and the multi-word
+    output phrase; runs against the PLAIN index (no index-time synonyms)."""
+    from lucene_spark.functions.synonyms import synonym_query_tree
+    from lucene_spark.search.executor import search_query
+
+    tree = synonym_query_tree(QSYN_TEXT, QSYN_RULES)
+    res = search_query(
+        _index(spark, sf), tree, k=10, quantize=False, dtype=np.float64
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def _synonym_query_sql() -> str:
+    """Oracle for q_synonym_query_topk: BM25 term leg for 'slow' + one
+    exact-phrase leg per graph alternative (phrase weight = sum of its
+    terms' idfs, tf = phrase freq); doc score = sum of matching legs."""
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+
+    def phrase_leg(tag, a, b):
+        return f""",
+m{tag} AS (SELECT t0.doc_id, count(*) AS freq FROM tpos t0
+      JOIN tpos t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      WHERE t0.term = '{a}' AND t1.term = '{b}' GROUP BY 1),
+w{tag} AS (SELECT sum(ln(1 + (fs.doc_cnt - d.df + 0.5) / (d.df + 0.5))) AS w
+      FROM (SELECT term, count(*) AS df FROM tf
+            WHERE term IN ('{a}', '{b}') GROUP BY 1) d CROSS JOIN fs),
+leg{tag} AS (SELECT m.doc_id,
+      w.w - w.w / (1 + CAST(m.freq AS DOUBLE) * {ninv}) AS s
+      FROM m{tag} m JOIN dl ON m.doc_id = dl.doc_id
+      CROSS JOIN w{tag} w CROSS JOIN fs)"""
+
+    return (
+        "WITH "
+        + BM25_CTES
+        + ","
+        + TPOS_CTE.strip()
+        + f""",
+w0 AS (SELECT ln(1 + (fs.doc_cnt - d.df + 0.5) / (d.df + 0.5)) AS w
+       FROM (SELECT count(*) AS df FROM tf WHERE term = 'slow') d
+       CROSS JOIN fs),
+leg0 AS (SELECT tf.doc_id,
+       w.w - w.w / (1 + CAST(tf.tf AS DOUBLE) * {ninv}) AS s
+       FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN w0 w CROSS JOIN fs WHERE tf.term = 'slow')"""
+        + phrase_leg("1", "hash", "join")
+        + phrase_leg("2", "table", "scan")
+        + """,
+u AS (SELECT doc_id, s FROM leg0
+      UNION ALL SELECT doc_id, s FROM leg1
+      UNION ALL SELECT doc_id, s FROM leg2)
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM u GROUP BY 1 ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
+    )
+
+
 def _tvec_index(spark: SparkSession, sf_dir: str) -> Index:
     """Index with per-doc term vectors (TermVectorsFormat analog) and NO
     stored content — MoreLikeThis seeds straight from the docid-major
@@ -1553,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_full": q_percolate_full,
         "percolate_tree": q_percolate_tree,
         "term_vector_doc": q_term_vector_doc,
+        "synonym_query_topk": q_synonym_query_topk,
         "mlt_term_vector_topk": q_mlt_term_vector_topk,
         "feature_saturation_topk": q_feature_saturation_topk,
         "sort_after_page2": q_sort_after_page2,
@@ -2402,6 +2465,7 @@ FROM documents ORDER BY doc_id""",
         "percolate": _percolate_sql(),
         "percolate_full": _percolate_full_sql(),
         "percolate_tree": _percolate_tree_sql(),
+        "synonym_query_topk": _synonym_query_sql(),
         "term_vector_doc": f"WITH {TOKS_CTE.strip()} "
         f"SELECT term, count(*) AS tf FROM toks WHERE doc_id = {MLT_SEED_DOC} "
         "GROUP BY term ORDER BY term",

@@ -263,3 +263,70 @@ def multiword_expansion(
         np.concatenate([flat_pos] + add_pos),
         new_vocab,
     )
+
+
+def synonym_query_tree(text: str, synonyms: SynonymSpec, stop_words=None):
+    """QUERY-time synonym graph (SynonymGraphFilter at query time +
+    QueryBuilder graph queries, util/QueryBuilder.java analyzeGraphBoolean):
+    analyze the query text, match multi-word rule sources leftmost-longest
+    on position adjacency, and lower each match to a SHOULD group of the
+    original phrase plus every output (terms for 1-token outputs, exact
+    phrases for multi-token); single-token rule hits become a SHOULD group
+    of the stacked terms (SynonymQuery shape with per-term idf — a
+    documented divergence from the reference's blended-df SynonymQuery;
+    the engine's blended form lives in executor.blended_term_topk).
+
+    Returns a query TREE (QBool of SHOULD clauses) for search_query /
+    search_tree — use against indexes built WITHOUT index-time synonyms.
+    """
+    from ..analysis import ENGLISH_STOP_WORDS, analyze_with_positions
+    from ..search.plan import QBool, QPhrase, QTerm, SHOULD
+
+    if stop_words is None:
+        stop_words = ENGLISH_STOP_WORDS
+    toks = analyze_with_positions(text, stop_words)
+    singles, multi = split_rules(synonyms)
+    # leftmost-longest: try longer sources first at each anchor
+    multi_sorted = sorted(multi, key=lambda r: -len(r[0]))
+
+    def as_node(words):
+        if len(words) == 1:
+            return QTerm(words[0])
+        return QPhrase(tuple((w, j) for j, w in enumerate(words)))
+
+    clauses = []
+    i = 0
+    while i < len(toks):
+        hit = None
+        for src, outs in multi_sorted:
+            L = len(src)
+            if i + L > len(toks):
+                continue
+            window = toks[i : i + L]
+            if tuple(t for t, _ in window) != src:
+                continue
+            # adjacency: a stop hole between source words breaks the match
+            if any(window[j][1] != window[0][1] + j for j in range(L)):
+                continue
+            hit = (src, outs, L)
+            break
+        if hit:
+            src, outs, L = hit
+            alts = [as_node(list(src))] + [as_node(list(o)) for o in outs]
+            clauses.append(QBool(tuple((SHOULD, a) for a in alts)))
+            i += L
+            continue
+        t = toks[i][0]
+        exp = singles.get(t)
+        if exp and len(exp) > 1:
+            clauses.append(QBool(tuple((SHOULD, QTerm(w)) for w in exp)))
+        else:
+            clauses.append(QTerm(t))
+        i += 1
+    if not clauses:
+        from ..search.plan import MatchNone
+
+        return None
+    if len(clauses) == 1:
+        return clauses[0]
+    return QBool(tuple((SHOULD, c) for c in clauses))

@@ -258,3 +258,54 @@ def test_multiphrase_synonym_stacked_dedup(spark, tmp_path):
         score_arrays(np.array([1]), np.array([3]), w, idx.field_stats.avgdl())[0]
     )
     assert got[0]["score"] == pytest.approx(want, rel=1e-6)
+
+
+def test_synonym_query_tree_shapes():
+    """Query-time graph lowering: leftmost-longest multi-word matching,
+    stop holes break adjacency, singles become SHOULD groups."""
+    from lucene_spark.functions.synonyms import synonym_query_tree
+    from lucene_spark.search.plan import QBool, QPhrase, QTerm
+
+    t = synonym_query_tree("slow hash join", {"hash join": ["table scan"]})
+    assert isinstance(t, QBool) and len(t.clauses) == 2
+    grp = t.clauses[1][1]
+    assert isinstance(grp, QBool)
+    alts = [c for _, c in grp.clauses]
+    assert all(isinstance(a, QPhrase) for a in alts)
+    assert [tuple(x[0] for x in a.terms_off) for a in alts] == [
+        ("hash", "join"), ("table", "scan")
+    ]
+    # a stopword between the source words keeps them plain terms
+    t2 = synonym_query_tree("hash of join", {"hash join": ["x"]})
+    assert all(isinstance(c, QTerm) for _, c in t2.clauses)
+    # single-token group -> SHOULD of terms
+    t3 = synonym_query_tree("fast", (("fast", "quick"),))
+    assert isinstance(t3, QBool)
+    assert {c.term for _, c in t3.clauses} == {"fast", "quick"}
+
+
+def test_synonym_query_tree_end_to_end(spark, tmp_path):
+    """Against a PLAIN index (no index-time synonyms): a doc containing
+    only the output phrase matches the graph query."""
+    from lucene_spark.functions.synonyms import synonym_query_tree
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index, search_query
+
+    rows = [
+        (0, "slow hash join runs"),
+        (1, "slow table scan runs"),
+        (2, "hash table only"),
+        (3, "unrelated words"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",),
+                      num_segments=2, index_positions=True,
+                      hot_df_threshold=100)
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "qsyn"), cfg))
+    tree = synonym_query_tree("slow hash join", {"hash join": ["table scan"]})
+    got = search_query(idx, tree, k=10).collect()
+    ids = [r["docid"] for r in got]
+    # docs 0 (original phrase) and 1 (synonym phrase) both match and beat
+    # doc 2/3 (no phrase, no 'slow')
+    assert set(ids[:2]) == {0, 1}
+    assert 3 not in ids
