@@ -283,6 +283,12 @@ def percolate_tree(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
     )
     key = ["qid", "cid"]
+    # the stored-query shape is known on the driver: legs whose constraint
+    # kind appears in NO clause are skipped entirely (no tokenize/join jobs
+    # for them — the Monitor similarly indexes queries by structure)
+    any_phrases = any(r[4] for r in rows)
+    any_patterns = any(r[5] for r in rows)
+    any_nots = any(r[3] for r in rows)
 
     # --- terms leg: all of the clause's terms present
     tleg = clauses.filter(F.size("terms") > 0).select(
@@ -298,54 +304,64 @@ def percolate_tree(
 
     # --- pattern leg: expand LIKE patterns against the batch vocabulary,
     # then equi-join; every pattern must be matched by >= 1 doc token
-    prow = clauses.filter(F.size("patterns") > 0).select(
-        *key, F.size("patterns").alias("n_pat"), F.explode("patterns").alias("pat")
-    )
-    vocab = dterms.select("term").distinct()
-    pterm = vocab.join(F.broadcast(prow), F.expr("term LIKE pat"))
-    ok_x = (
-        pterm.join(dterms, "term")
-        .groupBy(*key, "n_pat", "doc_id")
-        .agg(F.count_distinct("pat").alias("nm"))
-        .filter(F.col("nm") == F.col("n_pat"))
-        .select(*key, "doc_id")
-    )
+    ok_x = None
+    if any_patterns:
+        prow = clauses.filter(F.size("patterns") > 0).select(
+            *key, F.size("patterns").alias("n_pat"), F.explode("patterns").alias("pat")
+        )
+        vocab = dterms.select("term").distinct()
+        pterm = vocab.join(F.broadcast(prow), F.expr("term LIKE pat"))
+        ok_x = (
+            pterm.join(dterms, "term")
+            .groupBy(*key, "n_pat", "doc_id")
+            .agg(F.count_distinct("pat").alias("nm"))
+            .filter(F.col("nm") == F.col("n_pat"))
+            .select(*key, "doc_id")
+        )
 
     # --- phrase leg: anchor trick per phrase, then all phrases present
-    ph = clauses.filter(F.size("phrases") > 0).select(
-        *key, F.size("phrases").alias("n_ph"),
-        F.posexplode("phrases").alias("pid", "phr"),
-    )
-    slots = ph.select(
-        *key, "n_ph", "pid", F.size("phr").alias("n_slots"),
-        F.posexplode("phr").alias("slot", "term"),
-    )
-    dpos = docs.select(
-        "doc_id", F.posexplode(tokens(text_col)).alias("pos", "term")
-    )
-    anchored = (
-        dpos.join(slots, "term")
-        .select(*key, "n_ph", "pid", "doc_id", "n_slots",
-                "slot", (F.col("pos") - F.col("slot")).alias("anchor"))
-        .groupBy(*key, "n_ph", "pid", "doc_id", "anchor", "n_slots")
-        .agg(F.count_distinct("slot").alias("hit_slots"))
-        .filter(F.col("hit_slots") == F.col("n_slots"))
-        .select(*key, "n_ph", "pid", "doc_id")
-        .distinct()
-    )
-    ok_p = (
-        anchored.groupBy(*key, "n_ph", "doc_id")
-        .agg(F.count_distinct("pid").alias("nm"))
-        .filter(F.col("nm") == F.col("n_ph"))
-        .select(*key, "doc_id")
-    )
+    ok_p = None
+    if any_phrases:
+        ph = clauses.filter(F.size("phrases") > 0).select(
+            *key, F.size("phrases").alias("n_ph"),
+            F.posexplode("phrases").alias("pid", "phr"),
+        )
+        slots = ph.select(
+            *key, "n_ph", "pid", F.size("phr").alias("n_slots"),
+            F.posexplode("phr").alias("slot", "term"),
+        )
+        dpos = docs.select(
+            "doc_id", F.posexplode(tokens(text_col)).alias("pos", "term")
+        )
+        anchored = (
+            dpos.join(slots, "term")
+            .select(*key, "n_ph", "pid", "doc_id", "n_slots",
+                    "slot", (F.col("pos") - F.col("slot")).alias("anchor"))
+            .groupBy(*key, "n_ph", "pid", "doc_id", "anchor", "n_slots")
+            .agg(F.count_distinct("slot").alias("hit_slots"))
+            .filter(F.col("hit_slots") == F.col("n_slots"))
+            .select(*key, "n_ph", "pid", "doc_id")
+            .distinct()
+        )
+        ok_p = (
+            anchored.groupBy(*key, "n_ph", "doc_id")
+            .agg(F.count_distinct("pid").alias("nm"))
+            .filter(F.col("nm") == F.col("n_ph"))
+            .select(*key, "doc_id")
+        )
 
     # --- combine: every applicable leg must hold
+    sat = ok_t.withColumns({"t": F.lit(1), "p": F.lit(0), "x": F.lit(0)})
+    if ok_p is not None:
+        sat = sat.unionByName(
+            ok_p.withColumns({"t": F.lit(0), "p": F.lit(1), "x": F.lit(0)})
+        )
+    if ok_x is not None:
+        sat = sat.unionByName(
+            ok_x.withColumns({"t": F.lit(0), "p": F.lit(0), "x": F.lit(1)})
+        )
     sat = (
-        ok_t.withColumns({"t": F.lit(1), "p": F.lit(0), "x": F.lit(0)})
-        .unionByName(ok_p.withColumns({"t": F.lit(0), "p": F.lit(1), "x": F.lit(0)}))
-        .unionByName(ok_x.withColumns({"t": F.lit(0), "p": F.lit(0), "x": F.lit(1)}))
-        .groupBy(*key, "doc_id")
+        sat.groupBy(*key, "doc_id")
         .agg(F.max("t").alias("t"), F.max("p").alias("p"), F.max("x").alias("x"))
     )
     meta = clauses.select(
@@ -361,9 +377,10 @@ def percolate_tree(
     )
 
     # --- NOT leg: anti-join docs containing any excluded term
-    nrow = clauses.select(*key, F.explode("not_terms").alias("term"))
-    bad = nrow.join(dterms, "term").select(*key, "doc_id").distinct()
-    match = match.join(bad, key + ["doc_id"], "left_anti")
+    if any_nots:
+        nrow = clauses.select(*key, F.explode("not_terms").alias("term"))
+        bad = nrow.join(dterms, "term").select(*key, "doc_id").distinct()
+        match = match.join(bad, key + ["doc_id"], "left_anti")
 
     return match.select("qid", "doc_id").distinct()
 
