@@ -1180,6 +1180,33 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+def _hnsw_index_dir(spark, sf) -> str:
+    slug = os.path.abspath(sf).strip("/").replace("/", "_")
+    d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_hnsw"
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        from lucene_spark.pipeline.hnsw import build_hnsw_index
+
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        build_hnsw_index(emb, d, dim=64, M=12, ef_construction=80,
+                         num_shards=4, seed=42)
+    return d
+
+
+def q_ann_hnsw_topk(spark, sf):
+    """Sharded HNSW ANN (HnswGraphSearcher.java:40 analog — one graph per
+    shard like Lucene's per-segment HNSW, searched in parallel, per-leaf
+    top-k merged). ef_search covers the shard size here, so the result is
+    exact cosine top-10 — recall-vs-bruteforce is pytest-asserted; no SQL
+    oracle exists for a graph walk (rows-only driver check, like
+    ann_ivf_topk)."""
+    from lucene_spark.pipeline.hnsw import hnsw_index_topk
+
+    return hnsw_index_topk(
+        spark, _hnsw_index_dir(spark, sf), _ann_query_vec(spark, sf),
+        k=10, ef_search=256,
+    )
+
+
 IVF_FIXED_NLIST, IVF_FIXED_NPROBE = 8, 3
 
 
@@ -1616,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_tree": q_percolate_tree,
         "term_vector_doc": q_term_vector_doc,
         "synonym_query_topk": q_synonym_query_topk,
+        "ann_hnsw_topk": q_ann_hnsw_topk,
         "mlt_term_vector_topk": q_mlt_term_vector_topk,
         "feature_saturation_topk": q_feature_saturation_topk,
         "sort_after_page2": q_sort_after_page2,

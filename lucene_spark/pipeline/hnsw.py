@@ -1,0 +1,321 @@
+"""Sharded HNSW approximate nearest neighbor (graph-based KNN).
+
+The reference's KNN vector search is HNSW
+(lucene/core/src/java/org/apache/lucene/util/hnsw/HnswGraphBuilder.java:60,
+HnswGraphSearcher.java:40, search/KnnFloatVectorQuery.java:48). A single
+global HNSW graph does not shard; the Spark-first shape is the same one
+Lucene itself uses — one graph PER SEGMENT, searched in parallel and
+merged (Lucene builds an HNSW per segment and IndexSearcher merges the
+per-leaf top-k). Here: the embedding table is hash-partitioned into P
+shards, each shard builds its own in-memory graph inside one
+mapInPandas task and serializes it (npz bytes) through the fsio seam;
+a query searches every shard's graph in parallel (one task per shard,
+ef_search beam) and the driver merges k results. At 100 TB the shard
+count scales with the data (bounded vectors per graph) and searches
+stay embarrassingly parallel — no all-pairs anything.
+
+The graph algorithm is the published HNSW construction (Malkov &
+Yashunin, arXiv:1603.09320 — the same paper the reference cites):
+geometric level assignment (ml = 1/ln(M)), greedy descent on upper
+levels, ef_construction beam + simple-neighbor selection on level <= L,
+bidirectional links pruned to M (2M at level 0). Distances are COSINE
+via normalized dot products (vectors are L2-normalized at build, like
+Lucene's DOT_PRODUCT-over-normalized convention).
+
+No SQL oracle exists for a graph walk; correctness is recall-tested
+against brute-force cosine (and exact at ef >= shard size).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index import fsio
+
+
+def _l2_normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(n, 1e-12)
+
+
+def hnsw_build(vectors: np.ndarray, M: int = 16, ef_construction: int = 100,
+               seed: int = 42):
+    """Build an HNSW graph over L2-normalized ``vectors`` (n, d).
+
+    Returns (levels int32[n], neighbors): ``neighbors[l]`` is an int32
+    array (n_l?, ...) stored as a dict {level: {node: int32 array}} in a
+    flat CSR-ish form — per level l, ``nbr[l]`` maps node -> neighbor ids.
+    Pure numpy + small python loops per inserted node (construction is a
+    per-shard, in-task cost; search is the hot path).
+    """
+    rng = np.random.default_rng(seed)
+    n = len(vectors)
+    if n == 0:
+        return np.empty(0, np.int32), []
+    V = _l2_normalize(np.asarray(vectors, dtype=np.float32))
+    ml = 1.0 / np.log(M)
+    levels = np.minimum(
+        (-np.log(rng.random(n)) * ml).astype(np.int32), 31
+    )
+    max_level = int(levels.max())
+    # nbr[l][i] = list of neighbor ids of node i at level l
+    nbr: List[dict] = [dict() for _ in range(max_level + 1)]
+    max_conn = [2 * M] + [M] * max_level
+
+    def dist(i, q):  # 1 - cos; lower = closer
+        return 1.0 - float(V[i] @ q)
+
+    def dists(ids, q):
+        return 1.0 - V[np.asarray(ids, dtype=np.int64)] @ q
+
+    def search_layer(q, entry, ef, l):
+        visited = {entry}
+        d0 = dist(entry, q)
+        cand = [(d0, entry)]  # min-heap by dist
+        best = [(-d0, entry)]  # max-heap of current ef best
+        import heapq
+
+        heapq.heapify(cand)
+        heapq.heapify(best)
+        while cand:
+            dc, c = heapq.heappop(cand)
+            if dc > -best[0][0]:
+                break
+            for e in nbr[l].get(c, ()):
+                if e in visited:
+                    continue
+                visited.add(e)
+                de = dist(e, q)
+                if len(best) < ef or de < -best[0][0]:
+                    heapq.heappush(cand, (de, e))
+                    heapq.heappush(best, (-de, e))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        out = sorted((-bd, e) for bd, e in best)
+        return out  # [(dist, id)] ascending
+
+    def select(cands, m):
+        # simple neighbor selection: closest m (SELECT_SIMPLE)
+        return [e for _, e in sorted(cands)[:m]]
+
+    entry_point = 0
+    entry_level = int(levels[0])
+    for l in range(entry_level + 1):
+        nbr[l][0] = np.empty(0, dtype=np.int32)
+    for i in range(1, n):
+        q = V[i]
+        li = int(levels[i])
+        ep = entry_point
+        for l in range(entry_level, li, -1):
+            # greedy descent
+            changed = True
+            dep = dist(ep, q)
+            while changed:
+                changed = False
+                for e in nbr[l].get(ep, ()):
+                    de = dist(e, q)
+                    if de < dep:
+                        dep, ep, changed = de, int(e), True
+        for l in range(min(li, entry_level), -1, -1):
+            found = search_layer(q, ep, ef_construction, l)
+            sel = select(found, M)
+            nbr[l][i] = np.array(sel, dtype=np.int32)
+            for e in sel:
+                cur = nbr[l].get(e)
+                cur = [] if cur is None else list(cur)
+                cur.append(i)
+                if len(cur) > max_conn[min(l, len(max_conn) - 1)]:
+                    ds = dists(cur, V[e])
+                    keep = np.argsort(ds, kind="stable")[: max_conn[min(l, len(max_conn) - 1)]]
+                    cur = [cur[int(j)] for j in keep]
+                nbr[l][e] = np.array(cur, dtype=np.int32)
+            ep = found[0][1]
+        if li > entry_level:
+            for l in range(entry_level + 1, li + 1):
+                nbr[l][i] = np.empty(0, dtype=np.int32)
+            entry_level = li
+            entry_point = i
+    return levels, nbr, entry_point, entry_level
+
+
+def hnsw_search(V: np.ndarray, graph, q: np.ndarray, k: int,
+                ef_search: int = 64):
+    """Search a built graph: greedy descent + ef beam at level 0.
+    Returns (ids, cosines) best-first."""
+    import heapq
+
+    levels, nbr, entry_point, entry_level = graph
+    if len(levels) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    qn = _l2_normalize(np.asarray(q, dtype=np.float32))
+
+    def dist(i):
+        return 1.0 - float(V[i] @ qn)
+
+    ep, dep = entry_point, dist(entry_point)
+    for l in range(entry_level, 0, -1):
+        changed = True
+        while changed:
+            changed = False
+            for e in nbr[l].get(ep, ()):
+                de = dist(e)
+                if de < dep:
+                    dep, ep, changed = de, int(e), True
+    visited = {ep}
+    cand = [(dep, ep)]
+    best = [(-dep, ep)]
+    heapq.heapify(cand)
+    while cand:
+        dc, c = heapq.heappop(cand)
+        if dc > -best[0][0] and len(best) >= ef_search:
+            break
+        for e in nbr[0].get(c, ()):
+            if e in visited:
+                continue
+            visited.add(e)
+            de = dist(e)
+            if len(best) < ef_search or de < -best[0][0]:
+                heapq.heappush(cand, (de, e))
+                heapq.heappush(best, (-de, e))
+                if len(best) > ef_search:
+                    heapq.heappop(best)
+    out = sorted((-bd, e) for bd, e in best)[:k]
+    ids = np.array([e for _, e in out], dtype=np.int64)
+    cos = np.array([1.0 - d for d, _ in out], dtype=np.float32)
+    return ids, cos
+
+
+def _serialize_shard(vec_ids: np.ndarray, V: np.ndarray, graph) -> bytes:
+    levels, nbr, entry_point, entry_level = graph
+    buf = io.BytesIO()
+    flat = {}
+    for l, d in enumerate(nbr):
+        if not d:
+            continue
+        keys = np.array(sorted(d), dtype=np.int32)
+        lens = np.array([len(d[int(k)]) for k in keys], dtype=np.int32)
+        vals = (
+            np.concatenate([np.asarray(d[int(k)], dtype=np.int32) for k in keys])
+            if len(keys) else np.empty(0, np.int32)
+        )
+        flat[f"l{l}_keys"] = keys
+        flat[f"l{l}_lens"] = lens
+        flat[f"l{l}_vals"] = vals
+    np.savez_compressed(
+        buf, vec_ids=vec_ids.astype(np.int64), V=V.astype(np.float32),
+        levels=levels, meta=np.array([entry_point, entry_level], dtype=np.int64),
+        nlevels=np.array([len(nbr)], dtype=np.int64), **flat,
+    )
+    return buf.getvalue()
+
+
+def _deserialize_shard(data: bytes):
+    z = np.load(io.BytesIO(data))
+    nbr = []
+    for l in range(int(z["nlevels"][0])):
+        d = {}
+        if f"l{l}_keys" in z:
+            keys, lens, vals = z[f"l{l}_keys"], z[f"l{l}_lens"], z[f"l{l}_vals"]
+            off = np.concatenate(([0], np.cumsum(lens)))
+            for j, kk in enumerate(keys):
+                d[int(kk)] = vals[off[j] : off[j + 1]]
+        nbr.append(d)
+    ep, el = (int(v) for v in z["meta"])
+    return z["vec_ids"], z["V"], (z["levels"], nbr, ep, el)
+
+
+def build_hnsw_index(
+    emb: DataFrame,
+    index_dir: str,
+    dim: int,
+    M: int = 16,
+    ef_construction: int = 100,
+    num_shards: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the sharded HNSW index: hash-partition by id, one graph per
+    shard built inside its task, serialized through the fsio seam."""
+    import pandas as pd
+
+    fs, base = fsio.resolve(index_dir)
+    fsio.mkdirs(fs, base)
+    spark = emb.sparkSession
+
+    def build(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            shard = int(pdf["__shard__"].iloc[0])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = _l2_normalize(
+                np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float32)
+            )
+            graph = hnsw_build(V, M=M, ef_construction=ef_construction,
+                               seed=seed + shard)
+            blob = _serialize_shard(ids, V, graph)
+            sfs, sbase = fsio.resolve(index_dir)
+            with sfs.open_output_stream(f"{sbase}/shard-{shard:05d}.npz") as f:
+                f.write(blob)
+            yield pd.DataFrame({"shard": [shard], "n": [len(ids)]})
+
+    rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("__shard__", F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)))
+        .repartition(num_shards, "__shard__")
+        .mapInPandas(build, "shard int, n long")
+        .collect()
+    )
+    manifest = {
+        "dim": int(dim), "M": int(M), "ef_construction": int(ef_construction),
+        "num_shards": int(num_shards), "seed": int(seed),
+        "shards": sorted({int(r["shard"]) for r in rows}),
+        "n_vectors": int(sum(r["n"] for r in rows)),
+    }
+    fsio.write_json_atomic(fs, f"{base}/manifest.json", manifest)
+
+
+def hnsw_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    ef_search: int = 64,
+) -> DataFrame:
+    """Query the sharded index: every shard's graph searched in its own
+    task (per-leaf top-k like Lucene's per-segment HNSW), merged globally.
+    Returns (vec_id, cos) best-first."""
+    import pandas as pd
+
+    fs, base = fsio.resolve(index_dir)
+    manifest = fsio.read_json(fs, f"{base}/manifest.json")
+    shards = manifest["shards"]
+    q = np.asarray(query_vec, dtype=np.float32)
+
+    def search(pdf_iter):
+        for pdf in pdf_iter:
+            for shard in pdf["shard"].tolist():
+                sfs, sbase = fsio.resolve(index_dir)
+                with sfs.open_input_stream(f"{sbase}/shard-{int(shard):05d}.npz") as f:
+                    data = f.read()
+                ids, V, graph = _deserialize_shard(data)
+                loc, cos = hnsw_search(V, graph, q, k, ef_search=ef_search)
+                yield pd.DataFrame(
+                    {"vec_id": ids[loc], "cos": np.round(cos.astype(np.float64), 6)}
+                )
+
+    sdf = spark.createDataFrame([(int(s),) for s in shards], "shard int").repartition(
+        len(shards), "shard"
+    )
+    res = sdf.mapInPandas(search, "vec_id long, cos double")
+    return res.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)

@@ -58,7 +58,7 @@ def _all_names():
 # entries whose operator is an iterative algorithm with no ANSI-SQL
 # equivalent: the driver records a rows-only check for these (the brief's
 # documented weaker path); everything else MUST have an oracle
-NO_ORACLE = {"ann_ivf_topk"}
+NO_ORACLE = {"ann_ivf_topk", "ann_hnsw_topk"}
 
 
 @pytest.mark.parametrize("name", _all_names())

@@ -1,0 +1,67 @@
+"""Sharded HNSW graph ANN: recall vs brute force, exactness at full ef,
+serialization round-trip, Spark shard build/search."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.pipeline.hnsw import (
+    _deserialize_shard,
+    _l2_normalize,
+    _serialize_shard,
+    hnsw_build,
+    hnsw_search,
+)
+
+
+def test_recall_and_exactness():
+    rng = np.random.default_rng(0)
+    n, d = 1500, 32
+    V = _l2_normalize(rng.standard_normal((n, d)).astype(np.float32))
+    graph = hnsw_build(V, M=12, ef_construction=80, seed=1)
+    recalls = []
+    for q in _l2_normalize(rng.standard_normal((10, d)).astype(np.float32)):
+        ids, cos = hnsw_search(V, graph, q, 10, ef_search=64)
+        exact = np.argsort(-(V @ q))[:10]
+        recalls.append(len(set(ids.tolist()) & set(exact.tolist())) / 10)
+        # returned cosines match the actual vectors
+        for i, c in zip(ids, cos):
+            assert abs(float(V[i] @ q) - float(c)) < 1e-5
+    assert np.mean(recalls) >= 0.9
+    # ef >= n degenerates to exact search (the whole graph is the beam)
+    q = _l2_normalize(rng.standard_normal(d).astype(np.float32))
+    ids, _ = hnsw_search(V, graph, q, 10, ef_search=n)
+    assert set(ids.tolist()) == set(np.argsort(-(V @ q))[:10].tolist())
+
+
+def test_serialization_round_trip():
+    rng = np.random.default_rng(3)
+    V = _l2_normalize(rng.standard_normal((400, 16)).astype(np.float32))
+    graph = hnsw_build(V, M=8, ef_construction=40, seed=2)
+    blob = _serialize_shard(np.arange(400) * 7, V, graph)
+    ids2, V2, g2 = _deserialize_shard(blob)
+    assert np.array_equal(ids2, np.arange(400) * 7)
+    q = _l2_normalize(rng.standard_normal(16).astype(np.float32))
+    a, _ = hnsw_search(V, graph, q, 5, ef_search=50)
+    b, _ = hnsw_search(V2, g2, q, 5, ef_search=50)
+    assert np.array_equal(a, b)
+
+
+def test_sharded_index_end_to_end(spark, tmp_path):
+    from lucene_spark.pipeline.hnsw import build_hnsw_index, hnsw_index_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "hnsw")
+    build_hnsw_index(emb, d, dim=64, M=12, ef_construction=80, num_shards=3)
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    res = hnsw_index_topk(spark, d, qv, k=5, ef_search=500).collect()
+    got = [r["vec_id"] for r in res]
+    # ef >= per-shard size -> exact; compare vs brute force
+    rows = emb.collect()
+    V = np.stack([np.array(r["embedding"], dtype=np.float32) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    Vn = _l2_normalize(V)
+    q = _l2_normalize(np.array(qv, dtype=np.float32))
+    exact = ids[np.argsort(-(Vn @ q))[:5]]
+    assert set(got) == set(exact.tolist())
+    assert got[0] == row["vec_id"]  # the query vector itself ranks first
