@@ -65,3 +65,17 @@ def test_sharded_index_end_to_end(spark, tmp_path):
     exact = ids[np.argsort(-(Vn @ q))[:5]]
     assert set(got) == set(exact.tolist())
     assert got[0] == row["vec_id"]  # the query vector itself ranks first
+
+
+def test_hnsw_on_object_store_root(spark, tmp_path):
+    """HNSW shards + manifest go through the fsio seam: build + search on
+    an s3mock:// root (object-store semantics, no local open())."""
+    from lucene_spark.pipeline.hnsw import build_hnsw_index, hnsw_index_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = "s3mock://" + str(tmp_path / "hnsw_s3")
+    build_hnsw_index(emb, root, dim=64, M=8, ef_construction=40, num_shards=2)
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    res = hnsw_index_topk(spark, root, qv, k=3, ef_search=400).collect()
+    assert res and res[0]["vec_id"] == row["vec_id"]
