@@ -341,6 +341,18 @@ def main() -> None:
     n_dirs = len([e for e in os.listdir(ann_dir) if e.startswith("bucket=")])
     ann_partitions = f"{min(len(probes), n_dirs)}/{n_dirs}"
 
+    # --- sharded HNSW graph search (one graph per shard, parallel per-leaf
+    # top-k; build cached outside the timed window)
+    from lucene_spark.pipeline.hnsw import build_hnsw_index, hnsw_index_topk
+
+    hnsw_dir = f"{scratch}/hnsw_idx_{sf_dir.strip('/').replace('/', '_')}"
+    if not os.path.exists(os.path.join(hnsw_dir, "manifest.json")):
+        build_hnsw_index(emb, hnsw_dir, dim=64, M=12, ef_construction=80,
+                         num_shards=8, seed=42)
+    t0 = time.perf_counter()
+    hnsw_index_topk(spark, hnsw_dir, qv, k=10, ef_search=64).collect()
+    q_secs["ann_hnsw_probe"] = round(time.perf_counter() - t0, 4)
+
     # --- query cache (LRUQueryCache analog): repeated filter-shaped range
     # query, cached vs uncached, with the hit rate recorded
     from lucene_spark.search.executor import search_tree
