@@ -197,7 +197,10 @@ def main() -> None:
     def shape_seeded(name, q):
         # cross-segment theta seeding (MaxScoreAccumulator analog,
         # search/MaxScoreAccumulator.java:23): one cheap rarest-term pass
-        # seeds every segment's threshold; decode ratio should only drop
+        # seeds every segment's threshold; decode ratio should only drop.
+        # Since r4's auto-seed the DEFAULT path already seeds driver-side
+        # (identical ratios below) — these rows keep the EXPLICIT
+        # seed_theta() path exercised and show its extra job's fixed cost
         from lucene_spark.search.executor import seed_theta
 
         t0 = time.perf_counter()
@@ -257,7 +260,12 @@ def main() -> None:
     q_secs["passage_highlight_top10"] = round(time.perf_counter() - t0, 4)
 
     # --- percolator at 10k stored queries: the term-partitioned pre-filter
-    # (one equi-join + one agg) vs broadcast cross-evaluation
+    # (one equi-join + one agg) vs broadcast cross-evaluation.
+    # NOTE on absolute times: the synthetic corpus draws from a 20-word
+    # vocabulary, so EVERY stored-query term is stopword-hot — the
+    # term-share join legitimately yields ~1e9 candidate pairs (the tree
+    # form emits 30M match rows). The plans scale in matching-pair count;
+    # a real vocabulary makes the same shapes orders of magnitude cheaper.
     from lucene_spark.streaming import percolate_batch, percolate_prefiltered
 
     words = ["spark", "join", "window", "table", "hash", "scan", "merge",
