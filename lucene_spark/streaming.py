@@ -252,7 +252,12 @@ def percolate_tree(
     """Arbitrary-query percolation: stored queries are STRINGS in the
     engine's query syntax (nested booleans, +must / -not, "phrases",
     prefix* and wild?card*), decomposed per QueryDecomposer into the join
-    legs of percolate_full. ``stored``: list of (qid, query_string).
+    legs of percolate_full. ``stored``: list of (qid, query_string) for
+    small registration sets, OR a DataFrame(qid, query) — then parsing +
+    decomposition run DISTRIBUTED inside mapInPandas (the registration
+    path scales with the stored-query count) and the resulting clause
+    table is persisted for the multi-leg reuse (the Monitor's in-memory
+    query index analog).
 
     Stored queries are parsed with an empty stop set — the percolator's
     tokenizer is a plain whitespace split, so stopwords are ordinary
@@ -266,29 +271,58 @@ def percolate_tree(
     from .search.plan import parse_tree
 
     spark = docs.sparkSession
-    rows = []
-    for qid, qstr in stored:
-        for ci, c in enumerate(decompose_query(parse_tree(qstr, stop_words=frozenset()))):
-            rows.append((
-                int(qid), int(ci), sorted(c["terms"]), sorted(c["nots"]),
-                c["phrases"], c["patterns"],
-            ))
-    clauses = spark.createDataFrame(
-        rows,
+    clause_schema = (
         "qid int, cid int, terms array<string>, not_terms array<string>, "
-        "phrases array<array<string>>, patterns array<string>",
+        "phrases array<array<string>>, patterns array<string>"
     )
+    if isinstance(stored, DataFrame):
+        import pandas as pd
+
+        def decomp(pdf_iter):
+            for pdf in pdf_iter:
+                out = {k: [] for k in ("qid", "cid", "terms", "not_terms",
+                                        "phrases", "patterns")}
+                for qid, qstr in zip(pdf["qid"], pdf["query"]):
+                    tree = parse_tree(str(qstr), stop_words=frozenset())
+                    for ci, c in enumerate(decompose_query(tree)):
+                        out["qid"].append(int(qid))
+                        out["cid"].append(int(ci))
+                        out["terms"].append(sorted(c["terms"]))
+                        out["not_terms"].append(sorted(c["nots"]))
+                        out["phrases"].append(c["phrases"])
+                        out["patterns"].append(c["patterns"])
+                yield pd.DataFrame(out)
+
+        clauses = stored.mapInPandas(decomp, clause_schema).persist()
+        flags = clauses.agg(
+            F.max(F.size("phrases")).alias("p"),
+            F.max(F.size("patterns")).alias("x"),
+            F.max(F.size("not_terms")).alias("n"),
+        ).collect()[0]
+        any_phrases = (flags["p"] or 0) > 0
+        any_patterns = (flags["x"] or 0) > 0
+        any_nots = (flags["n"] or 0) > 0
+    else:
+        rows = []
+        for qid, qstr in stored:
+            for ci, c in enumerate(decompose_query(parse_tree(qstr, stop_words=frozenset()))):
+                rows.append((
+                    int(qid), int(ci), sorted(c["terms"]), sorted(c["nots"]),
+                    c["phrases"], c["patterns"],
+                ))
+        clauses = spark.createDataFrame(rows, clause_schema)
+        # the stored-query shape is known on the driver: legs whose
+        # constraint kind appears in NO clause are skipped entirely (no
+        # tokenize/join jobs for them — the Monitor similarly indexes
+        # queries by structure)
+        any_phrases = any(r[4] for r in rows)
+        any_patterns = any(r[5] for r in rows)
+        any_nots = any(r[3] for r in rows)
 
     dterms = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
     )
     key = ["qid", "cid"]
-    # the stored-query shape is known on the driver: legs whose constraint
-    # kind appears in NO clause are skipped entirely (no tokenize/join jobs
-    # for them — the Monitor similarly indexes queries by structure)
-    any_phrases = any(r[4] for r in rows)
-    any_patterns = any(r[5] for r in rows)
-    any_nots = any(r[3] for r in rows)
 
     # --- terms leg: all of the clause's terms present
     tleg = clauses.filter(F.size("terms") > 0).select(

@@ -603,3 +603,26 @@ def test_percolate_tree_randomized_differential(spark):
         (r["qid"], r["doc_id"]) for r in percolate_tree(ddf, stored).collect()
     )
     assert got == want
+
+
+def test_percolate_tree_dataframe_registration(spark):
+    """Stored queries as a DataFrame: parse + decompose run distributed
+    (mapInPandas) and match the driver-side list path exactly."""
+    from lucene_spark.streaming import percolate_tree
+
+    docs = [
+        (0, "spark join window fast"),
+        (1, "hash join slow table"),
+        (2, "flink join stream"),
+        (3, "spark window"),
+    ]
+    stored = [
+        (1, "(spark OR flink) AND join"),
+        (2, '"hash join" -slow'),
+        (3, "spar* AND window"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(stored, "qid int, query string")
+    a = sorted((r["qid"], r["doc_id"]) for r in percolate_tree(ddf, stored).collect())
+    b = sorted((r["qid"], r["doc_id"]) for r in percolate_tree(ddf, qdf).collect())
+    assert a == b and a
