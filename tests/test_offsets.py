@@ -182,3 +182,46 @@ def test_analysis_source_on_offsetless_index(spark, tmp_path):
     assert got[0]["snippet"] == "<b>spark</b> here.... and <b>spark</b> there."
     with pytest.raises(ValueError, match="no offsets stream"):
         passage_highlight_topk(idx, q, k=1, source="postings")
+
+
+def test_offsets_tvec_positions_combined_random(spark, tmp_path):
+    """All three per-occurrence stores together (positions + offsets +
+    term vectors) on a randomized corpus: CheckIndex clean; postings
+    offsets == re-analysis spans for every occurrence; term vectors ==
+    per-doc token counts."""
+    import random
+
+    from lucene_spark.analysis import ENGLISH_STOP_WORDS, analyze_with_offsets
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.check import check_index
+    from lucene_spark.search.executor import Index, term_offsets_for_docs
+
+    rng = random.Random(99)
+    pool = ["spark", "join", "the", "fast", "x1", "under_score", "zz"]
+    rows = [
+        (i, " ".join(rng.choices(pool, k=rng.randint(1, 12))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    cfg = IndexConfig(docid_col="docid", order_cols=("docid",),
+                      num_segments=3, hot_df_threshold=100,
+                      index_positions=True, index_offsets=True,
+                      term_vectors=True)
+    idx = Index(spark, build_index(spark, docs, str(tmp_path / "all3"), cfg))
+    assert check_index(idx)["clean"]
+
+    want = {}
+    for docid, text in rows:
+        for term, _pos, s, e in analyze_with_offsets(text, ENGLISH_STOP_WORDS):
+            want.setdefault((docid, term), []).append((s, e))
+    terms = sorted({t for _, t in want})
+    got = {}
+    offs = term_offsets_for_docs(
+        idx, terms, np.array([d for d, _ in rows], dtype=np.int64))
+    for r in offs.collect():
+        got.setdefault((r["docid"], r["term"]), []).append((r["start"], r["end"]))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+    tv = {(r["docid"], r["term"]): r["tf"] for r in idx.term_vectors.collect()}
+    assert tv == {k: len(v) for k, v in want.items()}
