@@ -405,6 +405,42 @@ FROM u GROUP BY 1 ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
     )
 
 
+FOLD_LAT, FOLD_ACC = "aeiou", "áéíóú"
+
+
+def _fold_index(spark: SparkSession, sf_dir: str) -> Index:
+    """ASCII-folding index (ASCIIFoldingFilter analog) over a
+    deterministically ACCENTED corpus (every vowel -> its acute form via
+    translate): index-time NFD folding maps the text back, so the index
+    must equal the plain-text index exactly — the oracle is plain BM25."""
+    key = ("fold", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_fold"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.translate("text", FOLD_LAT, FOLD_ACC).alias("content"))
+    )
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+        fold_ascii=True,
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_fold_ascii_topk(spark, sf):
+    """BM25 top-k against the folded index of the accented corpus: the
+    unaccented query term matches because index-time folding normalized
+    every accented token (and accented stopwords like 'thé' still drop
+    with their position holes via the post-fold stop re-check)."""
+    return _topk(_fold_index(spark, sf), should=["join"], pre_analyzed=True)
+
+
 def _tvec_index(spark: SparkSession, sf_dir: str) -> Index:
     """Index with per-doc term vectors (TermVectorsFormat analog) and NO
     stored content — MoreLikeThis seeds straight from the docid-major
@@ -1643,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_tree": q_percolate_tree,
         "term_vector_doc": q_term_vector_doc,
         "synonym_query_topk": q_synonym_query_topk,
+        "fold_ascii_topk": q_fold_ascii_topk,
         "ann_hnsw_topk": q_ann_hnsw_topk,
         "mlt_term_vector_topk": q_mlt_term_vector_topk,
         "feature_saturation_topk": q_feature_saturation_topk,
@@ -2494,6 +2531,7 @@ FROM documents ORDER BY doc_id""",
         "percolate_full": _percolate_full_sql(),
         "percolate_tree": _percolate_tree_sql(),
         "synonym_query_topk": _synonym_query_sql(),
+        "fold_ascii_topk": bm25_topk_sql({"join": 1}),
         "term_vector_doc": f"WITH {TOKS_CTE.strip()} "
         f"SELECT term, count(*) AS tf FROM toks WHERE doc_id = {MLT_SEED_DOC} "
         "GROUP BY term ORDER BY term",

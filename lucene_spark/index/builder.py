@@ -148,6 +148,10 @@ class IndexConfig:
     # original position and are discounted from norms (discountOverlaps).
     # Chain order: tokenize -> lower -> stop -> [stem] -> [synonyms].
     synonyms: Optional[object] = None
+    # ASCII folding (ASCIIFoldingFilter analog, NFD diacritic subset,
+    # functions/fold.py): applied to the dictionary vocab after stop,
+    # before the stemmer; terms folding onto stopwords drop out
+    fold_ascii: bool = False
     # per-doc term vectors (TermVectorsFormat analog): a docid-major
     # (docid, term, tf[, positions]) parquet store written at build —
     # MoreLikeThis-from-a-doc and per-doc term inspection without
@@ -182,6 +186,8 @@ class IndexConfig:
             parts = parts + (self.analyzer,)
         if self.index_offsets:
             parts = parts + ("offsets",)
+        if self.fold_ascii:
+            parts = parts + ("fold",)
         key = repr(parts)
         return hashlib.sha256(key.encode()).hexdigest()[:16]
 
@@ -464,6 +470,19 @@ def _invert_group(
         )
         if not cfg.index_positions:
             flat_pos = None
+    if cfg.fold_ascii:
+        from ..functions.fold import fold_vocab_remap
+
+        # vocab-level fold + stop re-check, numpy code remap (stemmer
+        # pattern); dropped tokens keep their position holes
+        code_map, vocab = fold_vocab_remap(vocab, cfg.stop_words)
+        codes = code_map[codes]
+        live_tok = codes >= 0
+        if not live_tok.all():
+            codes = codes[live_tok]
+            flat_docix = flat_docix[live_tok]
+            if flat_pos is not None:
+                flat_pos = flat_pos[live_tok]
     if cfg.stemmer:
         if cfg.stemmer != "porter":
             raise ValueError(f"unknown stemmer {cfg.stemmer!r} (supported: porter)")
@@ -940,10 +959,11 @@ def build_index(
     if cfg.index_offsets:
         if not cfg.index_positions:
             raise ValueError("index_offsets requires index_positions=True")
-        if cfg.synonyms or cfg.stemmer or cfg.analyzer != "standard":
+        if (cfg.synonyms or cfg.stemmer or cfg.fold_ascii
+                or cfg.analyzer != "standard"):
             raise ValueError(
                 "index_offsets composes only with the plain standard chain "
-                "(synonym/stemmer/cjk emissions have no source span yet)"
+                "(synonym/stemmer/fold/cjk emissions have no source span yet)"
             )
     paths = IndexPaths(index_dir)
     fsio.mkdirs(paths.fs, paths.fs_path(index_dir))
