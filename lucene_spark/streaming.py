@@ -97,14 +97,28 @@ def percolate_full(
     """
     cand = percolate_prefiltered(docs, queries, text_col)
 
-    qnot = queries.select(
-        "qid", F.explode_outer("not_terms").alias("term")
-    ).filter(F.col("term").isNotNull())
+    # one tiny agg over the (small) stored-query table decides which legs
+    # exist at all: a NOT-free set skips the exclusion join, a phrase-free
+    # set skips the full positions explode — the expensive legs only run
+    # when some stored query needs them
+    flags = queries.agg(
+        F.max(F.size(F.coalesce("not_terms", F.array()))).alias("n"),
+        F.max(F.size(F.coalesce("phrase", F.array()))).alias("p"),
+    ).collect()[0]
+    any_nots = (flags["n"] or 0) > 0
+    any_phrase = (flags["p"] or 0) > 0
+
     dterms = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
     )
-    excluded_pairs = qnot.join(dterms, "term").select("qid", "doc_id").distinct()
-    cand = cand.join(excluded_pairs, ["qid", "doc_id"], "left_anti")
+    if any_nots:
+        qnot = queries.select(
+            "qid", F.explode_outer("not_terms").alias("term")
+        ).filter(F.col("term").isNotNull())
+        excluded_pairs = qnot.join(dterms, "term").select("qid", "doc_id").distinct()
+        cand = cand.join(excluded_pairs, ["qid", "doc_id"], "left_anti")
+    if not any_phrase:
+        return cand
 
     has_phrase = queries.filter(F.size(F.coalesce("phrase", F.array())) > 0)
     slots = has_phrase.select(
