@@ -405,6 +405,58 @@ FROM u GROUP BY 1 ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
     )
 
 
+def _shingle_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Index with bigram word shingles (ShingleFilter analog): grams +
+    stop-hole fillers alongside the unigrams."""
+    key = ("shingle", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_shingle"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("text", "content")
+    )
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+        index_positions=True, shingles=True,
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_shingle_topk(spark, sf):
+    """BM25 top-k for the SHINGLE term 'hash join' against the shingled
+    index: tf counts adjacent occurrences, norms stay on the unigram
+    stream (shingles are posInc-0 overlaps, discountOverlaps)."""
+    return _topk(_shingle_index(spark, sf), should=["hash join"],
+                 pre_analyzed=True)
+
+
+def _shingle_sql() -> str:
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+    return (
+        "WITH "
+        + BM25_CTES
+        + ","
+        + TPOS_CTE.strip()
+        + f""",
+sh AS (SELECT a.doc_id, count(*) AS tf
+       FROM tpos a JOIN tpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'hash' AND b.term = 'join' GROUP BY 1),
+w AS (SELECT ln(1 + (fs.doc_cnt - d.df + 0.5) / (d.df + 0.5)) AS w
+      FROM (SELECT count(*) AS df FROM sh) d CROSS JOIN fs)
+SELECT sh.doc_id AS docid,
+       round(w.w - w.w / (1 + CAST(sh.tf AS DOUBLE) * {ninv}), 4) AS score
+FROM sh JOIN dl ON sh.doc_id = dl.doc_id CROSS JOIN w CROSS JOIN fs
+ORDER BY (w.w - w.w / (1 + CAST(sh.tf AS DOUBLE) * {ninv})) DESC,
+         docid ASC LIMIT 10"""
+    )
+
+
 FOLD_LAT, FOLD_ACC = "aeiou", "áéíóú"
 
 
@@ -1680,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vector_doc": q_term_vector_doc,
         "synonym_query_topk": q_synonym_query_topk,
         "fold_ascii_topk": q_fold_ascii_topk,
+        "shingle_topk": q_shingle_topk,
         "ann_hnsw_topk": q_ann_hnsw_topk,
         "mlt_term_vector_topk": q_mlt_term_vector_topk,
         "feature_saturation_topk": q_feature_saturation_topk,
@@ -2532,6 +2585,7 @@ FROM documents ORDER BY doc_id""",
         "percolate_tree": _percolate_tree_sql(),
         "synonym_query_topk": _synonym_query_sql(),
         "fold_ascii_topk": bm25_topk_sql({"join": 1}),
+        "shingle_topk": _shingle_sql(),
         "term_vector_doc": f"WITH {TOKS_CTE.strip()} "
         f"SELECT term, count(*) AS tf FROM toks WHERE doc_id = {MLT_SEED_DOC} "
         "GROUP BY term ORDER BY term",

@@ -152,6 +152,11 @@ class IndexConfig:
     # functions/fold.py): applied to the dictionary vocab after stop,
     # before the stemmer; terms folding onto stopwords drop out
     fold_ascii: bool = False
+    # word shingles (ShingleFilter analog, functions/shingle.py): bigram
+    # grams + filler "_" for stop holes emitted alongside the unigrams at
+    # the first token's position (posInc 0 -> discounted from norms);
+    # requires positions; incompatible with synonyms/cjk (stacking)
+    shingles: bool = False
     # per-doc term vectors (TermVectorsFormat analog): a docid-major
     # (docid, term, tf[, positions]) parquet store written at build —
     # MoreLikeThis-from-a-doc and per-doc term inspection without
@@ -188,6 +193,8 @@ class IndexConfig:
             parts = parts + ("offsets",)
         if self.fold_ascii:
             parts = parts + ("fold",)
+        if self.shingles:
+            parts = parts + ("shingles",)
         key = repr(parts)
         return hashlib.sha256(key.encode()).hexdigest()[:16]
 
@@ -502,6 +509,14 @@ def _invert_group(
     # field length BEFORE synonym stacking: posIncrement-0 tokens are
     # discounted from norms (discountOverlaps, BM25Similarity.java:72)
     doclens = np.bincount(flat_docix, minlength=n_rows).astype(np.int64)
+    if cfg.shingles:
+        from ..functions.shingle import shingle_stream
+
+        # after doclens: shingles share their first token's position
+        # (posInc 0) and are discounted from norms (discountOverlaps)
+        codes, flat_docix, flat_pos, vocab = shingle_stream(
+            codes, flat_docix, flat_pos, vocab
+        )
     if cfg.synonyms:
         from ..functions.synonyms import (
             expand_tokens,
@@ -959,11 +974,20 @@ def build_index(
     if cfg.index_offsets:
         if not cfg.index_positions:
             raise ValueError("index_offsets requires index_positions=True")
-        if (cfg.synonyms or cfg.stemmer or cfg.fold_ascii
+        if (cfg.synonyms or cfg.stemmer or cfg.fold_ascii or cfg.shingles
                 or cfg.analyzer != "standard"):
             raise ValueError(
                 "index_offsets composes only with the plain standard chain "
-                "(synonym/stemmer/fold/cjk emissions have no source span yet)"
+                "(synonym/stemmer/fold/cjk/shingle emissions have no source "
+                "span yet)"
+            )
+    if cfg.shingles:
+        if not cfg.index_positions:
+            raise ValueError("shingles requires index_positions=True")
+        if cfg.synonyms or cfg.analyzer != "standard":
+            raise ValueError(
+                "shingles composes with the standard chain only (synonym/"
+                "cjk stacking violates the one-token-per-position premise)"
             )
     paths = IndexPaths(index_dir)
     fsio.mkdirs(paths.fs, paths.fs_path(index_dir))
