@@ -61,9 +61,10 @@ def hnsw_build(vectors: np.ndarray, M: int = 16, ef_construction: int = 100,
         return np.empty(0, np.int32), []
     V = _l2_normalize(np.asarray(vectors, dtype=np.float32))
     ml = 1.0 / np.log(M)
-    levels = np.minimum(
-        (-np.log(rng.random(n)) * ml).astype(np.int32), 31
-    )
+    # clip away an (astronomically unlikely) exact 0.0 draw: -log(0) = inf
+    # would overflow the int32 cast before the level clamp
+    u = np.maximum(rng.random(n), 1e-300)
+    levels = np.minimum((-np.log(u) * ml).astype(np.int32), 31)
     max_level = int(levels.max())
     # nbr[l][i] = list of neighbor ids of node i at level l
     nbr: List[dict] = [dict() for _ in range(max_level + 1)]
