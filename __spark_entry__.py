@@ -405,6 +405,28 @@ FROM u GROUP BY 1 ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
     )
 
 
+def q_filter_clause_topk(spark, sf):
+    """BooleanClause.Occur.FILTER (BooleanClause.java:35): 'join' gates
+    matching without scoring — docs rank purely by the SHOULD terms, and
+    a doc matching only the filter still matches at score 0."""
+    return _topk(
+        _index(spark, sf), should=["spark", "window"], filter=["join"]
+    )
+
+
+def _filter_clause_sql() -> str:
+    from lucene_spark.oracle import bm25_scored_cte
+
+    return (
+        bm25_scored_cte({"spark": 1.0, "window": 1.0})
+        + """
+SELECT j.doc_id AS docid, round(coalesce(agg.score, 0), 4) AS score
+FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'join') j
+LEFT JOIN agg ON agg.doc_id = j.doc_id
+ORDER BY coalesce(agg.score, 0) DESC, docid ASC LIMIT 10"""
+    )
+
+
 def _shingle_index(spark: SparkSession, sf_dir: str) -> Index:
     """Index with bigram word shingles (ShingleFilter analog): grams +
     stop-hole fillers alongside the unigrams."""
@@ -1733,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_query_topk": q_synonym_query_topk,
         "fold_ascii_topk": q_fold_ascii_topk,
         "shingle_topk": q_shingle_topk,
+        "filter_clause_topk": q_filter_clause_topk,
         "ann_hnsw_topk": q_ann_hnsw_topk,
         "mlt_term_vector_topk": q_mlt_term_vector_topk,
         "feature_saturation_topk": q_feature_saturation_topk,
@@ -2586,6 +2609,7 @@ FROM documents ORDER BY doc_id""",
         "synonym_query_topk": _synonym_query_sql(),
         "fold_ascii_topk": bm25_topk_sql({"join": 1}),
         "shingle_topk": _shingle_sql(),
+        "filter_clause_topk": _filter_clause_sql(),
         "term_vector_doc": f"WITH {TOKS_CTE.strip()} "
         f"SELECT term, count(*) AS tf FROM toks WHERE doc_id = {MLT_SEED_DOC} "
         "GROUP BY term ORDER BY term",

@@ -80,6 +80,7 @@ def normalize(
     stop_words=ENGLISH_STOP_WORDS,
     pre_analyzed: bool = False,
     min_should_match: int = 0,
+    filter: Sequence[str] = (),
 ) -> NormalizedQuery:
     """Analyze + apply the BooleanQuery.rewrite normalizations.
 
@@ -111,8 +112,13 @@ def normalize(
     must_n = norm_terms(must)
     should_n = norm_terms(should)
     not_n = norm_terms(must_not)
+    filter_n = norm_terms(filter)
 
     must_c = Counter(must_n)
+    # FILTER terms join the required set with zero scoring weight; a term
+    # both MUST and FILTER keeps its MUST qtf (the filter adds no score)
+    for t in set(filter_n):
+        must_c.setdefault(t, 0)
     # a SHOULD that is also MUST adds its qtf to the required clause; with
     # msm > 0 each folded clause instance is auto-credited (a doc passing
     # MUST necessarily matches it)

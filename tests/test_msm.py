@@ -250,3 +250,38 @@ def test_auto_seed_disabled_with_deletes(spark, tmp_path):
     assert auto_seed_theta(idx, q, weights, sim, 10, True, np.float32) == 0.0
     got = {r["docid"] for r in search_topk(idx, q, k=10).collect()}
     assert 5 not in got and len(got) == 10
+
+
+def test_filter_clause_semantics(spark, built_index):
+    """BooleanClause.Occur.FILTER: gates matching, zero score
+    contribution, pruned==exhaustive; a filter-only query matches every
+    filtered doc at exactly 0."""
+    import numpy as np
+
+    from lucene_spark.search.executor import search_exhaustive, search_topk
+    from lucene_spark.search.plan import normalize
+
+    q = normalize(should=["stream"], filter=["hash"], pre_analyzed=True)
+    a = [(r["docid"], r["score"]) for r in
+         search_topk(built_index, q, k=10, quantize=False, dtype=np.float64).collect()]
+    b = [(r["docid"], r["score"]) for r in
+         search_exhaustive(built_index, q, k=10).collect()]
+    assert a == b and a
+    # every hit contains the filter term; scores equal the should-only
+    # scores of those docs (weight of the filter term is exactly 0)
+    hash_docs = {r["docid"] for r in search_exhaustive(
+        built_index, normalize(should=["hash"], pre_analyzed=True), k=None).collect()}
+    s_only = {r["docid"]: r["score"] for r in search_exhaustive(
+        built_index, normalize(should=["stream"], pre_analyzed=True), k=None).collect()}
+    for d, sc in a:
+        assert d in hash_docs
+        assert sc == s_only.get(d, 0.0)
+    # filter-only query: every filtered doc at score 0
+    f = search_exhaustive(
+        built_index, normalize(filter=["hash"], pre_analyzed=True), k=None
+    ).collect()
+    assert {r["docid"] for r in f} == hash_docs
+    assert all(r["score"] == 0.0 for r in f)
+    # FILTER conflicting with MUST_NOT -> MatchNone
+    qn = normalize(filter=["hash"], must_not=["hash"], pre_analyzed=True)
+    assert qn.is_match_none
