@@ -853,6 +853,18 @@ def q_suggest_complete(spark, sf):
     return complete_prefix(_index(spark, sf), SUGGEST_PREFIX, k=10)
 
 
+SUGGEST_INFIX = "or"
+
+
+def q_suggest_infix(spark, sf):
+    """AnalyzingInfixSuggester analog: completions matching the fragment
+    ANYWHERE in the term; prefix matches outrank pure-infix at equal
+    weight (the reference's PREFIX blender preference)."""
+    from lucene_spark.search.suggest import complete_infix
+
+    return complete_infix(_index(spark, sf), SUGGEST_INFIX, k=10)
+
+
 DISMAX_CLAUSES = [
     ({"window": 1, "stream": 1}, ["window", "stream"]),  # AND clause
     ({"spark": 1}, []),                                  # term clause
@@ -1761,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_saturation_topk": q_feature_saturation_topk,
         "sort_after_page2": q_sort_after_page2,
         "suggest_complete": q_suggest_complete,
+        "suggest_infix": q_suggest_infix,
         "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
         "synonym_multiword_topk": q_synonym_multiword_topk,
@@ -2381,6 +2394,12 @@ ORDER BY rk""",
 SELECT term, count(*) AS weight FROM toks
 WHERE term LIKE '{SUGGEST_PREFIX}%'
 GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
+        "suggest_infix": f"""WITH {TOKS_CTE.strip()}
+SELECT term, count(*) AS weight,
+       term LIKE '{SUGGEST_INFIX}%' AS is_prefix
+FROM toks WHERE term LIKE '%{SUGGEST_INFIX}%'
+GROUP BY 1 ORDER BY count(*) DESC, (term LIKE '{SUGGEST_INFIX}%') DESC,
+term ASC LIMIT 10""",
         "dismax_topk": dismax_sql(DISMAX_CLAUSES, tie=DISMAX_TIE),
         "synonym_index_topk": synonym_index_bm25_sql(SYN_GROUPS, {"join": 1}),
         "synonym_multiword_topk": synonym_multiword_bm25_sql(

@@ -85,3 +85,42 @@ def complete_prefix(
         .orderBy(F.col("weight").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def complete_infix(
+    index,
+    fragment: str,
+    k: int = 5,
+    weight_col: str = "ttf",
+) -> DataFrame:
+    """Infix completion — AnalyzingInfixSuggester analog
+    (lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+    AnalyzingInfixSuggester.java:92): suggestions may match the query
+    fragment ANYWHERE in the term, not just as a prefix. The reference
+    indexes suggestion n-grams and searches them; over a dictionary-sized
+    term table the same result is one distributed contains-filter on the
+    term stats (no row-group pruning is possible for infix — the
+    reference pays the same with its EdgeNGram index, which is why it
+    maintains a dedicated suggest index; at dictionary scale this is a
+    vocabulary-sized scan, NOT a corpus scan). PREFIX matches rank before
+    pure-infix matches at equal weight, like the reference's
+    blender-type PREFIX preference.
+
+    Columns: (term, weight, is_prefix), ordered
+    (weight desc, is_prefix desc, term asc)."""
+    if weight_col not in ("ttf", "df"):
+        raise ValueError("weight_col must be 'ttf' or 'df'")
+    fragment = fragment.lower()
+    return (
+        index.term_stats.filter(F.col("term").contains(fragment))
+        .select(
+            "term",
+            F.col(weight_col).alias("weight"),
+            F.col("term").startswith(fragment).alias("is_prefix"),
+        )
+        .orderBy(
+            F.col("weight").desc(), F.col("is_prefix").desc(),
+            F.col("term").asc(),
+        )
+        .limit(k)
+    )

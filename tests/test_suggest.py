@@ -40,3 +40,22 @@ def test_complete_prefix_bad_weight_col(built_index):
 
     with pytest.raises(ValueError, match="weight_col"):
         complete_prefix(built_index, "st", weight_col="score")
+
+
+def test_complete_infix(built_index, ref_index):
+    """AnalyzingInfixSuggester analog: fragment matches anywhere; prefix
+    matches outrank pure-infix at equal weight."""
+    from lucene_spark.search.suggest import complete_infix
+
+    got = [(r["term"], r["weight"], r["is_prefix"])
+           for r in complete_infix(built_index, "or", k=10).collect()]
+    assert got, "vacuous"
+    for term, w, isp in got:
+        assert "or" in term
+        assert isp == term.startswith("or")
+        assert w == sum(ref_index.postings[term].values())
+    want = sorted(
+        ((t, sum(pl.values())) for t, pl in ref_index.postings.items() if "or" in t),
+        key=lambda x: (-x[1], not x[0].startswith("or"), x[0]),
+    )[:10]
+    assert [(t, w) for t, w, _ in got] == want
