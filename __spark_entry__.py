@@ -31,6 +31,7 @@ from lucene_spark.oracle import (
     bm25_scored_cte,
     bm25_topk_sql,
     phrase_exact_sql,
+    phrase_exact_sim_sql,
     phrase_sloppy_sql,
     phrase_sloppy_rpt_sql,
     phrase_sloppy_aba_sql,
@@ -724,6 +725,33 @@ def q_phrase_topk(spark, sf):
 
     res = search_phrase(
         _index(spark, sf), PHRASE_EXACT, slop=0, k=10, quantize=False, dtype=np.float64
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_phrase_lm_topk(spark, sf):
+    """Exact PhraseQuery scored under LMDirichletSimilarity — the Similarity
+    seam on the phrase path: one SimScorer per phrase-term occurrence
+    scoring the shared phrase freq, summed (SimilarityBase.scorer ->
+    MultiSimilarity.MultiSimScorer, MultiSimilarity.java:70-78)."""
+    from lucene_spark.search.executor import search_phrase
+
+    res = search_phrase(
+        _index(spark, sf), PHRASE_EXACT, slop=0, k=10, quantize=False,
+        dtype=np.float64, similarity="lm_dirichlet",
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_phrase_classic_topk(spark, sf):
+    """Exact PhraseQuery under ClassicSimilarity (TFIDF): phrase weight =
+    summed per-term idf (linear fold of the MultiSimScorer sum), score =
+    sqrt(phraseFreq) * W / sqrt(doclen)."""
+    from lucene_spark.search.executor import search_phrase
+
+    res = search_phrase(
+        _index(spark, sf), PHRASE_EXACT, slop=0, k=10, quantize=False,
+        dtype=np.float64, similarity="classic",
     )
     return res.select("docid", F.round("score", 4).alias("score"))
 
@@ -1848,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": q_synonym_topk,
         "more_like_this": q_more_like_this,
         "phrase_topk": q_phrase_topk,
+        "phrase_lm_topk": q_phrase_lm_topk,
+        "phrase_classic_topk": q_phrase_classic_topk,
         "phrase_stop_hole_topk": q_phrase_stop_hole_topk,
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
         "parsed_query_topk": q_parsed_query_topk,
@@ -2502,6 +2532,8 @@ FROM hits JOIN documents d USING (doc_id)
 GROUP BY d.source ORDER BY d.source""",
         "searchafter_page2": bm25_scored_tail_sql(),
         "phrase_topk": phrase_exact_sql(PHRASE_EXACT),
+        "phrase_lm_topk": phrase_exact_sim_sql(PHRASE_EXACT, "lm_dirichlet"),
+        "phrase_classic_topk": phrase_exact_sim_sql(PHRASE_EXACT, "classic"),
         "phrase_stop_hole_topk": phrase_exact_sql(PHRASE_HOLE),
         "sloppy_phrase_topk": phrase_sloppy_sql(*SLOPPY_TERMS, SLOPPY_SLOP),
         "sloppy_rpt_phrase_topk": phrase_sloppy_rpt_sql(RPT_TERM, RPT_SLOP),

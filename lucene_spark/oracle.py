@@ -90,6 +90,61 @@ m AS (SELECT t0.doc_id, count(*) AS freq
     )
 
 
+def phrase_exact_sim_sql(terms_off: Sequence, kind: str, k: int = 10) -> str:
+    """Exact PhraseQuery under a non-BM25 similarity: same alignment CTE as
+    phrase_exact_sql, but the score is the MultiSimScorer sum — ONE
+    SimScorer per phrase-term occurrence scoring the shared phrase freq
+    (SimilarityBase.scorer -> MultiSimilarity.MultiSimScorer,
+    MultiSimilarity.java:70-78). Supported kinds: classic (TFIDF — the sum
+    folds into one summed idf), lm_dirichlet (non-linear: per-term p_c with
+    the per-occurrence zero floor)."""
+    terms = [t for t, _ in terms_off]
+    from collections import Counter
+
+    qt_vals = ", ".join(
+        f"('{t}', {c})" for t, c in sorted(Counter(terms).items())
+    )
+    joins = "".join(
+        f"\n      JOIN tpos t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {off} AND t{i}.term = '{t}'"
+        for i, (t, off) in enumerate(terms_off[1:], start=1)
+    )
+    m_cte = f""",
+m AS (SELECT t0.doc_id, count(*) AS freq
+      FROM tpos t0{joins}
+      WHERE t0.term = '{terms_off[0][0]}' GROUP BY 1),
+pw AS (SELECT q.term, q.qtf, s.df, s.ttf
+       FROM (VALUES {qt_vals}) q(term, qtf)
+       JOIN (SELECT term, count(*) AS df, sum(tf) AS ttf
+             FROM tf GROUP BY 1) s USING (term)),
+ftok AS (SELECT sum(tf) AS total FROM tf)"""
+    if kind == "classic":
+        score = (
+            "sqrt(CAST(m.freq AS DOUBLE)) * w.w / sqrt(CAST(dl.doclen AS DOUBLE))"
+        )
+        tail = f""",
+w AS (SELECT sum(pw.qtf * (ln((fs.doc_cnt + 1) / CAST(pw.df + 1 AS DOUBLE)) + 1))
+             AS w FROM pw CROSS JOIN fs)
+SELECT m.doc_id AS docid, round({score}, 4) AS score
+FROM m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN w
+ORDER BY ({score}) DESC, docid ASC LIMIT {k}"""
+    elif kind == "lm_dirichlet":
+        sub = (
+            "greatest(0.0, pw.qtf * ("
+            "ln(1 + CAST(m.freq AS DOUBLE) / "
+            "(2000.0 * ((pw.ttf + 1.0) / (ftok.total + 1.0)))) "
+            "+ ln(2000.0 / (dl.doclen + 2000.0))))"
+        )
+        tail = f"""
+SELECT m.doc_id AS docid, round(sum({sub}), 4) AS score
+FROM m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN pw CROSS JOIN ftok
+GROUP BY m.doc_id, m.freq, dl.doclen
+ORDER BY sum({sub}) DESC, docid ASC LIMIT {k}"""
+    else:
+        raise ValueError(kind)
+    return "WITH " + BM25_CTES + ", " + TPOS_CTE.strip() + m_cte + tail
+
+
 def phrase_sloppy_sql(term_a: str, term_b: str, slop: int, k: int = 10) -> str:
     """Sloppy 2-term PhraseQuery oracle. Simulates SloppyPhraseMatcher's
     greedy pq traversal exactly via its crossing-walk reduction (one

@@ -1447,6 +1447,7 @@ def make_phrase_topk_fn(
     avgdl: float,
     quantize: bool,
     dtype,
+    sim=None,
 ):
     """Per-segment phrase scorer: conjunction approximation over docids
     (positions untouched), then position decode + exact/sloppy matcher on
@@ -1620,7 +1621,10 @@ def make_phrase_topk_fn(
                 freqs = np.array(freqs_l, dtype=np.float64)
                 dls_m = np.array(dls_l, dtype=np.int64)
 
-        scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
+        if sim is not None:
+            scores = sim.phrase_score(freqs, dls_m)
+        else:
+            scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
         sel_ids, sel_sc = _select_topk(docs, scores, k)
         return sel_ids, sel_sc, counters
 
@@ -1660,17 +1664,21 @@ def search_phrase(
     quantize: bool = True,
     dtype=np.float32,
     stop_words=None,
+    similarity: Optional[str] = None,
 ) -> DataFrame:
     """PhraseQuery top-k (PhraseQuery.java:71,76): exact (slop=0, leapfrog
     alignment, ExactPhraseMatcher.java:149) or sloppy (greedy pq matcher,
     SloppyPhraseMatcher.java:205). weight = boost * Σ idf over the phrase's
     terms (duplicates included, BM25Similarity.idfExplain[TermStats[]]);
     phraseFreq is the BM25 freq. ``phrase``: a string (analyzed, stopword
-    holes preserved), a term list, or [(term, offset)] pairs."""
+    holes preserved), a term list, or [(term, offset)] pairs. A non-BM25
+    ``similarity`` scores the phrase freq through the Similarity seam
+    (one SimScorer per term occurrence, summed — MultiSimilarity analog)."""
     from .scorer import idf as _idf
 
     require_positions(index, "PhraseQuery")
-    per_seg = _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words)
+    per_seg = _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype,
+                              stop_words, similarity)
     if per_seg is None:
         return index.spark.createDataFrame([], "docid long, score double")
     return (
@@ -1688,17 +1696,23 @@ def phrase_scores(
     quantize: bool = False,
     dtype=np.float64,
     stop_words=None,
+    similarity: Optional[str] = None,
 ) -> DataFrame:
     """ALL (docid, score) phrase matches, uncut — the tree-evaluation
     building block for PhraseQuery clauses inside nested booleans."""
-    per_seg = _phrase_per_seg(index, phrase, slop, None, boost, quantize, dtype, stop_words)
+    per_seg = _phrase_per_seg(index, phrase, slop, None, boost, quantize, dtype,
+                              stop_words, similarity)
     if per_seg is None:
         return index.spark.createDataFrame([], "docid long, score double")
     return per_seg.select("docid", "score")
 
 
-def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words):
+def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words,
+                    similarity=None):
+    from collections import Counter
+
     from .scorer import idf as _idf
+    from .similarities import bind_similarity
 
     terms_off = _phrase_offsets(phrase, stop_words)
     if len(terms_off) < 2:
@@ -1712,9 +1726,17 @@ def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words):
         dtype(boost)
         * dtype(sum(float(_idf(stats[t][0], n, dtype)) for t, _ in terms_off))
     )
+    # non-BM25 similarity: one TermStatistics per phrase-term OCCURRENCE
+    # (PhraseQuery.createWeight builds termStats per position, repeats
+    # included) — occurrence counts ride the qtf slot of the binder
+    sim = bind_similarity(
+        similarity, dict(Counter(t for t, _ in terms_off)), stats,
+        index.field_stats, boost, quantize, dtype,
+    )
     rows = index.seg_postings.filter(F.col("term").isin(distinct))
     fn = make_phrase_topk_fn(
         terms_off, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype,
+        sim=sim,
     )
     return apply_per_segment(index, rows, fn, TOPK_SCHEMA)
 
@@ -1727,6 +1749,7 @@ def make_multiphrase_fn(
     avgdl: float,
     quantize: bool,
     dtype,
+    sim=None,
 ):
     """Per-segment MultiPhraseQuery scorer: a slot matches where ANY of its
     alternative terms occurs (UnionPostingsEnum, MultiPhraseQuery.java:412);
@@ -1881,7 +1904,10 @@ def make_multiphrase_fn(
                 docs = cand[doc_rows]
                 freqs = np.asarray(bfreqs, dtype=np.float64)
                 dls_m = dl[doc_rows]
-                scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
+                if sim is not None:
+                    scores = sim.phrase_score(freqs, dls_m)
+                else:
+                    scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
                 sel_ids, sel_sc = _select_topk(docs, scores, k)
                 return sel_ids, sel_sc, counters
             docs_l, freqs_l, dls_l = [], [], []
@@ -1911,7 +1937,10 @@ def make_multiphrase_fn(
             freqs = np.array(freqs_l, dtype=np.float64)
             dls_m = np.array(dls_l, dtype=np.int64)
 
-        scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
+        if sim is not None:
+            scores = sim.phrase_score(freqs, dls_m)
+        else:
+            scores = score_arrays(freqs, dls_m, weight, avgdl, quantize, dtype)
         sel_ids, sel_sc = _select_topk(docs, scores, k)
         return sel_ids, sel_sc, counters
 
@@ -1967,12 +1996,18 @@ def search_multi_phrase(
     boost: float = 1.0,
     quantize: bool = True,
     dtype=np.float32,
+    similarity: Optional[str] = None,
 ) -> DataFrame:
     """MultiPhraseQuery top-k (search/MultiPhraseQuery.java:54): ``slots`` =
     [(offset, [alternative terms...])]; a slot matches where ANY alternative
     occurs, and the weight sums the idf of EVERY alternative that exists in
-    the index (allTermStats, MultiPhraseQuery.java:228-236)."""
+    the index (allTermStats, MultiPhraseQuery.java:228-236). A non-BM25
+    ``similarity`` scores the phrase freq with one SimScorer per existing
+    alternative, summed (MultiSimilarity analog)."""
+    from collections import Counter
+
     from .scorer import idf as _idf
+    from .similarities import bind_similarity
 
     require_positions(index, "MultiPhraseQuery")
     spark = index.spark
@@ -1997,10 +2032,15 @@ def search_multi_phrase(
         dtype(boost)
         * dtype(sum(float(_idf(stats[t][0], n, dtype)) for _, a in live_slots for t in a))
     )
+    sim = bind_similarity(
+        similarity, dict(Counter(t for _, a in live_slots for t in a)), stats,
+        index.field_stats, boost, quantize, dtype,
+    )
     distinct = sorted({t for _, a in live_slots for t in a})
     rows = index.seg_postings.filter(F.col("term").isin(distinct))
     fn = make_multiphrase_fn(
         live_slots, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype,
+        sim=sim,
     )
     per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     return (
@@ -2197,18 +2237,9 @@ def _eval_node(index: Index, node, quantize: bool, dtype,
                                dtype=dtype, similarity=similarity)
         return df
     if isinstance(node, QPhrase):
-        if similarity not in (None, "bm25"):
-            # the phrase scorer is BM25-only; a silent fallback would score
-            # a different function than the caller asked for (VERDICT r4
-            # wrong#3) — refuse loudly like the reference does for
-            # unsupported scoring combinations
-            raise NotImplementedError(
-                f"similarity={similarity!r} is not supported on phrase "
-                "clauses of the tree path (BM25 only)"
-            )
         return phrase_scores(
             index, list(node.terms_off), slop=node.slop, boost=node.boost,
-            quantize=quantize, dtype=dtype,
+            quantize=quantize, dtype=dtype, similarity=similarity,
         )
     if isinstance(node, (QFuzzy, QPrefix, QWildcard)):
         # top-terms scoring rewrite: OR of the matching terms, each scored
@@ -2338,8 +2369,8 @@ def search_tree(
 ) -> DataFrame:
     """Execute a parsed query tree (nested booleans, phrases, multi-term,
     ranges, boosts) on the exhaustive DataFrame path. ``similarity`` is
-    threaded to every term-scored leaf (Similarity seam); phrase clauses
-    refuse non-BM25 similarities rather than silently falling back."""
+    threaded to every term-scored leaf AND phrase clause (Similarity seam;
+    phrases score via the MultiSimScorer-sum analog)."""
     df = _eval_node(index, node, quantize, dtype, similarity)
     if df is None:
         return index.spark.createDataFrame([], "docid long, score double")

@@ -89,6 +89,25 @@ class BoundSimilarity:
             )[0]
         )
 
+    def phrase_score(self, freqs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        """Phrase-freq scoring. PhraseWeight hands the similarity ONE
+        TermStatistics per phrase-term occurrence; SimilarityBase.scorer
+        wraps each in a BasicSimScorer and MultiSimilarity.MultiSimScorer
+        sums their scores of the shared phrase freq
+        (SimilarityBase.java:94-103, MultiSimilarity.java:70-78). TFIDF/BM25
+        instead fold the stats into one summed idf — the same number here
+        because every registered formula is linear in its per-term weight,
+        so qtf (phrase-occurrence count, already folded into ``weights``)
+        makes the per-distinct-term sum equal the per-occurrence sum.
+        Accumulates in engine dtype like the reference's float loop."""
+        out = None
+        for t in self.weights:
+            s = self.score(t, freqs, dls)
+            out = s if out is None else out + s
+        if out is None:
+            return np.zeros(len(freqs), self.dtype)
+        return out
+
     # ---- float64 SQL form (exhaustive path / oracle differential) ----
     def wdf_rows(self):
         """(term, w, pc) rows for the broadcast per-term table (pc unused
@@ -161,6 +180,7 @@ class BooleanBound(BoundSimilarity):
 
     def __init__(self, qtf, term_stats, fstats, boost, quantize, dtype):
         self.dtype = dtype
+        self._boost = float(dtype(boost))
         self.weights = {
             t: float(dtype(boost) * dtype(q))
             for t, q in qtf.items()
@@ -169,6 +189,12 @@ class BooleanBound(BoundSimilarity):
 
     def score(self, term, tfs, dls):
         return np.full(len(tfs), self.weights[term], dtype=self.dtype)
+
+    def phrase_score(self, freqs, dls):
+        # BooleanSimilarity.scorer ignores the TermStatistics array entirely
+        # and returns ONE boost scorer (BooleanSimilarity.java:43-51): a
+        # matching phrase scores boost, not boost * n_terms
+        return np.full(len(freqs), self._boost, dtype=self.dtype)
 
     def score_col(self, tf, doclen):
         return F.col("w")
