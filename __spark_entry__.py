@@ -30,6 +30,7 @@ from lucene_spark.oracle import (
     bm25_matches_cte,
     bm25_scored_cte,
     bm25_topk_sql,
+    lang_pack_bm25_sql,
     phrase_exact_sql,
     phrase_exact_sim_sql,
     phrase_sloppy_sql,
@@ -975,6 +976,83 @@ def _mw_syn_index(spark: SparkSession, sf_dir: str) -> Index:
     return idx
 
 
+def _lang_index(spark: SparkSession, sf_dir: str, lang: str) -> Index:
+    """Language-pack index (functions/lang.py): analyzer=<lang> swaps in the
+    pack's snowball stop set and runs the UniNE light stemmer as a
+    vocab-level remap (SpanishAnalyzer.java:115-118 /
+    ItalianAnalyzer.java:125-129 chains)."""
+    key = (f"lang_{lang}", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_lang_{lang}"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("text", "content")
+    )
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+        analyzer=lang,
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+# query text -> pack stems: "values tables" stems to (valu, tabl) under the
+# Spanish chain; "window customer" -> (windo, customer) under the Italian one
+LANG_ES_QUERY = "values tables"
+LANG_IT_QUERY = "window customer"
+
+
+def _lang_stems_es():
+    from lucene_spark.functions.lang import analyze_lang
+
+    return analyze_lang(LANG_ES_QUERY, "spanish")
+
+
+def _lang_stems_it():
+    from lucene_spark.functions.lang import analyze_lang
+
+    return analyze_lang(LANG_IT_QUERY, "italian")
+
+
+def q_lang_es_topk(spark, sf):
+    """BM25 OR top-k under the Spanish analyzer pack: query terms go
+    through the SAME chain (analyze_lang), so inflected query forms match
+    stemmed postings; the oracle regenerates stop+stem in pure SQL."""
+    from lucene_spark.functions.lang import analyze_lang
+    from lucene_spark.search.executor import search_topk
+    from lucene_spark.search.plan import normalize
+
+    terms = analyze_lang(LANG_ES_QUERY, "spanish")
+    res = search_topk(
+        _lang_index(spark, sf, "spanish"),
+        normalize(should=terms, pre_analyzed=True),
+        k=10, quantize=False, dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_lang_it_topk(spark, sf):
+    """BM25 OR top-k under the Italian analyzer pack (vowel-suffix light
+    stemmer; the Italian stop set keeps 'the' — doclens shift vs the
+    default chain and the oracle must agree)."""
+    from lucene_spark.functions.lang import analyze_lang
+    from lucene_spark.search.executor import search_topk
+    from lucene_spark.search.plan import normalize
+
+    terms = analyze_lang(LANG_IT_QUERY, "italian")
+    res = search_topk(
+        _lang_index(spark, sf, "italian"),
+        normalize(should=terms, pre_analyzed=True),
+        k=10, quantize=False, dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 def _cjk_index(spark: SparkSession, sf_dir: str) -> Index:
     """CJK-bigram index (CJKAnalyzer analog, functions/cjk.py) over the
     deterministically translated documents corpus (every [a-z0-9_] char ->
@@ -1806,6 +1884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_index_topk": q_synonym_index_topk,
         "synonym_multiword_topk": q_synonym_multiword_topk,
         "cjk_bigram_topk": q_cjk_bigram_topk,
+        "lang_es_topk": q_lang_es_topk,
+        "lang_it_topk": q_lang_it_topk,
         "classic_topk": q_classic_topk,
         "boolean_sim_topk": q_boolean_sim_topk,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
@@ -2435,6 +2515,10 @@ term ASC LIMIT 10""",
         "synonym_multiword_topk": synonym_multiword_bm25_sql(
             MW_SYN_RULES, {"hashjoin": 1, "data": 1}
         ),
+        "lang_es_topk": lang_pack_bm25_sql(
+            "spanish", {t: 1 for t in _lang_stems_es()}),
+        "lang_it_topk": lang_pack_bm25_sql(
+            "italian", {t: 1 for t in _lang_stems_it()}),
         "cjk_bigram_topk": cjk_bigram_bm25_sql(
             {t: 1 for t in _cjk_query_terms("join")}
         ),

@@ -168,6 +168,18 @@ class IndexConfig:
     # functions.cjk.analyze_cjk for the same chain.
     analyzer: str = "standard"
 
+    def effective_stop_words(self) -> frozenset:
+        """The stop set the chain actually runs: a language pack brings its
+        own published list (FrenchAnalyzer.java:53 etc. load them at
+        class-init) unless the caller explicitly overrides stop_words."""
+        from ..functions.lang import LANG_PACKS
+
+        # equality, not identity: cfg pickles into executor closures, where
+        # the unpickled default set is a fresh object
+        if self.analyzer in LANG_PACKS and self.stop_words == ENGLISH_STOP_WORDS:
+            return LANG_PACKS[self.analyzer].stop_words
+        return self.stop_words
+
     def analysis_fingerprint(self) -> str:
         """Stable digest of everything that changes what TERMS an identical
         document produces. Stamped into field_stats.json at build and
@@ -185,7 +197,7 @@ class IndexConfig:
             syn = None
         # analyzer joins the key only when non-default so every fingerprint
         # stamped by earlier format versions stays valid for append
-        parts = (sorted(self.stop_words), self.stemmer, syn,
+        parts = (sorted(self.effective_stop_words()), self.stemmer, syn,
                  bool(self.index_positions))
         if self.analyzer != "standard":
             parts = parts + (self.analyzer,)
@@ -449,25 +461,29 @@ def _invert_group(
 
     # --- analyze + invert == analyzer chain + TermsHashPerField.add:
     # Arrow-kernel tokenize/dict-encode, then lexsort (code, doc) + RLE.
-    if cfg.analyzer not in ("standard", "cjk_bigram"):
+    from ..functions.lang import LANG_PACKS
+
+    if cfg.analyzer not in ("standard", "cjk_bigram") and cfg.analyzer not in LANG_PACKS:
         raise ValueError(
-            f"unknown analyzer {cfg.analyzer!r} (supported: standard, cjk_bigram)"
+            f"unknown analyzer {cfg.analyzer!r} (supported: standard, "
+            f"cjk_bigram, {', '.join(sorted(LANG_PACKS))})"
         )
+    stops = cfg.effective_stop_words()
     # the CJK bigram pass tests position adjacency, so it always needs the
     # positions stream even when the index itself won't store positions
     need_pos = cfg.index_positions or cfg.analyzer == "cjk_bigram"
     flat_off = None
     if cfg.index_offsets:
         codes, flat_docix, vocab, flat_pos, flat_off = flat_code_tokens(
-            table[cfg.content_col], cfg.stop_words,
+            table[cfg.content_col], stops,
             with_positions=True, with_offsets=True,
         )
     elif need_pos:
         codes, flat_docix, vocab, flat_pos = flat_code_tokens(
-            table[cfg.content_col], cfg.stop_words, with_positions=True
+            table[cfg.content_col], stops, with_positions=True
         )
     else:
-        codes, flat_docix, vocab = flat_code_tokens(table[cfg.content_col], cfg.stop_words)
+        codes, flat_docix, vocab = flat_code_tokens(table[cfg.content_col], stops)
         flat_pos = None
     if cfg.analyzer == "cjk_bigram":
         from ..functions.cjk import cjk_bigram_stream
@@ -477,12 +493,26 @@ def _invert_group(
         )
         if not cfg.index_positions:
             flat_pos = None
+    if cfg.analyzer in LANG_PACKS:
+        from ..functions.lang import lang_vocab_remap
+
+        # elide -> stop-recheck -> normalize -> light-stem, all vocab-level
+        # (one call per unique term, numpy code remap — the Porter pattern);
+        # elision-surfaced stopwords drop with their position hole kept
+        code_map, vocab = lang_vocab_remap(vocab, cfg.analyzer, stops)
+        codes = code_map[codes]
+        live_tok = codes >= 0
+        if not live_tok.all():
+            codes = codes[live_tok]
+            flat_docix = flat_docix[live_tok]
+            if flat_pos is not None:
+                flat_pos = flat_pos[live_tok]
     if cfg.fold_ascii:
         from ..functions.fold import fold_vocab_remap
 
         # vocab-level fold + stop re-check, numpy code remap (stemmer
         # pattern); dropped tokens keep their position holes
-        code_map, vocab = fold_vocab_remap(vocab, cfg.stop_words)
+        code_map, vocab = fold_vocab_remap(vocab, stops)
         codes = code_map[codes]
         live_tok = codes >= 0
         if not live_tok.all():
@@ -498,7 +528,7 @@ def _invert_group(
         # stem the VOCAB and remap codes: per-token cost stays Arrow-side;
         # post-possessive stopwords drop out (and keep their position hole,
         # StopFilter position-increment semantics)
-        code_map, vocab = stem_vocab_remap(vocab, cfg.stop_words)
+        code_map, vocab = stem_vocab_remap(vocab, stops)
         codes = code_map[codes]
         live_tok = codes >= 0
         if not live_tok.all():
@@ -966,10 +996,21 @@ def build_index(
 ) -> IndexPaths:
     """Full build: stage -> segments -> global stats -> salted merge."""
     cfg = cfg or IndexConfig()
-    if cfg.analyzer not in ("standard", "cjk_bigram"):
+    from ..functions.lang import LANG_PACKS
+
+    if cfg.analyzer not in ("standard", "cjk_bigram") and cfg.analyzer not in LANG_PACKS:
         # fail on the driver, not wrapped inside an executor UDF
         raise ValueError(
-            f"unknown analyzer {cfg.analyzer!r} (supported: standard, cjk_bigram)"
+            f"unknown analyzer {cfg.analyzer!r} (supported: standard, "
+            f"cjk_bigram, {', '.join(sorted(LANG_PACKS))})"
+        )
+    if cfg.analyzer in LANG_PACKS and (
+        cfg.stemmer or cfg.fold_ascii or cfg.shingles or cfg.synonyms
+    ):
+        raise ValueError(
+            "language packs bundle their own elision/normalize/stem chain; "
+            "stemmer/fold_ascii/shingles/synonyms do not compose with "
+            f"analyzer={cfg.analyzer!r}"
         )
     if cfg.index_offsets:
         if not cfg.index_positions:

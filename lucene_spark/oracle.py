@@ -590,6 +590,69 @@ FROM scored GROUP BY 1
 ORDER BY sum(s) DESC, docid ASC LIMIT {k}"""
 
 
+_LANG_STEM_CASE = {
+    # SpanishLightStemmer.java — exact on this ascii corpus (the accent
+    # translate step is a no-op over [a-z0-9_] text)
+    "spanish": """CASE
+      WHEN length(t) < 5 THEN t
+      WHEN right(t, 1) IN ('o','a','e') THEN left(t, length(t)-1)
+      WHEN right(t, 1) = 's' AND right(t, 4) = 'eses' THEN left(t, length(t)-2)
+      WHEN right(t, 1) = 's' AND right(t, 3) = 'ces' THEN left(t, length(t)-3) || 'z'
+      WHEN right(t, 1) = 's' AND substr(t, -2, 1) IN ('o','a','e') THEN left(t, length(t)-2)
+      ELSE t END""",
+    # ItalianLightStemmer.java — same ascii-corpus caveat
+    "italian": """CASE
+      WHEN length(t) < 6 THEN t
+      WHEN right(t, 1) = 'e' AND substr(t, -2, 1) IN ('i','h') THEN left(t, length(t)-2)
+      WHEN right(t, 1) = 'e' THEN left(t, length(t)-1)
+      WHEN right(t, 1) = 'i' AND substr(t, -2, 1) IN ('h','i') THEN left(t, length(t)-2)
+      WHEN right(t, 1) = 'i' THEN left(t, length(t)-1)
+      WHEN right(t, 1) IN ('a','o') AND substr(t, -2, 1) = 'i' THEN left(t, length(t)-2)
+      WHEN right(t, 1) IN ('a','o') THEN left(t, length(t)-1)
+      ELSE t END""",
+}
+
+
+def lang_pack_bm25_sql(lang: str, qtf: Dict[str, int], k: int = 10) -> str:
+    """BM25 top-k over a language-pack index (analyzer='spanish'/'italian'):
+    the ORACLE regenerates the whole chain in SQL — tokenize, the pack's
+    snowball stop set, and the light stemmer as a CASE cascade
+    (SpanishLightStemmer.java / ItalianLightStemmer.java re-stated in SQL) —
+    then scores the caller's pre-stemmed query terms. Exercises stop-set
+    substitution (doclen shifts: 'the' survives a Spanish chain) and the
+    vocab-level stem remap end to end."""
+    from .analysis import ENGLISH_STOP_WORDS  # noqa: F401  (doc parity)
+    from .functions.lang import LANG_PACKS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(LANG_PACKS[lang].stop_words))
+    stem_case = _LANG_STEM_CASE[lang]
+    qt_vals = ", ".join(f"('{t}', {int(w)})" for t, w in sorted(qtf.items()))
+    return f"""WITH rawt AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+  WHERE t <> '' AND t NOT IN ({stops})),
+toks AS (SELECT doc_id, {stem_case} AS term FROM rawt),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+fs AS (SELECT count(*) AS doc_cnt,
+              sum(doclen) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+qt(term, qtf) AS (VALUES {qt_vals}),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+w AS (SELECT q.term,
+             q.qtf * ln(1 + (fs.doc_cnt - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
+      FROM qt q JOIN dfreq ON q.term = dfreq.term CROSS JOIN fs),
+scored AS (
+  SELECT tf.doc_id,
+         w.w - w.w / (1 + CAST(tf.tf AS DOUBLE)
+                          * (1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))) AS s
+  FROM tf JOIN w ON tf.term = w.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs)
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM scored GROUP BY 1
+ORDER BY sum(s) DESC, docid ASC LIMIT {k}"""
+
+
 def similarity_topk_sql(kind: str, qtf: Dict[str, int], k: int = 10) -> str:
     """Top-k OR query under an alternative similarity (Similarity seam,
     lucene/core/src/java/org/apache/lucene/search/similarities/): same
