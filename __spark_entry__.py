@@ -1445,6 +1445,49 @@ def _ivf_fixed_centroids() -> np.ndarray:
     return np.random.RandomState(7).randn(IVF_FIXED_NLIST, 64)
 
 
+def _squant_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    from lucene_spark.pipeline.quant import build_squant_index
+
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_squant7"
+    if not os.path.exists(os.path.join(d, "params.json")):
+        build_squant_index(spark, _emb(spark, sf_dir), d, bits=7)
+    return d
+
+
+def q_ann_squant_topk(spark, sf):
+    """Scalar-quantized vector top-k (Lucene99ScalarQuantizedVectorsFormat
+    analog, pipeline/quant.py): int7 linear quantization with exact global
+    min/max bounds, query quantized with the index's own params, cosine in
+    the dequantized domain over the PERSISTED int-array parquet (~4x
+    smaller scans than float32). The oracle replays quantize+dequant+cosine
+    from the raw floats in pure SQL."""
+    from lucene_spark.pipeline.quant import squant_index_topk
+
+    return squant_index_topk(
+        spark, _squant_index_dir(spark, sf), _ann_query_vec(spark, sf), k=10,
+    )
+
+
+def _squant_sql() -> str:
+    # floor(+0.5) (not round) keeps halfway semantics identical in both
+    # engines; bounds/scale are f64 from exact f32 min/max — bit-shared
+    q = """list_transform(CAST(embedding AS DOUBLE[]),
+        x -> prm.lo + least(127.0, greatest(0.0, floor((x - prm.lo) / prm.scale + 0.5))) * prm.scale)"""
+    return f"""
+WITH p AS (SELECT min(x) AS lo, max(x) AS hi
+           FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)),
+prm AS (SELECT lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 127.0 ELSE 1.0 END AS scale FROM p),
+e AS (SELECT vec_id, {q} AS v FROM embeddings CROSS JOIN prm),
+qv AS (SELECT {q} AS qv FROM embeddings CROSS JOIN prm WHERE vec_id = {ANN_QUERY_VEC_ID}),
+c AS (SELECT e.vec_id,
+             list_dot_product(e.v, qv.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv))) AS cos
+      FROM e CROSS JOIN qv)
+SELECT vec_id, round(cos, 4) AS cosine FROM c
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
 def _ivf_fixed_index_dir(spark: SparkSession, sf_dir: str) -> str:
     from lucene_spark.pipeline.similarity import build_ivf_index
 
@@ -1915,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_squant_topk": q_ann_squant_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "cosine_neardup": q_cosine_neardup,
         # --- driver-checked green in r3 (freshest rows run last)
@@ -2711,6 +2755,7 @@ SELECT doc_id,
        md5(text) AS exact_hash
 FROM documents ORDER BY doc_id""",
         "ann_cosine_topk": _ann_sql(),
+        "ann_squant_topk": _squant_sql(),
         "ann_lsh_buckets": _ann_lsh_sql(),
         "cosine_neardup": """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
