@@ -289,6 +289,11 @@ class IndexPaths:
     def field_stats(self) -> str:
         return os.path.join(self.root, "field_stats.json")
 
+    def field_stats_g(self, generation: int) -> str:
+        """Per-generation commit marker copy (IndexCommit analog): lets a
+        reader open a RETAINED past commit by generation."""
+        return os.path.join(self.root, f"field_stats-g{generation}.json")
+
     @property
     def tombstones(self) -> str:
         return os.path.join(self.root, "tombstones")
@@ -976,6 +981,10 @@ def finalize_index(
             if all("max_doclen" in r for r in manifest_rows) else 0
         ),
         "num_segments": len(manifest_rows),
+        # snapshot bounds: segments/docids that exist AT THIS COMMIT —
+        # a time-travel reader filters later appends out with these
+        "max_segment_id": int(max(r["segment_id"] for r in manifest_rows)),
+        "max_docid": int(max(r["last_docid"] for r in manifest_rows)),
         "generation": generation,
         "format_version": INDEX_FORMAT_VERSION,
         "analysis_fingerprint": fingerprint,
@@ -984,6 +993,9 @@ def finalize_index(
         "term_vectors": tvec_stamp,
     }
     fsio.write_json_atomic(paths.fs, fs_marker, fs)
+    # per-generation copy = the commit point (IndexCommit); retained copies
+    # are what list_commits/Index(generation=...) open
+    fsio.write_json_atomic(paths.fs, paths.fs_path(paths.field_stats_g(generation)), fs)
     if profile:
         print(f"[build-profile] finalize: {_time.perf_counter() - _t0:.1f}s", file=sys.stderr)
 
@@ -1170,8 +1182,38 @@ def purge_deletes(
             fsio.delete(paths.fs, paths.fs_path(p))
         except OSError:
             pass
+    # a purge rewrites segment files IN PLACE, so every retained commit's
+    # per-segment data is gone — drop stale markers so list_commits stays
+    # truthful (Lucene's SnapshotDeletionPolicy blocks merges from deleting
+    # snapshotted files instead; an in-place batch rewrite cannot)
+    for f in fsio.list_files(paths.fs, paths.fs_path(paths.root),
+                             prefix="field_stats-g", suffix=".json"):
+        if f != paths.fs_path(paths.field_stats_g(old_gen + 1)):
+            try:
+                paths.fs.delete_file(f)
+            except OSError:
+                pass
     fsio.delete(paths.fs, paths.fs_path(paths.tombstones))
     return n_deleted
+
+
+def list_commits(index_dir: str) -> list:
+    """Openable commit generations, oldest first (DirectoryReader
+    .listCommits analog): retained per-generation markers whose merged
+    snapshot still exists, plus the live commit."""
+    paths = IndexPaths(index_dir)
+    gens = set()
+    for f in fsio.list_files(paths.fs, paths.fs_path(paths.root),
+                             prefix="field_stats-g", suffix=".json"):
+        base = os.path.basename(f)
+        g = int(base[len("field_stats-g"):-len(".json")])
+        if fsio.exists(paths.fs, paths.fs_path(
+                os.path.join(paths.merged_g(g), "_SUCCESS"))):
+            gens.add(g)
+    live = live_generation(paths)
+    if live is not None:
+        gens.add(live)
+    return sorted(gens)
 
 
 def live_generation(paths: IndexPaths) -> Optional[int]:
@@ -1189,6 +1231,7 @@ def append_to_index(
     index_dir: str,
     cfg: IndexConfig | None = None,
     update: bool = False,
+    keep_commits: bool = False,
 ) -> IndexPaths:
     """NRT-append analog (DirectoryReader.openIfChanged, SURVEY.md §2.9):
     index a new batch as fresh segments (docids continue after the current
@@ -1201,7 +1244,13 @@ def append_to_index(
     are REFUSED by default (two live docs would share an id — silent
     corruption); ``update=True`` tombstones the existing docs first
     instead — IndexWriter.updateDocument semantics (delete-then-add,
-    index/IndexWriter.java updateDocument)."""
+    index/IndexWriter.java updateDocument).
+
+    ``keep_commits=True`` retains the previous generation's snapshot
+    artifacts instead of GC-ing them (SnapshotDeletionPolicy analog vs the
+    default KeepOnlyLastCommitDeletionPolicy, index/SnapshotDeletionPolicy
+    .java:54): the old commit stays openable via
+    ``Index(spark, paths, generation=old_gen)`` / ``list_commits``."""
     cfg = cfg or IndexConfig()
     paths = IndexPaths(index_dir)
     existing = read_manifests(paths)
@@ -1266,10 +1315,13 @@ def append_to_index(
         docid_base=docid_base, segment_id_base=sid_base, generation=sid_base,
     )
     finalize_index(spark, paths, cfg, generation=old_gen + 1)
-    # old generation's artifacts are now unreachable: best-effort GC
-    for p in (paths.term_stats_g(old_gen), paths.merged_g(old_gen)):
-        try:
-            fsio.delete(paths.fs, paths.fs_path(p))
-        except OSError:
-            pass
+    if not keep_commits:
+        # KeepOnlyLastCommit (the reference's default deletion policy):
+        # old generation's artifacts are unreachable -> best-effort GC
+        for p in (paths.term_stats_g(old_gen), paths.merged_g(old_gen),
+                  paths.field_stats_g(old_gen)):
+            try:
+                fsio.delete(paths.fs, paths.fs_path(p))
+            except OSError:
+                pass
     return paths

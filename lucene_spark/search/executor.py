@@ -64,14 +64,37 @@ PRUNE_SCALE = {np.float32: 1.0 - 1e-4, np.float64: 1.0 - 1e-9}
 
 
 class Index:
-    """Opened index: stats + lazy DataFrames (DirectoryReader analog)."""
+    """Opened index: stats + lazy DataFrames (DirectoryReader analog).
 
-    def __init__(self, spark: SparkSession, paths: IndexPaths):
+    ``generation`` opens a RETAINED past commit (DirectoryReader.open(
+    IndexCommit) analog): the per-generation marker supplies that commit's
+    stats and snapshot bounds (max segment id / max docid), and the segment
+    -level DataFrames filter later appends out (docid/segment_id predicates
+    -> parquet row-group pruning, no data rewrite). Commits are retained by
+    ``append_to_index(keep_commits=True)`` (SnapshotDeletionPolicy analog);
+    the default policy GCs them (KeepOnlyLastCommitDeletionPolicy). Deletes
+    are snapshot-global here (tombstones ride beside the commits), a
+    documented departure from per-commit liveDocs."""
+
+    def __init__(self, spark: SparkSession, paths: IndexPaths,
+                 generation: Optional[int] = None):
         from ..index import fsio
 
         self.spark = spark
         self.paths = paths
-        fs = fsio.read_json(paths.fs, paths.fs_path(paths.field_stats))
+        if generation is None:
+            fs = fsio.read_json(paths.fs, paths.fs_path(paths.field_stats))
+        else:
+            marker = paths.fs_path(paths.field_stats_g(int(generation)))
+            if not fsio.exists(paths.fs, marker):
+                from ..index.builder import list_commits
+
+                raise ValueError(
+                    f"no retained commit for generation {generation} at "
+                    f"{paths.root}; openable commits: {list_commits(paths.root)} "
+                    "(retain with append_to_index(keep_commits=True))"
+                )
+            fs = fsio.read_json(paths.fs, marker)
         from ..index.builder import INDEX_FORMAT_VERSION
 
         # SegmentInfos-style version gate (SegmentInfos.java:305): refuse
@@ -105,6 +128,16 @@ class Index:
         self.has_term_vectors: Optional[bool] = None if tv is None else bool(tv)
         self._merged_dir = paths.merged_g(self.generation)
         self._term_stats_dir = paths.term_stats_g(self.generation)
+        # snapshot bounds (None on live opens or pre-snapshot markers):
+        # segment-level reads filter out segments/docids appended later
+        self._snap_max_sid = (
+            int(fs["max_segment_id"])
+            if generation is not None and "max_segment_id" in fs else None
+        )
+        self._snap_max_docid = (
+            int(fs["max_docid"])
+            if generation is not None and "max_docid" in fs else None
+        )
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
         self._deleted: Optional[np.ndarray] = None
         self._has_deletes: Optional[bool] = None
@@ -262,9 +295,17 @@ class Index:
     def merged(self) -> DataFrame:
         return self.spark.read.parquet(self._merged_dir)
 
+    def _snap_seg(self, df: DataFrame) -> DataFrame:
+        return (df.filter(F.col("segment_id") <= self._snap_max_sid)
+                if self._snap_max_sid is not None else df)
+
+    def _snap_doc(self, df: DataFrame) -> DataFrame:
+        return (df.filter(F.col("docid") <= self._snap_max_docid)
+                if self._snap_max_docid is not None else df)
+
     @property
     def seg_postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        return self._snap_seg(self.spark.read.parquet(self.paths.postings))
 
     @property
     def term_stats(self) -> DataFrame:
@@ -272,11 +313,11 @@ class Index:
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docs)
+        return self._snap_doc(self.spark.read.parquet(self.paths.docs))
 
     @property
     def norms(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.norms)
+        return self._snap_doc(self.spark.read.parquet(self.paths.norms))
 
     @property
     def term_vectors(self) -> DataFrame:
@@ -287,7 +328,7 @@ class Index:
             raise ValueError(
                 "index has no term vectors (IndexConfig(term_vectors=True))"
             )
-        return self.spark.read.parquet(self.paths.tvec)
+        return self._snap_doc(self.spark.read.parquet(self.paths.tvec))
 
     def term_vector(self, docid: int) -> DataFrame:
         """One doc's term vector — the docid filter prunes parquet row
