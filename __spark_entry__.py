@@ -976,6 +976,54 @@ def _mw_syn_index(spark: SparkSession, sf_dir: str) -> Index:
     return idx
 
 
+def _shard_indexes(spark: SparkSession, sf_dir: str):
+    """The documents corpus built as TWO doc_id-range shard indexes
+    (independently built directories — the per-tenant/per-day 100 TB
+    layout; docids are globally unique, so no docBase rebase needed)."""
+    key = ("shards", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached[0].spark is spark:
+        return cached
+    from lucene_spark.search.multireader import open_shards
+
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("text", "content")
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=2, hot_df_threshold=150, merge_bucket_segments=1,
+    )
+    dirs = []
+    for tag, part in (("lo", docs.filter(F.col("doc_id") <= mid)),
+                      ("hi", docs.filter(F.col("doc_id") > mid))):
+        d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_shard_{tag}"
+        build_index(spark, part, d, cfg)
+        dirs.append(d)
+    shards = tuple(open_shards(spark, dirs))
+    _INDEX_CACHE[key] = shards
+    return shards
+
+
+def q_multi_reader_topk(spark, sf):
+    """MultiReader analog (search/multireader.py): two independently built
+    doc_id-range shard indexes searched as one — per-shard pruned subplans
+    under COMBINED collection/term statistics, one union, one global cut.
+    The oracle scores the whole corpus in SQL: with union statistics the
+    sharded result is identical to a single combined index."""
+    from lucene_spark.search.multireader import multi_search_topk
+    from lucene_spark.search.plan import normalize
+
+    res = multi_search_topk(
+        _shard_indexes(spark, sf),
+        normalize(should=["merge", "window", "stream"], pre_analyzed=True),
+        k=10, quantize=False, dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
 def _lang_index(spark: SparkSession, sf_dir: str, lang: str) -> Index:
     """Language-pack index (functions/lang.py): analyzer=<lang> swaps in the
     pack's snowball stop set and runs the UniNE light stemmer as a
@@ -1928,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_multiword_topk": q_synonym_multiword_topk,
         "cjk_bigram_topk": q_cjk_bigram_topk,
         "lang_es_topk": q_lang_es_topk,
+        "multi_reader_topk": q_multi_reader_topk,
         "lang_it_topk": q_lang_it_topk,
         "classic_topk": q_classic_topk,
         "boolean_sim_topk": q_boolean_sim_topk,
@@ -2561,6 +2610,7 @@ term ASC LIMIT 10""",
         ),
         "lang_es_topk": lang_pack_bm25_sql(
             "spanish", {t: 1 for t in _lang_stems_es()}),
+        "multi_reader_topk": bm25_topk_sql({"merge": 1, "window": 1, "stream": 1}),
         "lang_it_topk": lang_pack_bm25_sql(
             "italian", {t: 1 for t in _lang_stems_it()}),
         "cjk_bigram_topk": cjk_bigram_bm25_sql(
