@@ -882,6 +882,31 @@ def q_suggest_complete(spark, sf):
     return complete_prefix(_index(spark, sf), SUGGEST_PREFIX, k=10)
 
 
+SUGGEST_FUZZY = "quary"  # 1-edit typo of the corpus term "query"
+
+
+def q_suggest_fuzzy(spark, sf):
+    """FuzzySuggester analog: completions whose prefix is within 1
+    Levenshtein edit of the typed input ("quary" -> "query"), first char
+    exact (nonFuzzyPrefix=1), weight-ordered (FuzzySuggester.java:60)."""
+    from lucene_spark.search.suggest import complete_fuzzy
+
+    return complete_fuzzy(_index(spark, sf), SUGGEST_FUZZY, k=10)
+
+
+def _suggest_fuzzy_sql() -> str:
+    from lucene_spark.oracle import TOKS_CTE
+
+    p = SUGGEST_FUZZY
+    lens = range(len(p) - 1, len(p) + 2)
+    dists = ", ".join(f"levenshtein(left(term, {L}), '{p}')" for L in lens)
+    return f"""WITH {TOKS_CTE.strip()},
+stats AS (SELECT term, count(*) AS weight FROM toks GROUP BY 1)
+SELECT term, weight FROM stats
+WHERE left(term, 1) = '{p[0]}' AND list_min([{dists}]) <= 1
+ORDER BY weight DESC, term ASC LIMIT 10"""
+
+
 SUGGEST_INFIX = "or"
 
 
@@ -1970,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_saturation_topk": q_feature_saturation_topk,
         "sort_after_page2": q_sort_after_page2,
         "suggest_complete": q_suggest_complete,
+        "suggest_fuzzy": q_suggest_fuzzy,
         "suggest_infix": q_suggest_infix,
         "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
@@ -2597,6 +2623,7 @@ ORDER BY rk""",
 SELECT term, count(*) AS weight FROM toks
 WHERE term LIKE '{SUGGEST_PREFIX}%'
 GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
+        "suggest_fuzzy": _suggest_fuzzy_sql(),
         "suggest_infix": f"""WITH {TOKS_CTE.strip()}
 SELECT term, count(*) AS weight,
        term LIKE '{SUGGEST_INFIX}%' AS is_prefix

@@ -234,6 +234,21 @@ def main() -> None:
     if med:
         shape("or_med_hot", normalize(should=[med, "import"]))
         shape_seeded("or_med_hot", normalize(should=[med, "import"]))
+    if rare and med:
+        # mixed boolean tree "(rare AND hot) OR med" — the one query shape
+        # that cannot lower to the flat pruned path (BooleanQuery.rewrite
+        # analog flattens same-occur nesting; genuinely mixed trees run the
+        # exhaustive DataFrame evaluation like the reference without BMW).
+        # The row keeps that cost VISIBLE at 1M docs.
+        from lucene_spark.search.executor import search_query
+        from lucene_spark.search.plan import MUST, QBool, QTerm, SHOULD
+
+        tree = QBool((
+            (SHOULD, QBool(((MUST, QTerm(rare)), (MUST, QTerm("import"))))),
+            (SHOULD, QTerm(med)),
+        ))
+        q_secs["q1m_tree_mixed"] = t_min(
+            lambda: search_query(build_idx, tree, k=K).collect())
     if rare:
         # pluggable-similarity pruning on the same shape: DFR prunes like
         # BM25 (bounded tf saturation); Classic's unbounded sqrt(tf) keeps

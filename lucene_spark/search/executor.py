@@ -2421,9 +2421,18 @@ def search_tree(
 
 def search_query(index: Index, q, k: int = 10, **kw) -> DataFrame:
     """Dispatch parse() output: NormalizedQuery -> pruned per-segment top-k
-    path; query tree -> exhaustive tree evaluation."""
+    path; query tree -> BooleanQuery.rewrite analog first (nested
+    same-occur booleans flatten, single-clause wrappers unwrap), so
+    associative shapes built by hand still lower to the pruned path;
+    genuinely mixed trees take the exhaustive evaluation."""
     if isinstance(q, NormalizedQuery):
         return search_topk(index, q, k=k, **kw)
+    from .plan import flatten, rewrite
+
+    q = rewrite(q)
+    flat = flatten(q)
+    if flat is not None:
+        return search_topk(index, flat, k=k, **kw)
     return search_tree(index, q, k=k, **kw)
 
 

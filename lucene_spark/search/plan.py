@@ -468,6 +468,61 @@ def parse_tree(query: str, stop_words=ENGLISH_STOP_WORDS):
     return node
 
 
+def _fold_boost(node, boost: float):
+    if boost == 1.0:
+        return node
+    from dataclasses import replace
+
+    return replace(node, boost=node.boost * boost)
+
+
+def rewrite(node):
+    """BooleanQuery.rewrite analog (search/BooleanQuery.java:540-636):
+    structural simplifications that never change matching or scores —
+    bottom-up, then at each boolean:
+
+      - a child boolean with ONE positive clause unwraps (its boost folds
+        multiplicatively into the clause; the outer occur is kept);
+      - an unboosted all-SHOULD child under SHOULD splices its clauses into
+        the parent (nested-disjunction flattening — scoring is the clause
+        sum either way, and matching is associative);
+      - an unboosted all-MUST child under MUST splices (nested
+        conjunction);
+      - an all-SHOULD child under MUST_NOT rewrites to one MUST_NOT per
+        inner clause (De Morgan: NOT(a OR b) == NOT a AND NOT b; exclusion
+        ignores scores, so the child's boost is irrelevant).
+
+    The payoff is that associative shapes like ``foo OR (bar OR baz)``
+    lower to the flat NormalizedQuery and take the PRUNED block-max path
+    instead of the exhaustive tree walk."""
+    if not isinstance(node, QBool):
+        return node
+    out = []
+    for occ, child in node.clauses:
+        child = rewrite(child)
+        if (isinstance(child, QBool) and len(child.clauses) == 1
+                and child.clauses[0][0] in (MUST, SHOULD)):
+            child = _fold_boost(child.clauses[0][1], child.boost)
+        if isinstance(child, QBool):
+            occs = {o for o, _ in child.clauses}
+            if occ == SHOULD and occs == {SHOULD} and child.boost == 1.0:
+                out.extend(child.clauses)
+                continue
+            if occ == MUST and occs == {MUST} and child.boost == 1.0:
+                out.extend(child.clauses)
+                continue
+            if occ == MUST_NOT and occs == {SHOULD}:
+                out.extend((MUST_NOT, c) for _, c in child.clauses)
+                continue
+        out.append((occ, child))
+    rewritten = QBool(tuple(out), boost=node.boost)
+    if len(out) == 1 and out[0][0] in (MUST, SHOULD):
+        # single positive clause: the wrapper adds nothing (a lone
+        # MUST_NOT stays wrapped — pure negation is MatchNone downstream)
+        return _fold_boost(out[0][1], node.boost)
+    return rewritten
+
+
 def flatten(node) -> NormalizedQuery | None:
     """Compile a FLAT boolean tree (one level of plain unboosted terms) to
     the NormalizedQuery fast path; None when the tree needs search_tree."""
@@ -489,6 +544,6 @@ def parse(query: str, stop_words=ENGLISH_STOP_WORDS):
     """Parse a query string. Returns the NormalizedQuery fast-path form for
     flat term booleans (WAND/top-k pruning path), else the query tree IR
     (executor.search_tree / search_query handle both)."""
-    tree = parse_tree(query, stop_words)
+    tree = rewrite(parse_tree(query, stop_words))
     flat = flatten(tree)
     return flat if flat is not None else tree

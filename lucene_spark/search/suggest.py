@@ -87,6 +87,53 @@ def complete_prefix(
     )
 
 
+def complete_fuzzy(
+    index,
+    prefix: str,
+    k: int = 5,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    weight_col: str = "ttf",
+) -> DataFrame:
+    """Fuzzy completion — FuzzySuggester analog (lucene/suggest/src/java/
+    org/apache/lucene/search/suggest/analyzing/FuzzySuggester.java:60):
+    completions whose PREFIX is within ``max_edits`` Levenshtein edits of
+    the typed input. The reference intersects a Levenshtein automaton with
+    the suggest FST; over the term-sorted dictionary parquet the same
+    predicate is a pure-JVM expression — min over the prefix-length window
+    [len(p)-e, len(p)+e] of levenshtein(term[:L], input) — evaluated in a
+    vocabulary-sized scan (never a corpus scan). Reference defaults kept:
+    maxEdits=1, nonFuzzyPrefix=1 (the leading chars must match exactly —
+    which here also restores term-sorted ROW-GROUP PRUNING via a range
+    filter), minFuzzyLength=3 (shorter inputs complete exactly).
+    Departure: plain Levenshtein only (the reference defaults
+    transpositions=true; Spark's builtin has no Damerau variant), so a
+    transposed typo costs 2 edits instead of 1."""
+    if weight_col not in ("ttf", "df"):
+        raise ValueError("weight_col must be 'ttf' or 'df'")
+    if max_edits < 0 or max_edits > 2:
+        raise ValueError("max_edits in [0, 2] (LevenshteinAutomata bound)")
+    p = prefix.lower()
+    if len(p) < min_fuzzy_length or max_edits == 0:
+        return complete_prefix(index, p, k, weight_col)
+    lens = range(max(1, len(p) - max_edits), len(p) + max_edits + 1)
+    dist = F.array_min(F.array(*[
+        F.levenshtein(F.substring(F.col("term"), 1, L), F.lit(p)) for L in lens
+    ]))
+    src = index.term_stats
+    nfp = max(0, int(non_fuzzy_prefix))
+    if nfp > 0:
+        # exact-prefix gate + sorted-dictionary range for row-group pruning
+        src = src.filter(F.col("term").startswith(p[:nfp]))
+    return (
+        src.filter(dist <= max_edits)
+        .select("term", F.col(weight_col).alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def complete_infix(
     index,
     fragment: str,

@@ -40,17 +40,32 @@ def percolate_batch(docs: DataFrame, queries: DataFrame, text_col: str = "text")
     )
 
 
-def percolate_prefiltered(docs: DataFrame, queries: DataFrame, text_col: str = "text") -> DataFrame:
-    """Term-partitioned percolation for large stored-query sets — the
-    Monitor's query-index pre-filter (monitor/Monitor.java:42,
-    CandidateMatcher.java): instead of evaluating every query against every
-    doc, explode both sides to (key, term) rows and equi-join on term, so a
-    (doc, query) pair is considered only when they SHARE a term. Because
-    both sides are term-distinct, the per-(qid, doc) join-row count IS the
-    number of matched query terms — one shuffle join + one aggregation,
-    no cross product, scales in Σ|doc terms| + Σ|query terms|.
+def _dedup_stored(queries: DataFrame, shape_cols):
+    """Collapse duplicate stored-query SHAPES to one representative qid
+    (Monitor QueryIndex analog — the reference indexes each distinct query
+    once and fans matches back out): alerting workloads repeat shapes
+    massively, and every join leg downstream scales in Σ df(term) over
+    stored-query ROWS. Returns (uniq, mapping): uniq holds one row per
+    distinct shape under its min-qid representative; mapping (__rep__, qid)
+    restores per-qid results — identical shapes match identical docs."""
+    skey = F.sha2(F.to_json(F.struct(*[F.col(c) for c in shape_cols])), 256)
+    qk = queries.withColumn("__skey__", skey)
+    rep = qk.groupBy("__skey__").agg(F.min("qid").alias("__rep__"))
+    qk = qk.join(rep, "__skey__")
+    uniq = qk.filter(F.col("qid") == F.col("__rep__")).drop("__skey__", "__rep__")
+    mapping = qk.select("__rep__", "qid")
+    return uniq, mapping
 
-    Results are identical to percolate_batch (differential-tested)."""
+
+def _fan_out(matches: DataFrame, mapping: DataFrame, extra=()) -> DataFrame:
+    return (
+        matches.withColumnRenamed("qid", "__rep__")
+        .join(mapping, "__rep__")
+        .select("qid", "doc_id", *extra)
+    )
+
+
+def _prefilter_body(docs: DataFrame, queries: DataFrame, text_col: str) -> DataFrame:
     dterms = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
     )
@@ -64,6 +79,26 @@ def percolate_prefiltered(docs: DataFrame, queries: DataFrame, text_col: str = "
         .filter(F.col("n_matched") >= F.col("min_match"))
         .select("qid", "doc_id", "n_matched")
     )
+
+
+def percolate_prefiltered(docs: DataFrame, queries: DataFrame, text_col: str = "text") -> DataFrame:
+    """Term-partitioned percolation for large stored-query sets — the
+    Monitor's query-index pre-filter (monitor/Monitor.java:42,
+    CandidateMatcher.java): instead of evaluating every query against every
+    doc, explode both sides to (key, term) rows and equi-join on term, so a
+    (doc, query) pair is considered only when they SHARE a term. Because
+    both sides are term-distinct, the per-(qid, doc) join-row count IS the
+    number of matched query terms — one shuffle join + one aggregation,
+    no cross product, scales in Σ|doc terms| + Σ|query terms|.
+
+    Results are identical to percolate_batch (differential-tested).
+    Duplicate (terms, min_match) shapes run the join once and fan back out
+    (_dedup_stored, Monitor QueryIndex analog)."""
+    uniq, mapping = _dedup_stored(
+        queries.select("qid", "terms", "min_match"), ["terms", "min_match"]
+    )
+    return _fan_out(_prefilter_body(docs, uniq, text_col), mapping,
+                    extra=("n_matched",))
 
 
 def percolate_full(
@@ -95,7 +130,11 @@ def percolate_full(
                  the anchor — count distinct slots per (qid, doc, anchor)
                  and keep groups hitting the full slot count.
     """
-    cand = percolate_prefiltered(docs, queries, text_col)
+    queries, q_mapping = _dedup_stored(
+        queries.select("qid", "terms", "min_match", "not_terms", "phrase"),
+        ["terms", "min_match", "not_terms", "phrase"],
+    )
+    cand = _prefilter_body(docs, queries, text_col)
 
     # one tiny agg over the (small) stored-query table decides which legs
     # exist at all: a NOT-free set skips the exclusion join, a phrase-free
@@ -118,7 +157,7 @@ def percolate_full(
         excluded_pairs = qnot.join(dterms, "term").select("qid", "doc_id").distinct()
         cand = cand.join(excluded_pairs, ["qid", "doc_id"], "left_anti")
     if not any_phrase:
-        return cand
+        return _fan_out(cand, q_mapping, extra=("n_matched",))
 
     has_phrase = queries.filter(F.size(F.coalesce("phrase", F.array())) > 0)
     slots = has_phrase.select(
@@ -144,7 +183,10 @@ def percolate_full(
         .select("qid", "doc_id")
         .join(anchored, ["qid", "doc_id"], "left_anti")
     )
-    return cand.join(phrase_fail, ["qid", "doc_id"], "left_anti")
+    return _fan_out(
+        cand.join(phrase_fail, ["qid", "doc_id"], "left_anti"), q_mapping,
+        extra=("n_matched",),
+    )
 
 
 def decompose_query(node, max_clauses: int = 64):
@@ -336,10 +378,25 @@ def percolate_tree(
     dterms = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
     )
-    key = ["qid", "cid"]
+    # --- clause-set dedup (Monitor QueryIndex analog: identical stored
+    # queries are indexed once, monitor/QueryIndex.java caches by hash):
+    # alerting workloads repeat clause shapes massively, and every join leg
+    # below scales in Σ df(term) over CLAUSE rows — running the legs on
+    # distinct (terms, nots, phrases, patterns) sets and mapping back to
+    # qids at the end cuts that volume by the duplication factor
+    clauses = clauses.withColumn(
+        "skey",
+        F.sha2(F.to_json(F.struct("terms", "not_terms", "phrases", "patterns")), 256),
+    )
+    sets = (
+        clauses.select("skey", "terms", "not_terms", "phrases", "patterns")
+        .dropDuplicates(["skey"])
+        .persist()
+    )
+    key = ["skey"]
 
     # --- terms leg: all of the clause's terms present
-    tleg = clauses.filter(F.size("terms") > 0).select(
+    tleg = sets.filter(F.size("terms") > 0).select(
         *key, F.size("terms").alias("n_terms"), F.explode("terms").alias("term")
     )
     ok_t = (
@@ -354,7 +411,7 @@ def percolate_tree(
     # then equi-join; every pattern must be matched by >= 1 doc token
     ok_x = None
     if any_patterns:
-        prow = clauses.filter(F.size("patterns") > 0).select(
+        prow = sets.filter(F.size("patterns") > 0).select(
             *key, F.size("patterns").alias("n_pat"), F.explode("patterns").alias("pat")
         )
         vocab = dterms.select("term").distinct()
@@ -370,7 +427,7 @@ def percolate_tree(
     # --- phrase leg: anchor trick per phrase, then all phrases present
     ok_p = None
     if any_phrases:
-        ph = clauses.filter(F.size("phrases") > 0).select(
+        ph = sets.filter(F.size("phrases") > 0).select(
             *key, F.size("phrases").alias("n_ph"),
             F.posexplode("phrases").alias("pid", "phr"),
         )
@@ -412,7 +469,7 @@ def percolate_tree(
         sat.groupBy(*key, "doc_id")
         .agg(F.max("t").alias("t"), F.max("p").alias("p"), F.max("x").alias("x"))
     )
-    meta = clauses.select(
+    meta = sets.select(
         *key, F.size("terms").alias("n_terms"), F.size("phrases").alias("n_ph"),
         F.size("patterns").alias("n_pat"),
     )
@@ -426,11 +483,12 @@ def percolate_tree(
 
     # --- NOT leg: anti-join docs containing any excluded term
     if any_nots:
-        nrow = clauses.select(*key, F.explode("not_terms").alias("term"))
+        nrow = sets.select(*key, F.explode("not_terms").alias("term"))
         bad = nrow.join(dterms, "term").select(*key, "doc_id").distinct()
         match = match.join(bad, key + ["doc_id"], "left_anti")
 
-    return match.select("qid", "doc_id").distinct()
+    qmap = clauses.select("qid", "skey").distinct()
+    return match.join(qmap, "skey").select("qid", "doc_id").distinct()
 
 
 def percolate_stream(spark: SparkSession, stream_df: DataFrame, queries: DataFrame,

@@ -167,3 +167,70 @@ def test_prefixed_group_modifiers(spark, built_index):
     assert got  # vacuity guard
 
     assert search_query(built_index, parse("-(hash buffer)"), k=10).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# BooleanQuery.rewrite analog (plan.rewrite, search/BooleanQuery.java:540-636)
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_flattens_nested_disjunction():
+    from lucene_spark.search.plan import NormalizedQuery, parse
+
+    q = parse("foo OR (bar OR baz)")
+    assert isinstance(q, NormalizedQuery)
+    assert {t for t, _ in q.optional} == {"foo", "bar", "baz"}
+
+
+def test_rewrite_flattens_nested_conjunction():
+    from lucene_spark.search.plan import NormalizedQuery, parse
+
+    q = parse("(foo AND bar) AND baz")
+    assert isinstance(q, NormalizedQuery)
+    assert {t for t, _ in q.required} == {"foo", "bar", "baz"}
+
+
+def test_rewrite_demorgan_negated_group():
+    from lucene_spark.search.plan import NormalizedQuery, parse
+
+    q = parse("foo -(bar OR baz)")
+    assert isinstance(q, NormalizedQuery)
+    assert set(q.excluded) == {"bar", "baz"}
+
+
+def test_rewrite_unwraps_single_clause_with_boost_fold():
+    from lucene_spark.search.plan import QTerm, parse, rewrite, QBool, SHOULD
+
+    t = rewrite(QBool(((SHOULD, QBool(((SHOULD, QTerm("foo", boost=2.0)),), boost=3.0)),)))
+    assert isinstance(t, QTerm) and t.boost == 6.0
+
+
+def test_rewrite_keeps_mixed_and_boosted_groups():
+    from lucene_spark.search.plan import QBool, parse
+
+    assert isinstance(parse("(foo AND bar) OR baz"), QBool)
+    assert isinstance(parse("foo OR (bar baz)^2"), QBool)
+
+
+def test_rewrite_keeps_pure_negative_wrapper():
+    from lucene_spark.search.plan import MUST_NOT, QBool, QTerm, rewrite
+
+    q = rewrite(QBool(((MUST_NOT, QTerm("foo")),)))
+    assert isinstance(q, QBool)  # pure negation must stay MatchNone-able
+
+
+def test_rewritten_tree_scores_equal_tree_path(spark, built_index):
+    """The flattened pruned path and the raw exhaustive tree agree on
+    nested-disjunction shapes (scores float64-equal)."""
+    import pytest as _pt
+
+    from lucene_spark.search.executor import search_query, search_tree
+    from lucene_spark.search.plan import parse_tree
+
+    expr = "stream OR (buffer OR parse)"
+    tree = parse_tree(expr)  # un-rewritten
+    want = search_tree(built_index, tree, k=10, quantize=False).collect()
+    got = search_query(built_index, tree, k=10, quantize=False, dtype=np.float64).collect()
+    assert want and [r["docid"] for r in got] == [r["docid"] for r in want]
+    for a, b in zip(got, want):
+        assert a["score"] == _pt.approx(b["score"], rel=1e-12)
