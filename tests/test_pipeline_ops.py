@@ -626,3 +626,30 @@ def test_percolate_tree_dataframe_registration(spark):
     a = sorted((r["qid"], r["doc_id"]) for r in percolate_tree(ddf, stored).collect())
     b = sorted((r["qid"], r["doc_id"]) for r in percolate_tree(ddf, qdf).collect())
     assert a == b and a
+
+
+def test_percolate_dedup_fans_back_out(spark):
+    """Duplicate stored-query shapes (Monitor QueryIndex dedup) yield
+    per-qid results identical to unique-qid evaluation."""
+    from lucene_spark.streaming import percolate_full, percolate_prefiltered
+
+    docs = spark.createDataFrame(
+        [(0, "spark join fast"), (1, "hash join slow"), (2, "spark window")],
+        "doc_id long, text string",
+    )
+    # qids 1/2/3 share one shape; 4 differs
+    rows = [(1, ["spark", "join"], 1, [], []),
+            (2, ["spark", "join"], 1, [], []),
+            (3, ["spark", "join"], 1, [], []),
+            (4, ["hash"], 1, ["fast"], [])]
+    qdf = spark.createDataFrame(
+        rows, "qid int, terms array<string>, min_match int, "
+              "not_terms array<string>, phrase array<string>")
+    got = {(r["qid"], r["doc_id"]) for r in percolate_full(docs, qdf).collect()}
+    # every duplicate qid matches exactly what the shape matches
+    for q in (1, 2, 3):
+        assert {(d) for (qq, d) in got if qq == q} == {0, 1, 2}
+    assert {(d) for (qq, d) in got if qq == 4} == {1}
+    pre = percolate_prefiltered(docs, qdf.select("qid", "terms", "min_match"))
+    n = {(r["qid"], r["doc_id"]): r["n_matched"] for r in pre.collect()}
+    assert n[(1, 0)] == n[(2, 0)] == n[(3, 0)] == 2  # spark+join both hit

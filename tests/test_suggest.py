@@ -59,3 +59,45 @@ def test_complete_infix(built_index, ref_index):
         key=lambda x: (-x[1], not x[0].startswith("or"), x[0]),
     )[:10]
     assert [(t, w) for t, w, _ in got] == want
+
+
+def test_complete_fuzzy_one_edit(spark, built_index, ref_index):
+    """FuzzySuggester analog: a 1-edit typo still completes; ranking by
+    weight matches the pure-Python dictionary."""
+    from lucene_spark.search.suggest import complete_fuzzy
+
+    # "strean" is one substitution away from the prefix "stream"
+    got = complete_fuzzy(built_index, "strean", k=5).collect()
+    assert any(r["term"].startswith("stream") for r in got), got
+    # weights are the ttf of the suggested terms
+    for r in got:
+        ttf = sum(ref_index.postings[r["term"]].values())
+        assert r["weight"] == ttf
+
+
+def test_complete_fuzzy_non_fuzzy_prefix_gates_first_char(spark, built_index):
+    from lucene_spark.search.suggest import complete_fuzzy
+
+    # "txream" would need an edit in position 1 — nonFuzzyPrefix=1 blocks it
+    got = complete_fuzzy(built_index, "txream", k=5).collect()
+    assert all(r["term"].startswith("t") for r in got)
+    assert not any(r["term"].startswith("stream") for r in got)
+
+
+def test_complete_fuzzy_short_input_falls_back_to_exact(spark, built_index):
+    from lucene_spark.search.suggest import complete_fuzzy, complete_prefix
+
+    got = complete_fuzzy(built_index, "st", k=5).collect()  # < minFuzzyLength
+    want = complete_prefix(built_index, "st", k=5).collect()
+    assert [(r["term"], r["weight"]) for r in got] == [
+        (r["term"], r["weight"]) for r in want
+    ]
+
+
+def test_complete_fuzzy_validates(built_index):
+    from lucene_spark.search.suggest import complete_fuzzy
+
+    with pytest.raises(ValueError, match="max_edits"):
+        complete_fuzzy(built_index, "stream", max_edits=3)
+    with pytest.raises(ValueError, match="weight_col"):
+        complete_fuzzy(built_index, "stream", weight_col="zz")
