@@ -907,6 +907,39 @@ WHERE left(term, 1) = '{p[0]}' AND list_min([{dists}]) <= 1
 ORDER BY weight DESC, term ASC LIMIT 10"""
 
 
+FREETEXT_INPUT = "table s"  # complete "s" given the context word "table"
+
+
+def q_free_text_suggest(spark, sf):
+    """FreeTextSuggester analog (suggest/analyzing/FreeTextSuggester.java):
+    stupid-backoff bigram completion — candidates that follow "table" score
+    cnt(table, w)/cnt(table); the rest back off to 0.4 * unigram ratio."""
+    from lucene_spark.search.suggest import free_text_suggest, freetext_counts
+
+    counts = freetext_counts(_docs(spark, sf), grams=2)
+    res = free_text_suggest(counts, FREETEXT_INPUT, k=5)
+    return res.select("word", F.round("score", 6).alias("score"))
+
+
+def _free_text_sql() -> str:
+    from lucene_spark.oracle import TPOS_CTE
+
+    ctx, pref = FREETEXT_INPUT.split(" ")
+    score = ("CASE WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / ctx.c1 "
+             "ELSE 0.4 * CAST(u.c1 AS DOUBLE) / tot.t END")
+    return f"""WITH {TPOS_CTE.strip()},
+uni AS (SELECT term, count(*) AS c1 FROM tpos GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM tpos),
+big AS (SELECT b.term AS w, count(*) AS c2
+        FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = '{ctx}' GROUP BY 1),
+ctx AS (SELECT c1 FROM uni WHERE term = '{ctx}')
+SELECT u.term AS word, round({score}, 6) AS score
+FROM uni u LEFT JOIN big b ON u.term = b.w CROSS JOIN tot CROSS JOIN ctx
+WHERE u.term LIKE '{pref}%'
+ORDER BY ({score}) DESC, word ASC LIMIT 5"""
+
+
 SUGGEST_INFIX = "or"
 
 
@@ -1996,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_after_page2": q_sort_after_page2,
         "suggest_complete": q_suggest_complete,
         "suggest_fuzzy": q_suggest_fuzzy,
+        "free_text_suggest": q_free_text_suggest,
         "suggest_infix": q_suggest_infix,
         "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
@@ -2624,6 +2658,7 @@ SELECT term, count(*) AS weight FROM toks
 WHERE term LIKE '{SUGGEST_PREFIX}%'
 GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
         "suggest_fuzzy": _suggest_fuzzy_sql(),
+        "free_text_suggest": _free_text_sql(),
         "suggest_infix": f"""WITH {TOKS_CTE.strip()}
 SELECT term, count(*) AS weight,
        term LIKE '{SUGGEST_INFIX}%' AS is_prefix

@@ -171,3 +171,103 @@ def complete_infix(
         )
         .limit(k)
     )
+
+# stupid-backoff smoothing constant (FreeTextSuggester.java:126)
+FREETEXT_ALPHA = 0.4
+
+
+def freetext_counts(docs, text_col: str = "text", grams: int = 2):
+    """N-gram counts for the FreeTextSuggester analog
+    (suggest/analyzing/FreeTextSuggester.java:83-137): the reference
+    shingles the analyzed corpus and compiles weighted grams into an FST;
+    here the same counts are one groupBy per order over the tokenized
+    corpus — a DataFrame the caller can persist/write as the model.
+    Tokenization is lowercase whitespace (completion should predict
+    stopwords too, so no stop filtering). Returns (context, word, cnt)
+    with context = the preceding order-1 words joined by spaces ('' for
+    unigrams)."""
+    if grams < 1 or grams > 3:
+        raise ValueError("grams in [1, 3]")
+    arr = F.filter(F.split(F.lower(F.col(text_col)), " +"), lambda t: t != "")
+    docs = docs.select(arr.alias("__toks__"))
+    parts = [
+        docs.select(F.explode("__toks__").alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+        .select(F.lit("").alias("context"), "word", "cnt")
+    ]
+    for n in range(2, grams + 1):
+        ng = docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("__toks__") - (n - 1), F.lit(0))),
+                    lambda i: F.struct(
+                        F.array_join(F.slice("__toks__", i, n - 1), " ").alias("context"),
+                        F.element_at("__toks__", i + (n - 1)).alias("word"),
+                    ),
+                )
+            ).alias("g")
+        )
+        parts.append(
+            ng.select("g.context", "g.word").groupBy("context", "word")
+            .agg(F.count("*").alias("cnt"))
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def free_text_suggest(
+    counts,
+    text: str,
+    k: int = 5,
+    grams: int = 2,
+) -> DataFrame:
+    """Predict the next word (input ends with a space) or complete the
+    trailing partial word, scored by the stupid-backoff ngram model
+    ("Large Language Models in Machine Translation", Brants et al. 2007;
+    FreeTextSuggester.java:93-126): the highest order whose context count
+    exists supplies cnt(ctx, w)/cnt(ctx), each backoff step multiplying by
+    ALPHA=0.4 down to the unigram cnt(w)/total. grams=2 here (the
+    reference default): score = bigram ratio when the (context, w) bigram
+    occurs, else ALPHA * unigram ratio. Returns (word, score)."""
+    if grams != 2:
+        raise ValueError("free_text_suggest supports grams=2 (reference default)")
+    toks = [t for t in text.lower().split(" ") if t]
+    if not toks:
+        raise ValueError("empty input")
+    if text.endswith(" "):
+        context, prefix = toks[-1], ""
+    else:
+        if len(toks) < 2:
+            context, prefix = None, toks[-1]
+        else:
+            context, prefix = toks[-2], toks[-1]
+    uni = counts.filter(F.col("context") == "").select(
+        "word", F.col("cnt").alias("c1")
+    )
+    total = uni.agg(F.sum("c1")).first()[0]
+    cand = uni
+    if prefix:
+        cand = cand.filter(F.col("word").startswith(prefix))
+    if context is None:
+        scored = cand.select(
+            "word", (F.col("c1").cast("double") / F.lit(float(total))).alias("score")
+        )
+    else:
+        big = counts.filter(F.col("context") == context).select(
+            "word", F.col("cnt").alias("c2")
+        )
+        ctx_cnt = uni.filter(F.col("word") == context).select("c1").first()
+        ctx_total = float(ctx_cnt["c1"]) if ctx_cnt else 0.0
+        scored = cand.join(big, "word", "left").select(
+            "word",
+            F.when(
+                F.col("c2").isNotNull() & F.lit(ctx_total > 0),
+                F.col("c2").cast("double") / F.lit(ctx_total if ctx_total else 1.0),
+            ).otherwise(
+                F.lit(FREETEXT_ALPHA) * F.col("c1").cast("double") / F.lit(float(total))
+            ).alias("score"),
+        )
+    return scored.orderBy(F.col("score").desc(), F.col("word").asc()).limit(k)
+

@@ -101,3 +101,46 @@ def test_complete_fuzzy_validates(built_index):
         complete_fuzzy(built_index, "stream", max_edits=3)
     with pytest.raises(ValueError, match="weight_col"):
         complete_fuzzy(built_index, "stream", weight_col="zz")
+
+
+def test_free_text_suggest_stupid_backoff_golden(spark):
+    """Hand-computed stupid-backoff scores on a 3-doc corpus
+    (FreeTextSuggester.java:93-126, ALPHA=0.4)."""
+    from lucene_spark.search.suggest import free_text_suggest, freetext_counts
+
+    docs = spark.createDataFrame(
+        [(0, "big table scan"), (1, "big table sort"), (2, "big sale run")],
+        "doc_id long, text string",
+    )
+    counts = freetext_counts(docs, grams=2)
+    # context "table": bigrams table->scan (1), table->sort (1); cnt(table)=2
+    got = {r["word"]: r["score"] for r in
+           free_text_suggest(counts, "table s", k=10).collect()}
+    assert got["scan"] == pytest.approx(1 / 2)
+    assert got["sort"] == pytest.approx(1 / 2)
+    # "sale" never follows "table": backoff = 0.4 * cnt(sale)/total(9)
+    assert got["sale"] == pytest.approx(0.4 * 1 / 9)
+    # next-word mode (trailing space): no prefix filter
+    nxt = {r["word"]: r["score"] for r in
+           free_text_suggest(counts, "big ", k=10).collect()}
+    assert nxt["table"] == pytest.approx(2 / 3)
+    assert nxt["sale"] == pytest.approx(1 / 3)
+    # unknown context word -> pure backoff everywhere
+    bk = {r["word"]: r["score"] for r in
+          free_text_suggest(counts, "zzz s", k=10).collect()}
+    assert bk["scan"] == pytest.approx(0.4 * 1 / 9)
+    # single partial token: raw unigram ratio
+    uni = {r["word"]: r["score"] for r in
+           free_text_suggest(counts, "b", k=10).collect()}
+    assert uni["big"] == pytest.approx(3 / 9)
+
+
+def test_free_text_suggest_validates(spark):
+    from lucene_spark.search.suggest import free_text_suggest, freetext_counts
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    counts = freetext_counts(docs)
+    with pytest.raises(ValueError, match="empty"):
+        free_text_suggest(counts, "   ")
+    with pytest.raises(ValueError, match="grams"):
+        freetext_counts(docs, grams=9)
