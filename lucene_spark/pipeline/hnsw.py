@@ -193,10 +193,32 @@ def hnsw_search(V: np.ndarray, graph, q: np.ndarray, k: int,
     return ids, cos
 
 
-def _serialize_shard(vec_ids: np.ndarray, V: np.ndarray, graph) -> bytes:
+def _quantize_shard(V: np.ndarray, bits: int = 7):
+    """Per-shard scalar quantization of the (already L2-normalized) vector
+    matrix (Lucene99HnswScalarQuantizedVectorsFormat composes the HNSW
+    graph with int-quantized vector storage; the quantile bounds live per
+    segment — here per shard). Returns (q int8 matrix, lo, scale)."""
+    lo = float(V.min())
+    hi = float(V.max())
+    levels = (1 << bits) - 1
+    scale = (hi - lo) / levels if hi > lo else 1.0
+    q = np.clip(np.floor((V - lo) / scale + 0.5), 0, levels).astype(np.int8)
+    return q, lo, scale
+
+
+def _serialize_shard(vec_ids: np.ndarray, V: np.ndarray, graph,
+                     qdata=None) -> bytes:
+    """``qdata=(q, lo, scale)`` stores the int8 payload instead of floats —
+    the EXACT quantization the graph was built against (re-quantizing the
+    dequantized matrix could shift the grid)."""
     levels, nbr, entry_point, entry_level = graph
     buf = io.BytesIO()
     flat = {}
+    if qdata is not None:
+        q, lo, scale = qdata
+        flat["Vq"] = q
+        flat["qparams"] = np.array([lo, scale], dtype=np.float64)
+        V = np.empty((0, 0), dtype=np.float32)  # int8 payload replaces floats
     for l, d in enumerate(nbr):
         if not d:
             continue
@@ -229,7 +251,12 @@ def _deserialize_shard(data: bytes):
                 d[int(kk)] = vals[off[j] : off[j + 1]]
         nbr.append(d)
     ep, el = (int(v) for v in z["meta"])
-    return z["vec_ids"], z["V"], (z["levels"], nbr, ep, el)
+    if "Vq" in z:
+        lo, scale = (float(x) for x in z["qparams"])
+        V = (lo + z["Vq"].astype(np.float32) * np.float32(scale)).astype(np.float32)
+    else:
+        V = z["V"]
+    return z["vec_ids"], V, (z["levels"], nbr, ep, el)
 
 
 def build_hnsw_index(
@@ -242,9 +269,15 @@ def build_hnsw_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> None:
     """Build the sharded HNSW index: hash-partition by id, one graph per
-    shard built inside its task, serialized through the fsio seam."""
+    shard built inside its task, serialized through the fsio seam.
+    ``quantize=True`` stores int7-quantized vectors in the shard blobs
+    (Lucene99HnswScalarQuantizedVectorsFormat analog): the graph is built
+    over the DEQUANTIZED vectors — exactly what searches later see — and
+    the vector payload shrinks ~4x (per-query shard IO is the scale cost
+    of this layout)."""
     import pandas as pd
 
     fs, base = fsio.resolve(index_dir)
@@ -262,9 +295,16 @@ def build_hnsw_index(
             V = _l2_normalize(
                 np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float32)
             )
+            qdata = None
+            if quantize:
+                q, lo, scale = _quantize_shard(V)
+                # the graph must be built over the SAME vectors a search
+                # dequantizes later, or neighbor selection drifts
+                V = (lo + q.astype(np.float32) * np.float32(scale)).astype(np.float32)
+                qdata = (q, lo, scale)
             graph = hnsw_build(V, M=M, ef_construction=ef_construction,
                                seed=seed + shard)
-            blob = _serialize_shard(ids, V, graph)
+            blob = _serialize_shard(ids, V, graph, qdata=qdata)
             sfs, sbase = fsio.resolve(index_dir)
             with sfs.open_output_stream(f"{sbase}/shard-{shard:05d}.npz") as f:
                 f.write(blob)
@@ -282,6 +322,7 @@ def build_hnsw_index(
         "num_shards": int(num_shards), "seed": int(seed),
         "shards": sorted({int(r["shard"]) for r in rows}),
         "n_vectors": int(sum(r["n"] for r in rows)),
+        "quantized": bool(quantize),
     }
     fsio.write_json_atomic(fs, f"{base}/manifest.json", manifest)
 

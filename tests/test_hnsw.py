@@ -79,3 +79,38 @@ def test_hnsw_on_object_store_root(spark, tmp_path):
     qv = [float(x) for x in row["embedding"]]
     res = hnsw_index_topk(spark, root, qv, k=3, ef_search=400).collect()
     assert res and res[0]["vec_id"] == row["vec_id"]
+
+
+def test_quantized_hnsw_index(spark, tmp_path):
+    """Lucene99HnswScalarQuantizedVectorsFormat analog: int7 vector payload
+    in the shard blobs — smaller files, recall preserved, exact self-match."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from lucene_spark.pipeline.hnsw import build_hnsw_index, hnsw_index_topk
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 32
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    dq = str(tmp_path / "hq")
+    df_ = str(tmp_path / "hf")
+    build_hnsw_index(emb, dq, dim=dim, num_shards=2, quantize=True)
+    build_hnsw_index(emb, df_, dim=dim, num_shards=2, quantize=False)
+    # quantized shard files are substantially smaller (int8 vs float32)
+    size_q = sum(os.path.getsize(f) for f in glob.glob(dq + "/shard-*.npz"))
+    size_f = sum(os.path.getsize(f) for f in glob.glob(df_ + "/shard-*.npz"))
+    assert size_q < 0.55 * size_f, (size_q, size_f)
+
+    q = [float(x) for x in vecs[7]]
+    got = hnsw_index_topk(spark, dq, q, k=10, ef_search=400).collect()
+    assert got[0]["vec_id"] == 7  # self-match survives quantization
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    recall = len(exact & {r["vec_id"] for r in got}) / 10
+    assert recall >= 0.8, recall
