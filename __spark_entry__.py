@@ -907,6 +907,32 @@ WHERE left(term, 1) = '{p[0]}' AND list_min([{dists}]) <= 1
 ORDER BY weight DESC, term ASC LIMIT 10"""
 
 
+WORD_BREAK_TERM = "hashjoin"
+
+
+def q_word_break(spark, sf):
+    """WordBreakSpellChecker.suggestWordBreaks analog: split positions
+    where both halves are dictionary terms (min df 1), ranked by combined
+    df (WordBreakSpellChecker.java:74-146)."""
+    from lucene_spark.search.suggest import word_break_suggest
+
+    return word_break_suggest(_index(spark, sf), WORD_BREAK_TERM, k=5)
+
+
+def _word_break_sql() -> str:
+    from lucene_spark.oracle import TOKS_CTE
+
+    t = WORD_BREAK_TERM
+    vals = ", ".join(f"('{t[:i]}', '{t[i:]}')" for i in range(1, len(t)))
+    return f"""WITH {TOKS_CTE.strip()},
+st AS (SELECT term, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+cand(lft, rgt) AS (VALUES {vals})
+SELECT c.lft AS "left", c.rgt AS "right", l.df + r.df AS freq
+FROM cand c JOIN st l ON l.term = c.lft JOIN st r ON r.term = c.rgt
+ORDER BY freq DESC, "left" ASC LIMIT 5"""
+
+
 FREETEXT_INPUT = "table s"  # complete "s" given the context word "table"
 
 
@@ -2030,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_complete": q_suggest_complete,
         "suggest_fuzzy": q_suggest_fuzzy,
         "free_text_suggest": q_free_text_suggest,
+        "word_break": q_word_break,
         "suggest_infix": q_suggest_infix,
         "dismax_topk": q_dismax_topk,
         "synonym_index_topk": q_synonym_index_topk,
@@ -2659,6 +2686,7 @@ WHERE term LIKE '{SUGGEST_PREFIX}%'
 GROUP BY 1 ORDER BY count(*) DESC, term ASC LIMIT 10""",
         "suggest_fuzzy": _suggest_fuzzy_sql(),
         "free_text_suggest": _free_text_sql(),
+        "word_break": _word_break_sql(),
         "suggest_infix": f"""WITH {TOKS_CTE.strip()}
 SELECT term, count(*) AS weight,
        term LIKE '{SUGGEST_INFIX}%' AS is_prefix

@@ -271,3 +271,66 @@ def free_text_suggest(
         )
     return scored.orderBy(F.col("score").desc(), F.col("word").asc()).limit(k)
 
+def word_break_suggest(
+    index,
+    term: str,
+    k: int = 5,
+    min_suggestion_frequency: int = 1,
+    min_breakword_length: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks analog (suggest/spell/
+    WordBreakSpellChecker.java:74-146, maxChanges=1 — one break): split a
+    run-together term ("hashjoin") at every position where BOTH halves are
+    dictionary terms with df >= minSuggestionFrequency. One vocabulary
+    lookup over the <= 2*(len-1) candidate substrings (term-sorted stats
+    parquet, isin pushdown); the split enumeration is driver-side string
+    work. Ranked like the reference's default SuggestMode: higher combined
+    frequency first (sum of both halves' df), then left term asc.
+    Columns: (left, right, freq)."""
+    t = term.lower()
+    cands = []
+    for i in range(max(1, min_breakword_length),
+                   len(t) - max(1, min_breakword_length) + 1):
+        cands.append((t[:i], t[i:]))
+    if not cands:
+        return index.spark.createDataFrame([], "left string, right string, freq long")
+    subs = sorted({w for pair in cands for w in pair})
+    stats = index.term_stats_for(subs)
+    rows = []
+    for lft, rgt in cands:
+        dl = stats.get(lft, (0, 0))[0]
+        dr = stats.get(rgt, (0, 0))[0]
+        if dl >= min_suggestion_frequency and dr >= min_suggestion_frequency:
+            rows.append((lft, rgt, int(dl + dr)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return index.spark.createDataFrame(
+        rows[:k] or [], "left string, right string, freq long"
+    )
+
+
+def word_combine_suggest(
+    index,
+    terms,
+    k: int = 5,
+    min_suggestion_frequency: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations analog
+    (WordBreakSpellChecker.java:148-215, maxChanges=1 — adjacent pairs
+    only): for each adjacent pair in ``terms``, suggest the concatenation
+    when it is a dictionary term with df >= minSuggestionFrequency.
+    Columns: (pos, combined, freq) — pos = index of the pair's first word."""
+    toks = [t.lower() for t in terms]
+    pairs = [(i, toks[i] + toks[i + 1]) for i in range(len(toks) - 1)]
+    if not pairs:
+        return index.spark.createDataFrame([], "pos int, combined string, freq long")
+    stats = index.term_stats_for(sorted({w for _, w in pairs}))
+    rows = [
+        (i, w, int(stats[w][0]))
+        for i, w in pairs
+        if w in stats and stats[w][0] >= min_suggestion_frequency
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return index.spark.createDataFrame(
+        rows[:k] or [], "pos int, combined string, freq long"
+    )
+

@@ -144,3 +144,21 @@ def test_free_text_suggest_validates(spark):
         free_text_suggest(counts, "   ")
     with pytest.raises(ValueError, match="grams"):
         freetext_counts(docs, grams=9)
+
+
+def test_word_break_and_combine(spark, built_index, ref_index):
+    from lucene_spark.search.suggest import word_break_suggest, word_combine_suggest
+
+    got = word_break_suggest(built_index, "importreturn", k=5).collect()
+    assert ("import", "return") in {(r["left"], r["right"]) for r in got}
+    for r in got:
+        want = len(ref_index.postings[r["left"]]) + len(ref_index.postings[r["right"]])
+        assert r["freq"] == want
+    # frequency floor prunes rare halves
+    high = word_break_suggest(built_index, "importreturn", k=5,
+                              min_suggestion_frequency=10**9).collect()
+    assert high == []
+    # combinations: adjacent pair concatenating to a dictionary term
+    comb = word_combine_suggest(built_index, ["im", "port", "stream"], k=5).collect()
+    assert any(r["combined"] == "import" and r["pos"] == 0 for r in comb)
+    assert word_combine_suggest(built_index, ["zz"], k=5).collect() == []
