@@ -2150,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": q_rescore_topk,
         "common_terms_topk": q_common_terms_topk,
         "multi_phrase_topk": q_multi_phrase_topk,
+        "phrase_wildcard_topk": q_phrase_wildcard_topk,
         "blended_term_topk": q_blended_term_topk,
         "function_score_topk": q_function_score_topk,
     }
@@ -2232,6 +2233,52 @@ def _bucket_sql(col: str, planes) -> str:
         f"[{', '.join(repr(float(x)) for x in p)}]) > 0 "
         f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
         for j, p in enumerate(planes)
+    )
+
+
+PHRASE_WILDCARD = "fast s*"
+
+
+def q_phrase_wildcard_topk(spark, sf):
+    """PhraseWildcardQuery analog (sandbox/search/PhraseWildcardQuery.java):
+    "fast s*" — the pattern slot expands against the term dictionary
+    (distributed TopTermsRewrite) and lowers onto the MultiPhraseQuery
+    slot-union matcher; weight sums idf over every existing alternative."""
+    from lucene_spark.search.executor import search_phrase_wildcard
+
+    res = search_phrase_wildcard(
+        _index(spark, sf), PHRASE_WILDCARD, slop=0, k=10,
+        quantize=False, dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def _phrase_wildcard_sql() -> str:
+    from lucene_spark.oracle import BM25_CTES, TPOS_CTE
+
+    w0, pat = PHRASE_WILDCARD.split(" ")
+    like = pat.replace("*", "%")
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+    score = f"w.w - w.w / (1 + CAST(m.freq AS DOUBLE) * {ninv})"
+    return (
+        "WITH "
+        + BM25_CTES
+        + ", "
+        + TPOS_CTE.strip()
+        + f""",
+m AS (SELECT t0.doc_id, count(*) AS freq
+      FROM tpos t0
+      JOIN tpos t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      WHERE t0.term = '{w0}' AND t1.term LIKE '{like}'
+      GROUP BY 1),
+exp AS (SELECT DISTINCT term FROM tf WHERE term = '{w0}' OR term LIKE '{like}'),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM exp) GROUP BY 1),
+w AS (SELECT sum(ln(1 + (fs.doc_cnt - dfs.df + 0.5) / (dfs.df + 0.5))) AS w
+      FROM dfs CROSS JOIN fs)
+SELECT m.doc_id AS docid, round({score}, 4) AS score
+FROM m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN w CROSS JOIN fs
+ORDER BY ({score}) DESC, docid ASC LIMIT 10"""
     )
 
 
@@ -2838,6 +2885,7 @@ ORDER BY max(hits.score) DESC, parent ASC LIMIT 5""",
         "rescore_topk": _rescore_sql(),
         "common_terms_topk": bm25_topk_sql({"dup": 1, "spark": 1}, required=["dup"]),
         "multi_phrase_topk": _multi_phrase_sql(),
+        "phrase_wildcard_topk": _phrase_wildcard_sql(),
         "blended_term_topk": _blended_sql(),
         "function_score_topk": bm25_matches_cte({"spark": 1})
         + """

@@ -2029,6 +2029,45 @@ def search_ngram_phrase(
     )
 
 
+def search_phrase_wildcard(
+    index: Index,
+    phrase: str,
+    slop: int = 0,
+    k: int = 10,
+    max_expansions: int = 128,
+    **kw,
+) -> DataFrame:
+    """PhraseWildcardQuery analog (lucene/sandbox/src/java/org/apache/
+    lucene/sandbox/search/PhraseWildcardQuery.java:63): a phrase whose
+    slots may be multi-term patterns — "hash jo*" or "ha?h join". Each
+    pattern slot expands against the term dictionary (TopTermsRewrite cap,
+    distributed expansion — expand_terms never collects the vocabulary to
+    enumerate) and the result lowers onto the MultiPhraseQuery machinery
+    (slot-union matcher + allTermStats weight). The reference additionally
+    orders slot expansion by cost and prunes by segment; the two-phase
+    candidate-restricted position decode here plays that role."""
+    require_positions(index, "PhraseWildcardQuery")
+    slots = []
+    for off, word in enumerate(w for w in phrase.lower().split() if w):
+        if "*" in word or "?" in word:
+            if word.replace("*", "") == "":
+                raise ValueError("a slot cannot be a bare wildcard")
+            if "?" in word or not word.endswith("*") or "*" in word[:-1]:
+                regex = "^" + "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in word
+                ) + "$"
+                terms = index.expand_terms(regex=regex, max_terms=max_expansions)
+            else:
+                terms = index.expand_terms(prefix=word[:-1], max_terms=max_expansions)
+            if not terms:
+                return index.spark.createDataFrame([], "docid long, score double")
+            slots.append((off, sorted(terms)))
+        else:
+            slots.append((off, [word]))
+    return search_multi_phrase(index, slots, slop=slop, k=k, **kw)
+
+
 def search_multi_phrase(
     index: Index,
     slots: Sequence,
@@ -2432,6 +2471,11 @@ def search_query(index: Index, q, k: int = 10, **kw) -> DataFrame:
     q = rewrite(q)
     flat = flatten(q)
     if flat is not None:
+        # lowering must not change SCORES, only the plan: tree inputs keep
+        # the tree path's scoring defaults (float64, unquantized) unless
+        # the caller overrides them
+        kw.setdefault("quantize", False)
+        kw.setdefault("dtype", np.float64)
         return search_topk(index, flat, k=k, **kw)
     return search_tree(index, q, k=k, **kw)
 

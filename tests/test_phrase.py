@@ -693,3 +693,35 @@ def test_sloppy_rpt_batched_scalar_tail_consistent():
             assert np.float32(got[d]) == np.float32(f), d
         else:
             assert d not in got, d
+
+
+def test_phrase_wildcard_lowers_to_multiphrase(spark, built_index):
+    """PhraseWildcardQuery analog: pattern slots expand and the result
+    equals the hand-expanded MultiPhraseQuery."""
+    from lucene_spark.search.executor import (
+        search_multi_phrase,
+        search_phrase_wildcard,
+    )
+
+    got = search_phrase_wildcard(built_index, "import re*", k=10).collect()
+    assert got, "vacuous"
+    alts = sorted(built_index.expand_terms(prefix="re", max_terms=128))
+    want = search_multi_phrase(
+        built_index, [(0, ["import"]), (1, alts)], k=10
+    ).collect()
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in want
+    ]
+    # '?' single-char pattern goes through the regex expansion
+    got_q = search_phrase_wildcard(built_index, "import r?turn", k=10).collect()
+    want_q = search_multi_phrase(
+        built_index, [(0, ["import"]), (1, ["return"])], k=10
+    ).collect()
+    assert got_q and [(r["docid"], r["score"]) for r in got_q] == [
+        (r["docid"], r["score"]) for r in want_q
+    ]
+    # a pattern matching nothing -> empty, not an error
+    assert search_phrase_wildcard(built_index, "import zzz*", k=5).collect() == []
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bare wildcard"):
+        search_phrase_wildcard(built_index, "import *", k=5)
