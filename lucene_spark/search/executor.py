@@ -126,6 +126,8 @@ class Index:
         self.has_offsets: Optional[bool] = None if io_ is None else bool(io_)
         tv = fs.get("term_vectors")
         self.has_term_vectors: Optional[bool] = None if tv is None else bool(tv)
+        # stamped by finalize_index; None on pre-stamp indexes
+        self.analysis_fingerprint: Optional[str] = fs.get("analysis_fingerprint")
         self._merged_dir = paths.merged_g(self.generation)
         self._term_stats_dir = paths.term_stats_g(self.generation)
         # snapshot bounds (None on live opens or pre-snapshot markers):

@@ -42,7 +42,16 @@ def open_shards(spark: SparkSession, dirs: Sequence[str]) -> List[Index]:
 
     if not dirs:
         raise ValueError("no shard directories")
-    return [Index(spark, IndexPaths(d)) for d in dirs]
+    shards = [Index(spark, IndexPaths(d)) for d in dirs]
+    # shards tokenized under different chains hold incomparable vocabularies
+    # — the same corruption append_to_index's fingerprint guard refuses
+    prints = {i.analysis_fingerprint for i in shards if i.analysis_fingerprint}
+    if len(prints) > 1:
+        raise ValueError(
+            f"shards disagree on the analysis chain (fingerprints {sorted(prints)}); "
+            "a MultiReader over mixed vocabularies would silently mis-score"
+        )
+    return shards
 
 
 def combined_field_stats(indexes: Sequence[Index]) -> FieldStats:

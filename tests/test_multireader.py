@@ -88,3 +88,15 @@ def test_with_shard_column(spark, sharded):
 def test_open_shards_validates(spark):
     with pytest.raises(ValueError, match="no shard"):
         open_shards(spark, [])
+
+
+def test_open_shards_refuses_mixed_analysis_chains(spark, tmp_path):
+    from lucene_spark.index.builder import IndexConfig, build_index
+
+    d1 = spark.createDataFrame([(0, "spark join")], "doc_id long, content string")
+    build_index(spark, d1, str(tmp_path / "a"), IndexConfig(**CFG))
+    cfg2 = dict(CFG)
+    build_index(spark, d1, str(tmp_path / "b"),
+                IndexConfig(**cfg2, stemmer="porter"))
+    with pytest.raises(ValueError, match="analysis chain"):
+        open_shards(spark, [str(tmp_path / "a"), str(tmp_path / "b")])
