@@ -124,3 +124,29 @@ def multi_search_topk(
     out = out.orderBy(F.col("score").desc(), F.col("docid").asc(),
                       F.col("shard").asc()).limit(k)
     return out if with_shard else out.select("docid", "score")
+
+def multi_search_phrase(
+    indexes: Sequence[Index], phrase, slop: int = 0, k: int = 10,
+    with_shard: bool = False, **kw
+) -> DataFrame:
+    """PhraseQuery over the shard union: per-shard two-phase phrase
+    matchers under combined statistics (the phrase weight sums idf over
+    the UNION corpus dfs), one union, one global cut. Same bit-parity
+    guarantee as multi_search_topk when docids are global."""
+    from .executor import _phrase_offsets, search_phrase
+
+    terms = sorted({t for t, _ in _phrase_offsets(phrase, kw.get("stop_words"))})
+    fstats = combined_field_stats(indexes)
+    tstats = combined_term_stats(indexes, terms)
+    parts = []
+    for ord_, idx in enumerate(indexes):
+        view = _StatsView(idx, fstats, tstats)
+        df = search_phrase(view, phrase, slop=slop, k=k, **kw)
+        parts.append(df.select(F.lit(ord_).alias("shard"), "docid", "score"))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    out = out.orderBy(F.col("score").desc(), F.col("docid").asc(),
+                      F.col("shard").asc()).limit(k)
+    return out if with_shard else out.select("docid", "score")
+

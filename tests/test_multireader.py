@@ -16,7 +16,7 @@ from lucene_spark.search.plan import normalize
 
 
 CFG = dict(docid_col="doc_id", content_col="content", num_segments=2,
-           order_cols=("doc_id",))
+           order_cols=("doc_id",), index_positions=True)
 
 
 @pytest.fixture(scope="module")
@@ -100,3 +100,28 @@ def test_open_shards_refuses_mixed_analysis_chains(spark, tmp_path):
                 IndexConfig(**cfg2, stemmer="porter"))
     with pytest.raises(ValueError, match="analysis chain"):
         open_shards(spark, [str(tmp_path / "a"), str(tmp_path / "b")])
+
+
+def test_multi_phrase_equals_single_index(spark, sharded):
+    """Phrase search over shards == the combined index (combined-stats
+    phrase weight; a phrase split across no shard boundary by construction
+    since docs are whole rows)."""
+    from lucene_spark.search.multireader import multi_search_phrase
+    from lucene_spark.search.executor import search_phrase
+
+    full, shards = sharded
+    want = search_phrase(full, ["import", "return"], k=10).collect()
+    got = multi_search_phrase(shards, ["import", "return"], k=10).collect()
+    assert want, "vacuous"
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in want
+    ]
+    # sloppy + similarity through the same seam
+    want = search_phrase(full, ["import", "return"], slop=2, k=10,
+                         similarity="lm_dirichlet").collect()
+    got = multi_search_phrase(shards, ["import", "return"], slop=2, k=10,
+                              similarity="lm_dirichlet").collect()
+    assert want, "vacuous"
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in want
+    ]
