@@ -21,13 +21,21 @@ whole strings, where the reference mutates char[] buffers in place):
   portuguese  LowerCase -> Stop(portuguese) -> PortugueseLightStemFilter
               (PortugueseAnalyzer.java:115-118,
               PortugueseLightStemmer.java)
+  swedish / finnish / russian / hungarian
+              LowerCase -> Stop(snowball list) -> <Lang>LightStemFilter
+              (sv/SwedishLightStemmer.java, fi/FinnishLightStemmer.java,
+              ru/RussianLightStemmer.java, hu/HungarianLightStemmer.java).
+              NOTE: these four analyzers DEFAULT to SnowballFilter in the
+              reference; the packs mirror the shipped *LightStemFilter
+              chains (the UniNE light option) — documented departure.
 
-All five stemmers are pure token->token functions, so the engine applies
+All nine stemmers are pure token->token functions, so the engine applies
 them as VOCAB-level remaps (one call per unique term, numpy code remap —
 the same distributed pattern as functions/stem.py Porter): per-token cost
 never touches the per-posting hot path, and the Arrow tokenizer kernel
 stays unchanged. Validated against the reference's published vocabulary
-test data (frlight/delight/eslight/itlight/ptlight, ~150k pairs,
+test data (fr/de/es/it/pt/sv/fi/ru/hu light vectors, ~310k pairs total,
+100% each; every-12th samples committed under tests/data,
 tests/test_lang_packs.py).
 """
 
@@ -38,24 +46,32 @@ from typing import Dict, FrozenSet, Optional, Tuple
 import numpy as np
 
 from .lang_stops import (
+    FINNISH_STOP_WORDS,
     FRENCH_STOP_WORDS,
     GERMAN_STOP_WORDS,
+    HUNGARIAN_STOP_WORDS,
     ITALIAN_STOP_WORDS,
     PORTUGUESE_STOP_WORDS,
+    RUSSIAN_STOP_WORDS,
     SPANISH_STOP_WORDS,
+    SWEDISH_STOP_WORDS,
 )
 
 __all__ = [
     "LANG_PACKS",
     "analyze_lang",
     "elide",
+    "finnish_light_stem",
     "french_light_stem",
     "german_light_stem",
     "german_normalize",
+    "hungarian_light_stem",
     "italian_light_stem",
     "lang_vocab_remap",
     "portuguese_light_stem",
+    "russian_light_stem",
     "spanish_light_stem",
+    "swedish_light_stem",
 ]
 
 # ElisionFilter article sets (FrenchAnalyzer.java:56-62,
@@ -368,6 +384,260 @@ def french_light_stem(token: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Swedish (SwedishLightStemmer.java) — the reference's DEFAULT
+# SwedishAnalyzer stems with Snowball; these packs mirror the shipped
+# *LightStemFilter chains (the UniNE light option), documented departure.
+# Same note applies to finnish/russian/hungarian below.
+# ---------------------------------------------------------------------------
+
+
+def swedish_light_stem(token: str) -> str:
+    s = token
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:-5]
+    if n > 6 and s.endswith(("arne", "erna", "ande", "else", "aste", "orna", "aren")):
+        return s[:-4]
+    if n > 5 and s.endswith(("are", "ast", "het")):
+        return s[:-3]
+    if n > 4 and s.endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return s[:-2]
+    if n > 3 and s[-1] in ("t", "a", "e", "n"):
+        return s[:-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Russian (RussianLightStemmer.java) — case-suffix strip + normalize
+# ---------------------------------------------------------------------------
+
+
+def russian_light_stem(token: str) -> str:
+    s = _ru_remove_case(token)
+    n = len(s)
+    if n > 3:
+        if s[-1] in ("ь", "и"):
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
+def _ru_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith(("иями", "оями")):
+        return s[:-4]
+    if n > 5 and s.endswith((
+        "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему", "ери",
+        "ими", "ого", "ому", "ыми", "оев",
+    )):
+        return s[:-3]
+    if n > 4 and s.endswith((
+        "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою",
+        "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им",
+        "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми",
+    )):
+        return s[:-2]
+    if n > 3 and s[-1] in "аеиоуйыяь":
+        return s[:-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Finnish (FinnishLightStemmer.java)
+# ---------------------------------------------------------------------------
+
+_FI_FOLD = str.maketrans("äåö", "aao")
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def finnish_light_stem(token: str) -> str:
+    if len(token) < 4:
+        return token
+    s = token.translate(_FI_FOLD)
+    s = _fi_step1(s)
+    s = _fi_step2(s)
+    s = _fi_step3(s)
+    s = _fi_norm1(s)
+    return _fi_norm2(s)
+
+
+def _fi_step1(s: str) -> str:
+    if len(s) > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[:-3])
+        if s.endswith("ko"):
+            return _fi_step1(s[:-2])
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    if len(s) > 5:
+        if s.endswith(("lla", "tse", "sti")):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return s[:-3]
+    if n > 5:
+        if s.endswith(("na", "ne")):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s.endswith(("ja", "ta")):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWELS:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"  # mutation only; the cascade continues
+    if len(s) > 4 and s.endswith(("ei", "at")):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in ("t", "s", "j", "e", "a", "i"):
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in ("e", "o", "u"):
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse runs of k/p/t to one occurrence
+            out = [s[0]]
+            for ch in s[1:]:
+                if ch == out[-1] and ch in ("k", "p", "t"):
+                    continue
+                out.append(ch)
+            s = "".join(out)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (HungarianLightStemmer.java)
+# ---------------------------------------------------------------------------
+
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def hungarian_light_stem(token: str) -> str:
+    s = token.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    s = _hu_remove_plural(s)
+    if len(s) > 3 and s[-1] in ("a", "e", "i", "o"):
+        return s[:-1]
+    return s
+
+
+def _hu_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return s[:-3]
+        if s.endswith(("al", "el")):
+            if s[-3] not in _HU_VOWELS and s[-3] == s[-4]:
+                return s[:-3]
+    if n > 4:
+        if s.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return s[:-2]
+        if s.endswith(("on", "en")) and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        if s[-1] in ("t", "n"):
+            return s[:-1]
+        if s[-1] in ("a", "e") and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWELS and s.endswith(("atok", "otok", "etek")):
+            return s[:-4]
+        if s.endswith(("itek", "itok")):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWELS and s.endswith(("unk", "tok", "tek")):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s.endswith("juk"):
+            return s[:-3]
+        if s.endswith("ink"):
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWELS and s.endswith(
+                ("am", "em", "om", "ad", "ed", "od", "uk")):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s.endswith(("nk", "ja", "je")):
+            return s[:-2]
+        if s.endswith(("im", "id", "ik")):
+            return s[:-2]
+    if n > 3:
+        if s[-1] in ("a", "e") and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] in ("m", "d") and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] == "i":
+            return s[:-1]
+    return s
+
+
+def _hu_remove_plural(s: str) -> str:
+    if len(s) > 3 and s[-1] == "k":
+        if s[-2] in ("a", "o", "e") and len(s) > 4:
+            return s[:-2]
+        return s[:-1]  # the reference's intentional fallthrough
+    return s
+
+
+# ---------------------------------------------------------------------------
 # Pack registry + vocab remap (the builder/query seam)
 # ---------------------------------------------------------------------------
 
@@ -402,6 +672,10 @@ LANG_PACKS: Dict[str, LanguagePack] = {
     "spanish": LanguagePack(SPANISH_STOP_WORDS, None, spanish_light_stem),
     "italian": LanguagePack(ITALIAN_STOP_WORDS, ITALIAN_ARTICLES, italian_light_stem),
     "portuguese": LanguagePack(PORTUGUESE_STOP_WORDS, None, portuguese_light_stem),
+    "swedish": LanguagePack(SWEDISH_STOP_WORDS, None, swedish_light_stem),
+    "finnish": LanguagePack(FINNISH_STOP_WORDS, None, finnish_light_stem),
+    "russian": LanguagePack(RUSSIAN_STOP_WORDS, None, russian_light_stem),
+    "hungarian": LanguagePack(HUNGARIAN_STOP_WORDS, None, hungarian_light_stem),
 }
 
 

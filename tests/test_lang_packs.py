@@ -39,12 +39,23 @@ from lucene_spark.functions.lang_stops import (
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
+from lucene_spark.functions.lang import (
+    finnish_light_stem,
+    hungarian_light_stem,
+    russian_light_stem,
+    swedish_light_stem,
+)
+
 STEMMERS = {
     "fr": french_light_stem,
     "de": german_light_stem,  # vectors cover the stemmer alone (no FSM)
     "es": spanish_light_stem,
     "it": italian_light_stem,
     "pt": portuguese_light_stem,
+    "sv": swedish_light_stem,
+    "fi": finnish_light_stem,
+    "ru": russian_light_stem,
+    "hu": hungarian_light_stem,
 }
 
 
@@ -227,3 +238,20 @@ def test_pack_explicit_stopwords_override(spark, tmp_path):
     # explicitly passing the pack set reproduces the default fingerprint
     c3 = IndexConfig(analyzer="spanish", stop_words=SPANISH_STOP_WORDS)
     assert c3.analysis_fingerprint() == c1.analysis_fingerprint()
+
+
+def test_russian_index_end_to_end(spark, tmp_path):
+    """Cyrillic corpus through the pack seam: stop drop + case-suffix
+    stemming make inflected forms share postings."""
+    from lucene_spark.search.executor import search_topk
+    from lucene_spark.search.plan import normalize
+
+    rows = [(0, "быстрые системы поиска"), (1, "быстрая система работает"),
+            (2, "медленный индекс")]
+    idx, _ = _build(spark, tmp_path, rows, "russian")
+    terms = analyze_lang("системы", "russian")
+    got = {r["docid"] for r in
+           search_topk(idx, normalize(should=terms, pre_analyzed=True), k=10).collect()}
+    assert got == {0, 1}  # системы/система share the stem
+    # Russian stopword gone from the vocabulary
+    assert idx.term_stats_for(["и", "в"]) == {}
