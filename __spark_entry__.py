@@ -2151,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "multi_phrase_topk": q_multi_phrase_topk,
         "phrase_wildcard_topk": q_phrase_wildcard_topk,
+        "tree_msm_topk": q_tree_msm_topk,
         "blended_term_topk": q_blended_term_topk,
         "function_score_topk": q_function_score_topk,
     }
@@ -2233,6 +2234,65 @@ def _bucket_sql(col: str, planes) -> str:
         f"[{', '.join(repr(float(x)) for x in p)}]) > 0 "
         f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
         for j, p in enumerate(planes)
+    )
+
+
+def q_tree_msm_topk(spark, sf):
+    """minimumNumberShouldMatch over MIXED clause types — two of {term
+    "stream", phrase "table hash", term "merge"} must match
+    (BooleanQuery.Builder.setMinimumNumberShouldMatch, the tree path's
+    distinct-clause counting gate)."""
+    from lucene_spark.search.executor import search_query
+    from lucene_spark.search.plan import QBool, QPhrase, QTerm, SHOULD
+
+    tree = QBool((
+        (SHOULD, QTerm("stream")),
+        (SHOULD, QPhrase(terms_off=(("table", 0), ("hash", 1)))),
+        (SHOULD, QTerm("merge")),
+    ), msm=2)
+    res = search_query(_index(spark, sf), tree, k=10)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def _tree_msm_sql() -> str:
+    from lucene_spark.oracle import BM25_CTES, TPOS_CTE
+
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+
+    def term_clause(cid, t):
+        return f"""
+SELECT tf.doc_id, {cid} AS cid,
+       w.w - w.w / (1 + CAST(tf.tf AS DOUBLE) * {ninv}) AS s
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs
+CROSS JOIN (SELECT ln(1 + (fs.doc_cnt - d.df + 0.5) / (d.df + 0.5)) AS w
+            FROM (SELECT count(*) AS df FROM tf WHERE term = '{t}') d
+            CROSS JOIN fs) w
+WHERE tf.term = '{t}'"""
+
+    phrase_clause = f"""
+SELECT m.doc_id, 1 AS cid,
+       w.w - w.w / (1 + CAST(m.freq AS DOUBLE) * {ninv}) AS s
+FROM (SELECT t0.doc_id, count(*) AS freq FROM tpos t0
+      JOIN tpos t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      WHERE t0.term = 'table' AND t1.term = 'hash' GROUP BY 1) m
+JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN fs
+CROSS JOIN (SELECT sum(ln(1 + (fs.doc_cnt - d.df + 0.5) / (d.df + 0.5))) AS w
+            FROM (SELECT term, count(*) AS df FROM tf
+                  WHERE term IN ('table', 'hash') GROUP BY 1) d
+            CROSS JOIN fs) w"""
+
+    return (
+        "WITH "
+        + BM25_CTES
+        + ", "
+        + TPOS_CTE.strip()
+        + f""",
+cl AS ({term_clause(0, "stream")}
+UNION ALL{phrase_clause}
+UNION ALL{term_clause(2, "merge")})
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM cl GROUP BY 1 HAVING count(DISTINCT cid) >= 2
+ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
     )
 
 
@@ -2886,6 +2946,7 @@ ORDER BY max(hits.score) DESC, parent ASC LIMIT 5""",
         "common_terms_topk": bm25_topk_sql({"dup": 1, "spark": 1}, required=["dup"]),
         "multi_phrase_topk": _multi_phrase_sql(),
         "phrase_wildcard_topk": _phrase_wildcard_sql(),
+        "tree_msm_topk": _tree_msm_sql(),
         "blended_term_topk": _blended_sql(),
         "function_score_topk": bm25_matches_cte({"spark": 1})
         + """

@@ -2407,6 +2407,27 @@ def _eval_bool(index: Index, node: QBool, quantize: bool, dtype,
                 mnot.append(df)
     if not must and not should:
         return None  # empty / pure-negative boolean (BooleanQuery.java:269-276)
+    msm = int(getattr(node, "msm", 0) or 0)
+    if msm > len(should):
+        # more shoulds demanded than exist -> MatchNone
+        # (Booleans2ScorerSupplier's minShouldMatch > optional count)
+        return None
+    if should:
+        # tag each SHOULD clause so msm can count DISTINCT matching clauses
+        # over arbitrary clause types (BooleanQuery.java:123 semantics)
+        tagged = [
+            s.select("docid", "score", F.lit(i).alias("__cid__"))
+            for i, s in enumerate(should)
+        ]
+        allsh = tagged[0]
+        for s in tagged[1:]:
+            allsh = allsh.unionAll(s)
+        opt = allsh.groupBy("docid").agg(
+            F.sum("score").alias("__opt__"),
+            F.count_distinct("__cid__").alias("__nsh__"),
+        )
+        if msm > 0:
+            opt = opt.filter(F.col("__nsh__") >= msm)
     if must:
         scored = must[0].select("docid", F.col("score").alias("s0"))
         for i, m in enumerate(must[1:], 1):
@@ -2418,19 +2439,15 @@ def _eval_bool(index: Index, node: QBool, quantize: bool, dtype,
             total = total + F.col(f"s{i}")
         scored = scored.select("docid", total.alias("score"))
         if should:
-            opt = should[0]
-            for s in should[1:]:
-                opt = opt.unionAll(s)
-            opt = opt.groupBy("docid").agg(F.sum("score").alias("__opt__"))
-            scored = scored.join(opt, "docid", "left").select(
+            # with msm > 0 the qualified-shoulds set GATES matching (inner
+            # join); msm == 0 keeps shoulds purely optional (left join)
+            how = "inner" if msm > 0 else "left"
+            scored = scored.join(opt.select("docid", "__opt__"), "docid", how).select(
                 "docid",
                 (F.col("score") + F.coalesce(F.col("__opt__"), F.lit(0.0))).alias("score"),
             )
     else:
-        allsh = should[0]
-        for s in should[1:]:
-            allsh = allsh.unionAll(s)
-        scored = allsh.groupBy("docid").agg(F.sum("score").alias("score"))
+        scored = opt.select("docid", F.col("__opt__").alias("score"))
     if mnot:
         ex = mnot[0].select("docid")
         for m in mnot[1:]:

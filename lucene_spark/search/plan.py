@@ -209,6 +209,10 @@ class QRange:
 class QBool:
     clauses: Tuple[Tuple[str, object], ...]  # (occur, node)
     boost: float = 1.0
+    # minimumNumberShouldMatch over ARBITRARY clauses (terms, phrases,
+    # nested booleans) — BooleanQuery.Builder.setMinimumNumberShouldMatch
+    # (BooleanQuery.java:123); 0 keeps plain SHOULD semantics
+    msm: int = 0
 
 
 class ParseError(ValueError):
@@ -501,9 +505,13 @@ def rewrite(node):
     for occ, child in node.clauses:
         child = rewrite(child)
         if (isinstance(child, QBool) and len(child.clauses) == 1
-                and child.clauses[0][0] in (MUST, SHOULD)):
+                and child.clauses[0][0] in (MUST, SHOULD)
+                and child.msm <= 1):
             child = _fold_boost(child.clauses[0][1], child.boost)
-        if isinstance(child, QBool):
+        if isinstance(child, QBool) and child.msm <= 1:
+            # msm <= 1 on an all-SHOULD child is the implicit disjunction
+            # semantics — safe to splice; msm >= 2 constrains matching and
+            # must stay nested
             occs = {o for o, _ in child.clauses}
             if occ == SHOULD and occs == {SHOULD} and child.boost == 1.0:
                 out.extend(child.clauses)
@@ -515,8 +523,8 @@ def rewrite(node):
                 out.extend((MUST_NOT, c) for _, c in child.clauses)
                 continue
         out.append((occ, child))
-    rewritten = QBool(tuple(out), boost=node.boost)
-    if len(out) == 1 and out[0][0] in (MUST, SHOULD):
+    rewritten = QBool(tuple(out), boost=node.boost, msm=node.msm)
+    if len(out) == 1 and out[0][0] in (MUST, SHOULD) and node.msm <= 1:
         # single positive clause: the wrapper adds nothing (a lone
         # MUST_NOT stays wrapped — pure negation is MatchNone downstream)
         return _fold_boost(out[0][1], node.boost)
@@ -537,7 +545,8 @@ def flatten(node) -> NormalizedQuery | None:
         if not isinstance(child, QTerm) or child.boost != 1.0 or child.field is not None:
             return None
         (must if occ == MUST else should if occ == SHOULD else must_not).append(child.term)
-    return normalize(must, should, must_not, pre_analyzed=True)
+    return normalize(must, should, must_not, pre_analyzed=True,
+                     min_should_match=node.msm)
 
 
 def parse(query: str, stop_words=ENGLISH_STOP_WORDS):

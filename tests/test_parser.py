@@ -234,3 +234,54 @@ def test_rewritten_tree_scores_equal_tree_path(spark, built_index):
     assert want and [r["docid"] for r in got] == [r["docid"] for r in want]
     for a, b in zip(got, want):
         assert a["score"] == _pt.approx(b["score"], rel=1e-12)
+
+
+def test_tree_msm_over_arbitrary_clauses(spark, built_index):
+    """BooleanQuery.setMinimumNumberShouldMatch over MIXED clause types
+    (terms + a phrase): matches need >= msm distinct SHOULD clauses; score
+    sums the matching clauses (BooleanQuery.java:123)."""
+    from lucene_spark.search.executor import (
+        phrase_scores, search_exhaustive, search_query,
+    )
+    from lucene_spark.search.plan import (
+        NormalizedQuery, QBool, QPhrase, QTerm, SHOULD,
+    )
+
+    clauses = (
+        (SHOULD, QTerm("stream")),
+        (SHOULD, QPhrase(terms_off=(("import", 0), ("return", 1)))),
+        (SHOULD, QTerm("merge")),
+    )
+    got = {r["docid"]: r["score"]
+           for r in search_query(built_index, QBool(clauses, msm=2), k=1000).collect()}
+    assert got, "vacuous"
+    # independent reconstruction: per-clause (docid, score) maps
+    maps = []
+    for _, node in clauses:
+        if isinstance(node, QTerm):
+            df = search_exhaustive(
+                built_index, NormalizedQuery(optional=((node.term, 1),)), k=None)
+        else:
+            df = phrase_scores(built_index, list(node.terms_off))
+        maps.append({r["docid"]: r["score"] for r in df.collect()})
+    want = {}
+    for d in set().union(*maps):
+        hits = [m[d] for m in maps if d in m]
+        if len(hits) >= 2:
+            want[d] = sum(hits)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+    # msm > #shoulds -> MatchNone
+    assert search_query(built_index, QBool(clauses, msm=4), k=5).collect() == []
+    # msm on the flat path lowers to NormalizedQuery min_should_match
+    from lucene_spark.search.plan import flatten, rewrite
+    flat = flatten(rewrite(QBool(((SHOULD, QTerm("stream")),
+                                  (SHOULD, QTerm("merge")),
+                                  (SHOULD, QTerm("parse"))), msm=2)))
+    assert flat is not None and flat.min_should_match == 2
+    # rewrite never splices an msm>=2 child (the constraint must survive)
+    inner = QBool(((SHOULD, QTerm("a")), (SHOULD, QTerm("b"))), msm=2)
+    outer = rewrite(QBool(((SHOULD, inner), (SHOULD, QTerm("c")))))
+    assert isinstance(outer.clauses[0][1], QBool)
+    assert outer.clauses[0][1].msm == 2
