@@ -127,7 +127,11 @@ class IndexConfig:
     order_cols: Sequence[str] = ("repo", "path", "commit")
     content_col: str = "content"
     docid_col: Optional[str] = None  # use an existing unique long column as docid
-    stop_words: frozenset = ENGLISH_STOP_WORDS
+    # None -> "analyzer default": English stops for the standard/cjk
+    # chains, the pack's published list for language packs. An EXPLICIT
+    # set always wins — including explicitly passing ENGLISH_STOP_WORDS
+    # to a language-pack build (previously silently replaced; ADVICE r5)
+    stop_words: Optional[frozenset] = None
     num_segments: int = 0  # 0 -> auto (target_docs_per_segment)
     target_docs_per_segment: int = 250_000  # Lucene slice bound (IndexSearcher.java:323-341)
     hot_df_threshold: int = 100_000  # df above this gets salted at merge
@@ -171,14 +175,16 @@ class IndexConfig:
     def effective_stop_words(self) -> frozenset:
         """The stop set the chain actually runs: a language pack brings its
         own published list (FrenchAnalyzer.java:53 etc. load them at
-        class-init) unless the caller explicitly overrides stop_words."""
+        class-init) unless the caller explicitly passes stop_words. The
+        distinct ``None`` sentinel (not an English-set value compare) is
+        what makes an intentional English list on a pack build possible."""
         from ..functions.lang import LANG_PACKS
 
-        # equality, not identity: cfg pickles into executor closures, where
-        # the unpickled default set is a fresh object
-        if self.analyzer in LANG_PACKS and self.stop_words == ENGLISH_STOP_WORDS:
+        if self.stop_words is not None:
+            return self.stop_words
+        if self.analyzer in LANG_PACKS:
             return LANG_PACKS[self.analyzer].stop_words
-        return self.stop_words
+        return ENGLISH_STOP_WORDS
 
     def analysis_fingerprint(self) -> str:
         """Stable digest of everything that changes what TERMS an identical

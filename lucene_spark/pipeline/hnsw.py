@@ -198,6 +198,10 @@ def _quantize_shard(V: np.ndarray, bits: int = 7):
     matrix (Lucene99HnswScalarQuantizedVectorsFormat composes the HNSW
     graph with int-quantized vector storage; the quantile bounds live per
     segment — here per shard). Returns (q int8 matrix, lo, scale)."""
+    if not (1 <= bits <= 7):
+        # int8 payload: levels for bits=8 (255) would wrap negative on the
+        # astype and silently corrupt the stored matrix (ADVICE r5)
+        raise ValueError(f"scalar quantization supports 1..7 bits, got {bits}")
     lo = float(V.min())
     hi = float(V.max())
     levels = (1 << bits) - 1

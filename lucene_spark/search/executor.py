@@ -1083,13 +1083,19 @@ def search_topk(
     q: NormalizedQuery,
     k: int = 10,
     boost: float = 1.0,
-    quantize: bool = True,
-    dtype=np.float32,
+    quantize: Optional[bool] = None,
+    dtype=None,
     with_metrics: bool = False,
     theta_seed: float = 0.0,
     similarity: Optional[str] = None,
 ) -> DataFrame:
     """Top-k via per-segment block-max pruning + global ordered merge.
+
+    ``quantize``/``dtype`` default to None = AUTO: float32 quantized (the
+    engine default) unless the query is ``tree_origin`` — a flat form the
+    rewriter produced from a nested tree — which keeps the tree path's
+    float64/unquantized scoring so rewriting never changes the scores of
+    the same query string (ADVICE r5). Explicit arguments always win.
 
     ``theta_seed``: pre-seed every segment's pruning threshold with a global
     lower bound of the k-th score (MaxScoreAccumulator.java:23 analog).
@@ -1103,6 +1109,10 @@ def search_topk(
     Every registered similarity is monotone up in tf / down in doclen, so
     the block-max pruning stays sound — bounds route through the same
     scorer (similarities.BoundSimilarity.bound)."""
+    if quantize is None:
+        quantize = not getattr(q, "tree_origin", False)
+    if dtype is None:
+        dtype = np.float64 if getattr(q, "tree_origin", False) else np.float32
     spark = index.spark
     empty = spark.createDataFrame([], TOPK_SCHEMA if with_metrics else "docid long, score double")
     if q.is_match_none:

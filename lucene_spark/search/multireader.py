@@ -51,6 +51,16 @@ def open_shards(spark: SparkSession, dirs: Sequence[str]) -> List[Index]:
             f"shards disagree on the analysis chain (fingerprints {sorted(prints)}); "
             "a MultiReader over mixed vocabularies would silently mis-score"
         )
+    # a MIX of stamped and unstamped (pre-fingerprint) shards is the same
+    # hazard with less evidence — refuse rather than silently pass (ADVICE
+    # r5); all-unstamped stays allowed (nothing to compare, caller's call)
+    if prints and any(not i.analysis_fingerprint for i in shards):
+        unstamped = [d for d, i in zip(dirs, shards) if not i.analysis_fingerprint]
+        raise ValueError(
+            "some shards carry an analysis fingerprint and others predate "
+            f"stamping ({unstamped}); rebuild or refinalize the unstamped "
+            "shards so chain compatibility can be verified"
+        )
     return shards
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 from collections import Counter
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Dict, List, Sequence, Tuple
 
 from ..analysis import ENGLISH_STOP_WORDS, analyze, analyze_with_positions
@@ -60,6 +60,12 @@ class NormalizedQuery:
     optional: Tuple[Tuple[str, int], ...] = ()
     excluded: Tuple[str, ...] = ()
     min_should_match: int = 0
+    # True when this flat form was produced by rewriting a NESTED tree
+    # (parse() tags it): executors then default to the tree path's scoring
+    # dtype (float64, unquantized) so the rewrite never changes scores for
+    # the same query string (ADVICE r5). Excluded from eq/hash — the MATCH
+    # semantics are identical.
+    tree_origin: bool = field(default=False, compare=False)
 
     @property
     def is_match_none(self) -> bool:
@@ -552,7 +558,20 @@ def flatten(node) -> NormalizedQuery | None:
 def parse(query: str, stop_words=ENGLISH_STOP_WORDS):
     """Parse a query string. Returns the NormalizedQuery fast-path form for
     flat term booleans (WAND/top-k pruning path), else the query tree IR
-    (executor.search_tree / search_query handle both)."""
-    tree = rewrite(parse_tree(query, stop_words))
+    (executor.search_tree / search_query handle both).
+
+    Shapes that only become flat through rewrite() — e.g.
+    ``a OR (b OR c)`` — are tagged ``tree_origin=True``: the pruned path
+    then defaults to the TREE path's scoring dtype (float64, unquantized),
+    so a query string's 4-decimal scores never shift between releases just
+    because the rewriter got smarter (ADVICE r5). Explicit
+    quantize=/dtype= arguments still win."""
+    raw = parse_tree(query, stop_words)
+    direct = flatten(raw)
+    if direct is not None:
+        return direct
+    tree = rewrite(raw)
     flat = flatten(tree)
-    return flat if flat is not None else tree
+    if flat is not None:
+        return replace(flat, tree_origin=True)
+    return tree

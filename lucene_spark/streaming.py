@@ -488,7 +488,17 @@ def percolate_tree(
         match = match.join(bad, key + ["doc_id"], "left_anti")
 
     qmap = clauses.select("qid", "skey").distinct()
-    return match.join(qmap, "skey").select("qid", "doc_id").distinct()
+    out = match.join(qmap, "skey").select("qid", "doc_id").distinct()
+    # materialize (lineage-truncating local checkpoint) so the interned
+    # clause/set caches can be released immediately — a long-running
+    # percolation loop would otherwise accumulate cached blocks on the
+    # executors across calls (ADVICE r5). The match set is qid×doc pairs,
+    # orders of magnitude below the inputs.
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    if clauses.is_cached:
+        clauses.unpersist()
+    return out
 
 
 def percolate_stream(spark: SparkSession, stream_df: DataFrame, queries: DataFrame,

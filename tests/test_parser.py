@@ -285,3 +285,44 @@ def test_tree_msm_over_arbitrary_clauses(spark, built_index):
     outer = rewrite(QBool(((SHOULD, inner), (SHOULD, QTerm("c")))))
     assert isinstance(outer.clauses[0][1], QBool)
     assert outer.clauses[0][1].msm == 2
+
+
+def test_tree_origin_tag_pins_tree_scoring_defaults():
+    # ADVICE r5: a shape that is only flat AFTER rewrite keeps the tree
+    # path's scoring defaults (float64 unquantized) on the pruned path,
+    # so the rewrite cannot shift 4-decimal scores for the same string
+    from lucene_spark.search.plan import NormalizedQuery, parse
+
+    nested = parse("foo OR (bar OR baz)")
+    assert isinstance(nested, NormalizedQuery) and nested.tree_origin
+    flat = parse("foo OR bar OR baz")
+    assert isinstance(flat, NormalizedQuery) and not flat.tree_origin
+    # tag is excluded from equality/hash — match semantics are identical
+    assert nested == flat and hash(nested) == hash(flat)
+
+
+def test_stop_words_sentinel_allows_english_on_lang_pack():
+    # ADVICE r5: an EXPLICIT English stop set on a language-pack build is
+    # honored; the None default still resolves to the pack's list
+    from lucene_spark.analysis import ENGLISH_STOP_WORDS
+    from lucene_spark.functions.lang import LANG_PACKS
+    from lucene_spark.index.builder import IndexConfig
+
+    assert IndexConfig().effective_stop_words() == ENGLISH_STOP_WORDS
+    assert (IndexConfig(analyzer="french").effective_stop_words()
+            == LANG_PACKS["french"].stop_words)
+    cfg = IndexConfig(analyzer="french", stop_words=ENGLISH_STOP_WORDS)
+    assert cfg.effective_stop_words() == ENGLISH_STOP_WORDS
+
+
+def test_quantize_shard_rejects_wrapping_bits():
+    import numpy as np
+    import pytest
+
+    from lucene_spark.pipeline.hnsw import _quantize_shard
+
+    V = np.random.default_rng(0).standard_normal((4, 8)).astype(np.float32)
+    q, lo, scale = _quantize_shard(V, bits=7)
+    assert q.dtype == np.int8 and q.min() >= 0
+    with pytest.raises(ValueError):
+        _quantize_shard(V, bits=8)
