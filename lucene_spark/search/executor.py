@@ -756,6 +756,23 @@ def make_topk_fn(
         if not scoring or any(t not in rows for t in req):
             return _Z, _Z.astype(np.float64), counters
 
+        if excl:
+            # MUST_NOT as an up-front ban mask merged into liveDocs
+            # (ReqExclScorer.java:26): excluded docs must never score, enter
+            # `seen`, or RAISE THETA — a doc destined for exclusion holding
+            # a top-k slot would inflate the pruning threshold above the
+            # true k-th score and silently drop real hits (an end-of-run
+            # subtraction is too late for the threshold)
+            ex_parts = [
+                _decode_rows(r, None, counters)[0]
+                for t in excl if t in rows for r in rows[t]
+            ]
+            if ex_parts:
+                banned = np.unique(np.concatenate(ex_parts))
+                deleted = (
+                    banned if deleted is None else np.union1d(deleted, banned)
+                )
+
         base = min(int(r["first_docid"]) for t in scoring for r in rows[t])
         hi = max(int(r["last_docid"]) for t in scoring for r in rows[t])
         n = hi - base + 1
@@ -1025,15 +1042,6 @@ def make_topk_fn(
 
         if len(matched) == 0:
             return _Z, _Z.astype(np.float64), counters
-        if excl:
-            ex_ids = []
-            for t in excl:
-                if t in rows:
-                    ex_ids.append(decode_term(t, sel=matched)[0])
-            if ex_ids:
-                matched = np.setdiff1d(matched, np.concatenate(ex_ids), assume_unique=True)
-            if len(matched) == 0:
-                return _Z, _Z.astype(np.float64), counters
 
         # canonical final sum: sorted-term order, engine dtype
         final = np.zeros(len(matched), dtype=dtype)

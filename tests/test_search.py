@@ -479,3 +479,38 @@ def test_feature_null_contributes_zero(spark, tmp_path):
     assert set(got) == {0, 1}  # the NULL-feature doc still matches
     assert got[1] == pytest.approx(base[1], rel=1e-12)  # feature adds 0
     assert got[0] == pytest.approx(base[0] + 2.0 * (1 - 1.0 / (4.0 + 1.0)), rel=1e-12)
+
+
+def test_or_not_theta_never_inflated_by_excluded_docs(spark):
+    """Round-6 soundness fix: with OR + MUST_NOT, the pruning threshold
+    must only rise from docs that can actually be returned. Excluded docs
+    holding top-k slots previously inflated theta and silently dropped
+    true hits (tie-heavy tail pruned in one segment). MUST_NOT is now an
+    up-front ban mask merged into liveDocs (ReqExclScorer.java:26)."""
+    import shutil
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import (
+        Index, search_exhaustive, search_topk,
+    )
+    from lucene_spark.search.plan import normalize
+
+    rows, did = [], 0
+    for _ in range(800):  # high-scoring docs destined for exclusion
+        rows.append((did, "alpha banned")); did += 1
+    for i in range(120):
+        rows.append((did, "alpha clean " + "pad " * (i % 7))); did += 1
+    for i in range(1200):  # tie-heavy tail that must survive
+        rows.append((did, "beta gamma " + "pad " * (i % 11))); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    shutil.rmtree("/tmp/lucene_spark_test_ornot", ignore_errors=True)
+    cfg = IndexConfig(docid_col="doc_id", content_col="content",
+                      num_segments=2, order_cols=("doc_id",),
+                      stop_words=frozenset())
+    idx = Index(spark, build_index(spark, docs, "/tmp/lucene_spark_test_ornot", cfg))
+    q = normalize(should=["alpha", "beta"], must_not=["banned"],
+                  stop_words=frozenset())
+    a = [(r["docid"], round(r["score"], 6)) for r in search_topk(idx, q, k=10).collect()]
+    b = [(r["docid"], round(r["score"], 6)) for r in search_exhaustive(idx, q, k=10).collect()]
+    assert a == b
+    assert a  # vacuity guard
