@@ -2137,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reached (VERDICT r5 wrong#2): never driver-checked, run first
         "ann_hnsw_exact_topk": q_ann_hnsw_exact_topk,
         "ann_ivf_exact_topk": q_ann_ivf_exact_topk,
+        "tree_mixed_topk": q_tree_mixed_topk,
+        "tree_mixed_not_topk": q_tree_mixed_not_topk,
         "phrase_wildcard_topk": q_phrase_wildcard_topk,
         "tree_msm_topk": q_tree_msm_topk,
         # --- r4 additions: never driver-checked yet
@@ -2393,6 +2395,77 @@ UNION ALL{phrase_clause}
 UNION ALL{term_clause(2, "merge")})
 SELECT doc_id AS docid, round(sum(s), 4) AS score
 FROM cl GROUP BY 1 HAVING count(DISTINCT cid) >= 2
+ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
+    )
+
+
+def q_tree_mixed_topk(spark, sf):
+    """Mixed boolean tree "(stream AND hash) OR merge" on the r6
+    clause-level block-max path (executor.search_tree_topk — the batch
+    analog of BooleanScorerSupplier.java:288-317 composing WAND over
+    pseudo-scorers; a MUST group is one scorer whose bound is the sum of
+    its members'). search_query routes the shape automatically; scoring
+    is the tree path's float64 unquantized BM25 clause-sum."""
+    from lucene_spark.search.executor import search_query
+    from lucene_spark.search.plan import MUST, QBool, QTerm, SHOULD
+
+    tree = QBool((
+        (SHOULD, QBool(((MUST, QTerm("stream")), (MUST, QTerm("hash"))))),
+        (SHOULD, QTerm("merge")),
+    ))
+    res = search_query(_index(spark, sf), tree, k=10)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_tree_mixed_not_topk(spark, sf):
+    """Same mixed shape plus a MUST_NOT term — exercises the up-front
+    exclusion ban mask on the pruned tree path (ReqExclScorer.java:26;
+    excluded docs must never raise the pruning threshold — the r6
+    theta-inflation fix)."""
+    from lucene_spark.search.executor import search_query
+    from lucene_spark.search.plan import MUST, MUST_NOT, QBool, QTerm, SHOULD
+
+    tree = QBool((
+        (SHOULD, QBool(((MUST, QTerm("stream")), (MUST, QTerm("hash"))))),
+        (SHOULD, QTerm("merge")),
+        (MUST_NOT, QTerm("window")),
+    ))
+    res = search_query(_index(spark, sf), tree, k=10)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def _tree_mixed_sql(not_term: str | None = None) -> str:
+    from lucene_spark.oracle import BM25_CTES
+
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+
+    def term_score(t):
+        return f"""
+SELECT tf.doc_id,
+       w.w - w.w / (1 + CAST(tf.tf AS DOUBLE) * {ninv}) AS s
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs
+CROSS JOIN (SELECT ln(1 + (fs.doc_cnt - d.df + 0.5) / (d.df + 0.5)) AS w
+            FROM (SELECT count(*) AS df FROM tf WHERE term = '{t}') d
+            CROSS JOIN fs) w
+WHERE tf.term = '{t}'"""
+
+    anti = (
+        f"WHERE cl.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{not_term}')"
+        if not_term else ""
+    )
+    return (
+        "WITH "
+        + BM25_CTES
+        + f""",
+cl AS (
+  SELECT a.doc_id, a.s + b.s AS s
+  FROM ({term_score("stream")}) a JOIN ({term_score("hash")}) b
+    ON a.doc_id = b.doc_id
+  UNION ALL
+  {term_score("merge")}
+)
+SELECT cl.doc_id AS docid, round(sum(s), 4) AS score
+FROM cl {anti} GROUP BY 1
 ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
     )
 
@@ -3048,6 +3121,8 @@ ORDER BY max(hits.score) DESC, parent ASC LIMIT 5""",
         "multi_phrase_topk": _multi_phrase_sql(),
         "phrase_wildcard_topk": _phrase_wildcard_sql(),
         "tree_msm_topk": _tree_msm_sql(),
+        "tree_mixed_topk": _tree_mixed_sql(),
+        "tree_mixed_not_topk": _tree_mixed_sql(not_term="window"),
         "blended_term_topk": _blended_sql(),
         "function_score_topk": bm25_matches_cte({"spark": 1})
         + """

@@ -235,12 +235,14 @@ def main() -> None:
         shape("or_med_hot", normalize(should=[med, "import"]))
         shape_seeded("or_med_hot", normalize(should=[med, "import"]))
     if rare and med:
-        # mixed boolean tree "(rare AND hot) OR med" — the one query shape
-        # that cannot lower to the flat pruned path (BooleanQuery.rewrite
-        # analog flattens same-occur nesting; genuinely mixed trees run the
-        # exhaustive DataFrame evaluation like the reference without BMW).
-        # The row keeps that cost VISIBLE at 1M docs.
-        from lucene_spark.search.executor import search_query
+        # mixed boolean tree "(rare AND hot) OR med" — since r6 this
+        # lowers to the clause-level block-max path (search_tree_topk:
+        # WAND over pseudo-scorers, BooleanScorerSupplier.java:288-317
+        # analog) instead of the exhaustive DataFrame walk: the
+        # conjunction leads with its rare member so the hot list decodes
+        # only candidate blocks, and the med term clause seeds/obeys
+        # theta like a flat OR. Ratio row proves the pruning is live.
+        from lucene_spark.search.executor import search_query, tree_skip_metrics
         from lucene_spark.search.plan import MUST, QBool, QTerm, SHOULD
 
         tree = QBool((
@@ -249,6 +251,10 @@ def main() -> None:
         ))
         q_secs["q1m_tree_mixed"] = t_min(
             lambda: search_query(build_idx, tree, k=K).collect())
+        m = tree_skip_metrics(build_idx, tree, k=K)
+        ratios["tree_mixed"] = (
+            round(m["ratio"], 4) if m["ratio"] is not None else None
+        )
     if rare:
         # pluggable-similarity pruning on the same shape: DFR prunes like
         # BM25 (bounded tf saturation); Classic's unbounded sqrt(tf) keeps

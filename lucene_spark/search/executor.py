@@ -2495,12 +2495,563 @@ def search_tree(
     return df.limit(k) if k else df
 
 
+def make_mixed_topk_fn(
+    clauses: Sequence[Dict[str, int]],
+    excluded: Sequence[str],
+    k: int,
+    avgdl: float,
+    quantize: bool,
+    dtype,
+    theta_seed: float = 0.0,
+    sim=None,
+    weights: Optional[Dict[str, float]] = None,
+):
+    """Per-segment scorer for the MIXED single-level disjunction — an OR
+    over pseudo-scorers that are plain terms or AND-of-term groups, e.g.
+    ``(rare AND hot) OR med``.
+
+    This is the batched analog of Lucene composing WAND/MAXSCORE over
+    arbitrary sub-scorers (BooleanScorerSupplier.java:288-317 builds the
+    top-level disjunction from clause ScorerSuppliers; WANDScorer.java:55
+    takes any Scorer, using its getMaxScore bound): a conjunction clause
+    is ONE pseudo-scorer whose max-score bound is the SUM of its members'
+    impact bounds, and the clause list runs through the same
+    essential/non-essential MAXSCORE split as the flat term path
+    (MaxScoreBulkScorer.java:26):
+
+    - clauses are evaluated in descending bound order; once the remaining
+      clauses' summed bounds fall below the running k-th score, their
+      evaluation is restricted to still-competitive candidates;
+    - a TERM clause runs the identical per-block chunked loop as the flat
+      path (per-block competitive-impact bounds, candidate-potential
+      refinement);
+    - a CONJUNCTION clause leads with its rarest member
+      (ConjunctionDISI.java:166-206) — only the small lead list is ever
+      fully decoded, the other members decode block-restricted to the
+      lead's candidates (the whole win vs the exhaustive tree walk, which
+      decodes every leaf's full postings);
+    - MUST_NOT is the same up-front ban mask as the flat path
+      (ReqExclScorer.java:26) so excluded docs never raise theta.
+
+    Scoring matches search_tree's semantics: score = Σ over MATCHING
+    clauses of Σ member term scores (float64 tree defaults)."""
+    if sim is None:
+        from .similarities import BM25Bound
+
+        sim = BM25Bound(weights, avgdl, quantize, dtype)
+    excl = sorted(set(excluded))
+    scale = PRUNE_SCALE[dtype]
+    chunk_blocks = int(MAXSCORE_CHUNK)
+    cl = [dict(c) for c in clauses]
+    _Z = np.empty(0, np.int64)
+
+    def run(pdf: pd.DataFrame, deleted: Optional[np.ndarray]):
+        counters = [0, 0]  # blocks_total, blocks_decoded
+        rows = {}
+        for _, r in pdf.iterrows():
+            rows.setdefault(r["term"], []).append(r)
+        for t in rows:
+            rows[t].sort(key=lambda r: r["first_docid"])
+
+        # a clause is viable here iff EVERY member has postings in this
+        # segment (conjunction semantics; a term clause is its own member)
+        viable = [c for c in cl if all(t in rows for t in c)]
+        if not viable:
+            return _Z, _Z.astype(np.float64), counters
+
+        terms_here = sorted({t for c in viable for t in c})
+        base = min(int(r["first_docid"]) for t in terms_here for r in rows[t])
+        hi = max(int(r["last_docid"]) for t in terms_here for r in rows[t])
+        n = hi - base + 1
+        if n > 500_000_000:
+            raise ValueError(
+                f"segment docid range {n} too sparse for the dense accumulator; "
+                "use the engine's docid assignment or densify docid_col"
+            )
+
+        if excl:
+            # MUST_NOT as an up-front liveDocs ban (ReqExclScorer.java:26);
+            # see make_topk_fn — excluded docs must never raise theta
+            ex_parts = [
+                _decode_rows(r, None, counters)[0]
+                for t in excl if t in rows for r in rows[t]
+            ]
+            if ex_parts:
+                banned = np.unique(np.concatenate(ex_parts))
+                deleted = (
+                    banned if deleted is None else np.union1d(deleted, banned)
+                )
+
+        def decode_term(t, sel=None):
+            if sel is not None and len(sel) == 0:
+                z = np.empty(0, np.int64)
+                return z, z, z
+            parts = [_decode_rows(r, sel, counters) for r in rows[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            if sel is not None and len(ids):
+                m = sel[np.searchsorted(sel, ids).clip(max=len(sel) - 1)] == ids
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+            live = _live_mask(ids, deleted)
+            if live is not None:
+                ids, tfs, dls = ids[live], tfs[live], dls[live]
+            return ids, tfs, dls
+
+        def block_ubs(t, r):
+            imp = r["block_imp"] if "block_imp" in r.index else None
+            if imp is None or isinstance(imp, float):
+                return sim.score(
+                    t,
+                    np.asarray(r["block_maxtf"], dtype=np.int64),
+                    np.asarray(r["block_mindl"], dtype=np.int64),
+                ).astype(np.float64)
+            lens = np.fromiter((len(x) for x in imp), np.int64, len(imp))
+            flat = (
+                np.concatenate([np.asarray(x, np.int64) for x in imp])
+                if len(imp) else np.empty(0, np.int64)
+            )
+            s = sim.score(t, flat[0::2], flat[1::2]).astype(np.float64)
+            starts = np.concatenate(([0], np.cumsum(lens // 2)[:-1]))
+            return np.maximum.reduceat(s, starts) if len(s) else s
+
+        _ub_cache: Dict[str, list] = {}
+
+        def term_ubs(t):
+            if t not in _ub_cache:
+                _ub_cache[t] = [block_ubs(t, r) for r in rows[t]]
+            return _ub_cache[t]
+
+        def umax(t):
+            return max(
+                (float(u.max()) for u in term_ubs(t) if len(u)),
+                default=sim.bound(
+                    t,
+                    max(int(r["max_tf"]) for r in rows[t]),
+                    min(int(r["min_doclen"]) for r in rows[t]),
+                ),
+            )
+
+        # clause bound = Σ qtf · member bound (a MUST group's getMaxScore
+        # is the sum of its members' — BooleanScorerSupplier.java:288-317)
+        cub = np.array(
+            [sum(w * umax(t) for t, w in c.items()) for c in viable],
+            dtype=np.float64,
+        )
+
+        def nblocks(t):
+            return sum(len(r["block_first"]) for r in rows[t])
+
+        def dfsum(t):
+            return sum(int(r["df"]) for r in rows[t])
+
+        def cost(c):
+            # estimated blocks decoded: a term clause scans its own list; a
+            # conjunction decodes its rarest member plus, for every other
+            # member, at most one block per lead posting (leapfrog)
+            ms = sorted(c, key=dfsum)
+            return nblocks(ms[0]) + sum(
+                min(nblocks(t), dfsum(ms[0])) for t in ms[1:]
+            )
+
+        # evaluation order is ASCENDING decode cost, not descending bound:
+        # cheap clauses land their EXACT contributions in `acc` first, so
+        # when an expensive conjunction runs last (rest == 0) the
+        # per-candidate potential test compares against real partial
+        # totals instead of every later clause's max — the batch analog of
+        # WANDScorer's essential-list iteration, where non-essential
+        # (cheap, low-bound) clauses are only ever probed on candidates
+        # and the expensive clause drives. Any fixed order is SOUND (the
+        # suffix bounds below are computed over it); the order only
+        # changes how fast theta sharpens.
+        order = sorted(range(len(viable)), key=lambda j: cost(viable[j]))
+        viable = [viable[int(j)] for j in order]
+        cubs = cub[np.array(order, dtype=np.int64)]
+        suffix = np.concatenate((np.cumsum(cubs[::-1])[::-1], [0.0]))
+
+        acc = np.zeros(n, dtype=np.float64)
+        seen = np.zeros(n, dtype=bool)
+        theta = float(theta_seed) if theta_seed > 0 else -np.inf
+        CHUNK = chunk_blocks
+
+        def kth(vals: np.ndarray) -> float:
+            return float(np.partition(vals, len(vals) - k)[len(vals) - k])
+
+        for i, c in enumerate(viable):
+            rest = float(suffix[i + 1])
+            sel: Optional[np.ndarray] = None
+            sel_theta = -np.inf
+
+            def refresh_sel():
+                # same lazy competitive-candidate set as the flat path:
+                # a doc outside was proven unable to reach theta even with
+                # every remaining clause at its full bound
+                nonlocal sel, sel_theta
+                if theta <= 0 or (sel is not None and theta <= sel_theta * 1.05):
+                    return
+                mask = seen & (acc + suffix[i] >= theta * scale)
+                sel = np.flatnonzero(mask) + base
+                sel_theta = theta
+
+            if len(c) == 1:
+                ((t, w),) = c.items()
+                fw = float(w)
+                for r, ub in zip(rows[t], term_ubs(t)):
+                    bf = np.asarray(r["block_first"], dtype=np.int64)
+                    bl = np.asarray(r["block_last"], dtype=np.int64)
+                    data = r["block_data"]
+                    nb = len(bf)
+                    counters[0] += nb
+                    ubw = ub * fw
+                    border = np.argsort(-ubw, kind="stable")
+                    for j in range(0, nb, CHUNK):
+                        cidx = border[j : j + CHUNK]
+                        if theta > 0:
+                            refresh_sel()
+                            keep = ubw[cidx] + rest >= theta * scale
+                            if sel is not None and len(sel):
+                                lo = np.searchsorted(sel, bf[cidx], "left")
+                                hi2 = np.searchsorted(sel, bl[cidx], "right")
+                                has = hi2 > lo
+                                for z in np.flatnonzero(has):
+                                    cmax = float(
+                                        acc[sel[lo[z]:hi2[z]] - base].max()
+                                    )
+                                    if cmax + ubw[cidx[z]] + rest < theta * scale:
+                                        has[z] = False
+                                keep |= has
+                            cidx = cidx[keep]
+                        counters[1] += len(cidx)
+                        if len(cidx) == 0:
+                            continue
+                        parts = [decode_block(bytes(data[x])) for x in cidx]
+                        ids = np.concatenate([p[0] for p in parts])
+                        tfs = np.concatenate([p[1] for p in parts])
+                        dls = np.concatenate([p[2] for p in parts])
+                        live = _live_mask(ids, deleted)
+                        if live is not None:
+                            ids, tfs, dls = ids[live], tfs[live], dls[live]
+                        if len(ids) == 0:
+                            continue
+                        s = np.asarray(sim.score(t, tfs, dls), np.float64) * fw
+                        acc[ids - base] += s
+                        seen[ids - base] = True
+                        if int(seen.sum()) >= k:
+                            theta = max(theta, kth(acc[seen]))
+            else:
+                members = sorted(
+                    c, key=lambda t: sum(int(r["df"]) for r in rows[t])
+                )
+                refresh_sel()
+                essential = theta <= 0 or cubs[i] + rest >= theta * scale
+                # non-essential conjunction: only still-competitive docs
+                # can be affected, so even the LEAD decode is restricted
+                lead_sel = None if essential else sel
+                ids, tfs, dls = decode_term(members[0], sel=lead_sel)
+                if len(ids) == 0:
+                    continue
+                cm = np.zeros(n, dtype=bool)
+                cm[ids - base] = True
+                csd = np.zeros(n, dtype=np.float64)
+                csd[ids - base] = (
+                    np.asarray(sim.score(members[0], tfs, dls), np.float64)
+                    * float(c[members[0]])
+                )
+                cand = ids
+                alive = True
+                for mi in range(1, len(members)):
+                    m = members[mi]
+                    fw = float(c[m])
+                    rest_m = float(
+                        sum(umax(t) * c[t] for t in members[mi + 1:])
+                    )
+                    last = mi == len(members) - 1
+                    # block-max leapfrog over the member's postings
+                    # (BlockMaxConjunctionBulkScorer.java:36): blocks of ALL
+                    # (term,salt) rows are chunked TOGETHER in descending
+                    # upper-bound order; a block decodes only if it holds a
+                    # candidate whose completed-so-far total plus this
+                    # block's bound plus every remaining bound could still
+                    # reach theta. On the LAST member, docs finish their
+                    # clause score as chunks complete, so theta refreshes
+                    # INSIDE the member walk and later (low-bound) chunks
+                    # skip — the within-conjunction analog of the term
+                    # path's progressive MAXSCORE windows.
+                    rws = rows[m]
+                    bfs = [np.asarray(r["block_first"], np.int64) for r in rws]
+                    bls = [np.asarray(r["block_last"], np.int64) for r in rws]
+                    ubs = term_ubs(m)
+                    flat_ub = (
+                        np.concatenate(ubs) * fw if ubs else np.empty(0)
+                    )
+                    flat_bf = np.concatenate(bfs) if bfs else np.empty(0, np.int64)
+                    flat_bl = np.concatenate(bls) if bls else np.empty(0, np.int64)
+                    row_of = np.concatenate(
+                        [np.full(len(b), ri, np.int64) for ri, b in enumerate(bfs)]
+                    ) if bfs else np.empty(0, np.int64)
+                    blk_of = np.concatenate(
+                        [np.arange(len(b), dtype=np.int64) for b in bfs]
+                    ) if bfs else np.empty(0, np.int64)
+                    nb = len(flat_bf)
+                    counters[0] += nb
+                    border = np.argsort(-flat_ub, kind="stable")
+                    nm = np.zeros(n, dtype=bool)
+                    done = np.zeros(n, dtype=bool) if last else None
+                    for j in range(0, nb, CHUNK):
+                        cidx = border[j : j + CHUNK]
+                        lo = np.searchsorted(cand, flat_bf[cidx], "left")
+                        hi2 = np.searchsorted(cand, flat_bl[cidx], "right")
+                        has = hi2 > lo
+                        if theta > 0:
+                            for z in np.flatnonzero(has):
+                                within = cand[lo[z]:hi2[z]] - base
+                                pmax = float((acc[within] + csd[within]).max())
+                                if (pmax + flat_ub[cidx[z]] + rest_m + rest
+                                        < theta * scale):
+                                    has[z] = False
+                        cidx = cidx[has]
+                        counters[1] += len(cidx)
+                        if len(cidx) == 0:
+                            continue
+                        parts = [
+                            decode_block(
+                                bytes(rws[row_of[x]]["block_data"][blk_of[x]])
+                            )
+                            for x in cidx
+                        ]
+                        ids2 = np.concatenate([p[0] for p in parts])
+                        tf2 = np.concatenate([p[1] for p in parts])
+                        dl2 = np.concatenate([p[2] for p in parts])
+                        inc = (
+                            cand[np.searchsorted(cand, ids2).clip(max=len(cand) - 1)]
+                            == ids2
+                        )
+                        ids2, tf2, dl2 = ids2[inc], tf2[inc], dl2[inc]
+                        live = _live_mask(ids2, deleted)
+                        if live is not None:
+                            ids2, tf2, dl2 = ids2[live], tf2[live], dl2[live]
+                        if len(ids2) == 0:
+                            continue
+                        nm[ids2 - base] = True
+                        csd[ids2 - base] += (
+                            np.asarray(sim.score(m, tf2, dl2), np.float64) * fw
+                        )
+                        if last:
+                            done[ids2 - base] = True
+                            if int(done.sum()) >= k:
+                                # full-clause matches: acc + csd are exact
+                                # partial totals, a sound theta source
+                                theta = max(theta, kth((acc + csd)[done]))
+                    cm &= nm
+                    if not cm.any():
+                        alive = False
+                        break
+                    cand = np.flatnonzero(cm) + base
+                if alive:
+                    idx = np.flatnonzero(cm)
+                    if len(idx):
+                        acc[idx] += csd[idx]
+                        seen[idx] = True
+                        if int(seen.sum()) >= k:
+                            theta = max(theta, kth(acc[seen]))
+
+        matched = np.flatnonzero(seen) + base
+        if len(matched) == 0:
+            return _Z, _Z.astype(np.float64), counters
+        out_ids, out_sc = _select_topk(matched, acc[matched - base], k)
+        return out_ids, out_sc, counters
+
+    def topk_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
+        ids, scores, counters = run(pdf, deleted)
+        return pd.DataFrame(
+            {
+                "docid": ids,
+                "score": scores,
+                "blocks_total": np.full(len(ids), counters[0], dtype=np.int64),
+                "blocks_decoded": np.full(len(ids), counters[1], dtype=np.int64),
+            }
+        )
+
+    def metrics_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
+        _, _, counters = run(pdf, deleted)
+        return pd.DataFrame(
+            {
+                "segment_id": np.array([int(key[0])], dtype=np.int64),
+                "blocks_total": np.array([counters[0]], dtype=np.int64),
+                "blocks_decoded": np.array([counters[1]], dtype=np.int64),
+            }
+        )
+
+    topk_fn.metrics_fn = metrics_fn
+    return topk_fn
+
+
+def _auto_seed_theta_mixed(
+    index: Index,
+    clauses: Sequence[Dict[str, int]],
+    excluded: Sequence[str],
+    weights: Dict[str, float],
+    sim,
+    k: int,
+    quantize: bool,
+    dtype,
+) -> float:
+    """Driver-side pruning-threshold seed for the mixed disjunction
+    (MaxScoreAccumulator.java:23 analog, see auto_seed_theta): every
+    clause only ADDS score, so any single TERM clause t with df(t) >= k
+    yields >= k docs whose final score is at least qtf·partial(t) — a
+    sound global lower bound of the k-th best. Declined when exclusions
+    or deletes could remove those docs from the result set."""
+    if excluded or index.has_deletes:
+        return 0.0
+    term_clauses = [
+        (next(iter(c)), c[next(iter(c))]) for c in clauses if len(c) == 1
+    ]
+    if not term_clauses:
+        return 0.0
+    stats = index.term_stats_for([t for t, _ in term_clauses])
+    avgdl = float(index.field_stats.avgdl())
+
+    def partial(t, tfs, dls):
+        if sim is not None:
+            return np.asarray(sim.score(t, tfs, dls), np.float64)
+        return np.asarray(
+            score_arrays(tfs, dls, weights[t], avgdl, quantize, dtype), np.float64
+        )
+
+    best = 0.0
+    elig = sorted(
+        (stats[t][0], t, w)
+        for t, w in term_clauses
+        if t in weights and t in stats and stats[t][0] >= k
+    )
+    if elig and elig[0][0] <= AUTO_SEED_DECODE_CAP:
+        _df, t, w = elig[0]
+        tfs, dls = _driver_term_postings(index, t)
+        if tfs is not None and len(tfs) >= k:
+            s = partial(t, tfs, dls) * float(w)
+            best = float(np.partition(s, len(s) - k)[len(s) - k])
+    max_dl = int(getattr(index.field_stats, "max_dl", 0) or 0)
+    if max_dl > 0:
+        one = np.array([1], np.int64)
+        dl = np.array([max_dl], np.int64)
+        for _df, t, w in elig:
+            best = max(best, float(partial(t, one, dl)[0]) * float(w))
+    return best * PRUNE_SCALE[dtype] if best > 0.0 else 0.0
+
+
+def _mixed_plan(index: Index, node, quantize: bool, dtype,
+                similarity: Optional[str]):
+    """Shared setup for the mixed-disjunction pruned paths: shape check,
+    weight/similarity resolution, dead-clause elimination. None when the
+    tree is not the supported shape; (clauses, excl, weights, sim, rows)
+    when it is ((clauses=[] means provably MatchNone))."""
+    from .plan import mixed_or_clauses
+    from .similarities import bind_similarity
+
+    shape = mixed_or_clauses(node)
+    if shape is None:
+        return None
+    clauses, excl = shape
+    terms = sorted({t for c in clauses for t in c})
+    sim = bind_similarity(
+        similarity, {t: 1 for t in terms}, index.term_stats_for(terms),
+        index.field_stats, 1.0, quantize, dtype,
+    )
+    q1 = NormalizedQuery(optional=tuple((t, 1) for t in terms))
+    weights = sim.weights if sim is not None else _weights_for(index, q1, 1.0, dtype)
+    live = [c for c in clauses if all(t in weights for t in c)]
+    all_terms = sorted({t for c in live for t in c} | set(excl))
+    rows = index.seg_postings.filter(F.col("term").isin(all_terms))
+    return live, excl, weights, sim, rows
+
+
+def search_tree_topk(
+    index: Index,
+    node,
+    k: Optional[int] = 10,
+    quantize: bool = False,
+    dtype=np.float64,
+    similarity: Optional[str] = None,
+    with_metrics: bool = False,
+    theta_seed: float = 0.0,
+) -> Optional[DataFrame]:
+    """Pruned top-k for MIXED single-level disjunctions like
+    ``(rare AND hot) OR med`` (see make_mixed_topk_fn). Returns None when
+    the tree is not the supported shape (caller falls back to the
+    exhaustive search_tree) — scoring defaults are the tree path's
+    (float64, unquantized), so the lowering changes the PLAN, never the
+    scores."""
+    if k is None:
+        return None  # full materialization: pruning has nothing to prune
+    plan = _mixed_plan(index, node, quantize, dtype, similarity)
+    if plan is None:
+        return None
+    spark = index.spark
+    empty = spark.createDataFrame(
+        [], TOPK_SCHEMA if with_metrics else "docid long, score double"
+    )
+    live, excl, weights, sim, rows = plan
+    if not live:
+        return empty
+    if theta_seed == 0.0:
+        theta_seed = _auto_seed_theta_mixed(
+            index, live, excl, weights, sim, k, quantize, dtype
+        )
+    fn = make_mixed_topk_fn(
+        live, excl, k, float(index.field_stats.avgdl()), quantize, dtype,
+        theta_seed=theta_seed, sim=sim, weights=weights,
+    )
+    per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
+    out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    return out if with_metrics else out.select("docid", "score")
+
+
+def tree_skip_metrics(
+    index: Index,
+    node,
+    k: int = 10,
+    quantize: bool = False,
+    dtype=np.float64,
+    similarity: Optional[str] = None,
+    theta_seed: float = 0.0,
+) -> dict:
+    """block_skip_metrics for the mixed-tree pruned path: exact per-segment
+    decode counters for the plan search_query would actually run."""
+    plan = _mixed_plan(index, node, quantize, dtype, similarity)
+    if plan is None:
+        return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
+    live, excl, weights, sim, rows = plan
+    if not live:
+        return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
+    if theta_seed == 0.0:
+        theta_seed = _auto_seed_theta_mixed(
+            index, live, excl, weights, sim, k, quantize, dtype
+        )
+    fn = make_mixed_topk_fn(
+        live, excl, k, float(index.field_stats.avgdl()), quantize, dtype,
+        theta_seed=theta_seed, sim=sim, weights=weights,
+    )
+    per_seg = apply_per_segment(index, rows, fn.metrics_fn, METRICS_SCHEMA)
+    row = per_seg.agg(
+        F.sum("blocks_total").alias("t"), F.sum("blocks_decoded").alias("d")
+    ).collect()[0]
+    tot, dec = int(row["t"] or 0), int(row["d"] or 0)
+    return {
+        "blocks_total": tot,
+        "blocks_decoded": dec,
+        "ratio": (dec / tot) if tot else None,
+    }
+
+
 def search_query(index: Index, q, k: int = 10, **kw) -> DataFrame:
     """Dispatch parse() output: NormalizedQuery -> pruned per-segment top-k
     path; query tree -> BooleanQuery.rewrite analog first (nested
     same-occur booleans flatten, single-clause wrappers unwrap), so
     associative shapes built by hand still lower to the pruned path;
-    genuinely mixed trees take the exhaustive evaluation."""
+    MIXED single-level disjunctions — ``(A AND B) OR C`` — lower to the
+    clause-level block-max path (search_tree_topk); only genuinely
+    irregular trees take the exhaustive evaluation."""
     if isinstance(q, NormalizedQuery):
         return search_topk(index, q, k=k, **kw)
     from .plan import flatten, rewrite
@@ -2514,6 +3065,9 @@ def search_query(index: Index, q, k: int = 10, **kw) -> DataFrame:
         kw.setdefault("quantize", False)
         kw.setdefault("dtype", np.float64)
         return search_topk(index, flat, k=k, **kw)
+    pruned = search_tree_topk(index, q, k=k, **kw)
+    if pruned is not None:
+        return pruned
     return search_tree(index, q, k=k, **kw)
 
 

@@ -555,6 +555,50 @@ def flatten(node) -> NormalizedQuery | None:
                      min_should_match=node.msm)
 
 
+def mixed_or_clauses(node):
+    """Detect the MIXED single-level disjunction shape — a top-level OR
+    whose clauses are plain terms or pure AND-of-term groups (plus
+    top-level MUST_NOT terms), e.g. ``(rare AND hot) OR med``. Returns
+    (clauses, excluded) where each clause is a {term: qtf} dict, or None
+    when the tree needs the general evaluator.
+
+    This is the shape BooleanScorerSupplier composes WAND over arbitrary
+    sub-scorers for (BooleanScorerSupplier.java:288-317, WANDScorer.java:55
+    — a MUST group is ONE pseudo-scorer whose max-score bound is the sum
+    of its members' bounds); the executor's search_tree_topk lowers it to
+    the per-segment block-max path instead of the exhaustive walk."""
+    if not isinstance(node, QBool) or node.boost != 1.0 or node.msm > 0:
+        return None
+    clauses: List[Dict[str, int]] = []
+    excluded: List[str] = []
+    for occ, child in node.clauses:
+        if occ == SHOULD:
+            if (isinstance(child, QTerm) and child.boost == 1.0
+                    and child.field is None):
+                clauses.append({child.term: 1})
+            elif (isinstance(child, QBool) and child.boost == 1.0
+                  and child.msm == 0 and child.clauses
+                  and all(o == MUST and isinstance(c, QTerm)
+                          and c.boost == 1.0 and c.field is None
+                          for o, c in child.clauses)):
+                d: Dict[str, int] = {}
+                for _, c in child.clauses:
+                    d[c.term] = d.get(c.term, 0) + 1
+                clauses.append(d)
+            else:
+                return None
+        elif occ == MUST_NOT:
+            if isinstance(child, QTerm) and child.field is None:
+                excluded.append(child.term)
+            else:
+                return None
+        else:
+            return None  # top-level MUST -> conjunction-led scorer shape
+    if not clauses:
+        return None
+    return clauses, sorted(set(excluded))
+
+
 def parse(query: str, stop_words=ENGLISH_STOP_WORDS):
     """Parse a query string. Returns the NormalizedQuery fast-path form for
     flat term booleans (WAND/top-k pruning path), else the query tree IR

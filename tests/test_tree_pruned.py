@@ -1,0 +1,175 @@
+"""Mixed boolean trees on the clause-level block-max path
+(search_tree_topk): shape detection, randomized pruned==exhaustive
+differentials, exclusion interplay, and live-pruning metrics.
+
+Reference semantics: BooleanScorerSupplier.java:288-317 composes the
+top-level disjunction from clause ScorerSuppliers (a MUST group is one
+pseudo-scorer whose bound is the sum of its members');
+WANDScorer.java:55 accepts arbitrary sub-scorers.
+"""
+
+import random
+import shutil
+
+import pytest
+
+from lucene_spark.search.plan import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    QBool,
+    QPhrase,
+    QTerm,
+    mixed_or_clauses,
+)
+
+NOSTOP = frozenset()
+
+
+def _tree(*clauses):
+    return QBool(tuple(clauses))
+
+
+def test_mixed_shape_detection():
+    conj = QBool(((MUST, QTerm("a")), (MUST, QTerm("b"))))
+    t = _tree((SHOULD, conj), (SHOULD, QTerm("c")), (MUST_NOT, QTerm("d")))
+    got = mixed_or_clauses(t)
+    assert got == ([{"a": 1, "b": 1}, {"c": 1}], ["d"])
+    # duplicate member -> qtf weight
+    conj2 = QBool(((MUST, QTerm("a")), (MUST, QTerm("a"))))
+    assert mixed_or_clauses(_tree((SHOULD, conj2)))[0] == [{"a": 2}]
+    # unsupported shapes fall back (None)
+    assert mixed_or_clauses(QTerm("a")) is None
+    assert mixed_or_clauses(_tree((MUST, QTerm("a")), (SHOULD, conj))) is None
+    assert mixed_or_clauses(_tree((SHOULD, QTerm("a", boost=2.0)))) is None
+    assert mixed_or_clauses(QBool(((SHOULD, conj),), boost=2.0)) is None
+    assert mixed_or_clauses(QBool(((SHOULD, conj), (SHOULD, QTerm("x"))), msm=2)) is None
+    nested = QBool(((MUST, conj), (MUST, QTerm("e"))))
+    assert mixed_or_clauses(_tree((SHOULD, nested))) is None
+    ph = QPhrase((("a", 0), ("b", 1)))
+    assert mixed_or_clauses(_tree((SHOULD, ph), (SHOULD, conj))) is None
+    assert mixed_or_clauses(_tree((MUST_NOT, conj), (SHOULD, QTerm("a")))) is None
+
+
+@pytest.fixture(scope="module")
+def mixed_index(spark):
+    """Skewed 4000-doc corpus: 'hot' in 60% of docs, 'rare' ~1%, 'med' ~5%,
+    'ban' ~8%, filler w0..w29 — the shape block-max pruning needs."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import Index
+
+    rng = random.Random(7)
+    rows = []
+    for d in range(4000):
+        toks = ["hot"] if rng.random() < 0.6 else []
+        toks += [f"w{rng.randrange(30)}" for _ in range(rng.randrange(2, 12))]
+        if rng.random() < 0.01:
+            toks.append("rare")
+        if rng.random() < 0.05:
+            toks.append("med")
+        if rng.random() < 0.08:
+            toks.append("ban")
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = "/tmp/lucene_spark_test_mixed_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    cfg = IndexConfig(docid_col="doc_id", content_col="content",
+                      num_segments=3, order_cols=("doc_id",),
+                      stop_words=NOSTOP)
+    return Index(spark, build_index(spark, docs, d, cfg))
+
+
+def _canon(rows):
+    """Tie-tolerant canonical form: rounded-score multiset + the docid set
+    of every non-boundary row (float64 sum order may legitimately swap
+    membership WITHIN the k-th rounded-score tie group across paths)."""
+    rs = sorted(((round(r["score"], 9), r["docid"]) for r in rows),
+                key=lambda x: (-x[0], x[1]))
+    if not rs:
+        return [], set(), None
+    kth = rs[-1][0]
+    return [s for s, _ in rs], {d for s, d in rs if s != kth}, kth
+
+
+def _check(idx, tree, k=10, similarity=None):
+    from lucene_spark.search.executor import search_tree, search_tree_topk
+
+    pruned = search_tree_topk(idx, tree, k=k, similarity=similarity)
+    assert pruned is not None
+    sa, ia, ka = _canon(pruned.collect())
+    sb, ib, kb = _canon(search_tree(idx, tree, k=k, similarity=similarity).collect())
+    assert (sa, ia, ka) == (sb, ib, kb)
+    return sa
+
+
+def test_headline_shape_matches_exhaustive(mixed_index):
+    tree = _tree(
+        (SHOULD, QBool(((MUST, QTerm("rare")), (MUST, QTerm("hot"))))),
+        (SHOULD, QTerm("med")),
+    )
+    assert _check(mixed_index, tree)  # vacuity guard
+
+
+def test_mixed_with_not_and_dead_clause(mixed_index):
+    tree = _tree(
+        (SHOULD, QBool(((MUST, QTerm("rare")), (MUST, QTerm("hot"))))),
+        (SHOULD, QTerm("med")),
+        (MUST_NOT, QTerm("ban")),
+    )
+    assert _check(mixed_index, tree)
+    dead = _tree(
+        (SHOULD, QBool(((MUST, QTerm("zz_absent")), (MUST, QTerm("hot"))))),
+        (SHOULD, QTerm("med")),
+    )
+    assert _check(mixed_index, dead)
+    from lucene_spark.search.executor import search_tree_topk
+
+    all_dead = _tree((SHOULD, QBool(((MUST, QTerm("zz_absent")),
+                                     (MUST, QTerm("hot"))))))
+    assert search_tree_topk(mixed_index, all_dead, k=5).collect() == []
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_randomized_differentials(mixed_index, trial):
+    rng = random.Random(1000 + trial)
+    vocab = ["med", "rare", "hot"] + [f"w{i}" for i in range(30)]
+    cls = []
+    for _ in range(rng.randrange(2, 5)):
+        if rng.random() < 0.5:
+            cls.append((SHOULD, QTerm(rng.choice(vocab))))
+        else:
+            m = tuple((MUST, QTerm(rng.choice(vocab)))
+                      for _ in range(rng.randrange(2, 4)))
+            cls.append((SHOULD, QBool(m)))
+    if rng.random() < 0.3:
+        cls.append((MUST_NOT, QTerm(rng.choice(["ban", "w5"]))))
+    sim = rng.choice([None, "classic", "lm_dirichlet", "dfr_ine_l_h2"])
+    _check(mixed_index, QBool(tuple(cls)), k=rng.choice([3, 10, 50]),
+           similarity=sim)
+
+
+def test_search_query_routes_mixed_tree(mixed_index):
+    from lucene_spark.search.executor import search_query, search_tree
+
+    tree = _tree(
+        (SHOULD, QBool(((MUST, QTerm("rare")), (MUST, QTerm("hot"))))),
+        (SHOULD, QTerm("med")),
+    )
+    sa, ia, ka = _canon(search_query(mixed_index, tree, k=10).collect())
+    sb, ib, kb = _canon(search_tree(mixed_index, tree, k=10).collect())
+    assert (sa, ia, ka) == (sb, ib, kb) and sa
+
+
+def test_tree_pruning_is_live(mixed_index):
+    """The metrics row must show actual block skipping on the headline
+    shape (theta seeds from the med term clause, the conjunction leads
+    with rare, hot decodes candidate blocks only)."""
+    from lucene_spark.search.executor import tree_skip_metrics
+
+    tree = _tree(
+        (SHOULD, QBool(((MUST, QTerm("rare")), (MUST, QTerm("hot"))))),
+        (SHOULD, QTerm("med")),
+    )
+    m = tree_skip_metrics(mixed_index, tree, k=10)
+    assert m["blocks_total"] > 0
+    assert m["blocks_decoded"] < m["blocks_total"]
