@@ -1541,7 +1541,10 @@ def q_ann_ivf_topk(spark, sf):
 
 def _hnsw_index_dir(spark, sf) -> str:
     slug = os.path.abspath(sf).strip("/").replace("/", "_")
-    d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_hnsw"
+    # _hnsw2: r6 moved shard placement to groupBy(applyInPandas) — a hash
+    # repartition could co-locate two shard values and mis-file vectors;
+    # the suffix invalidates caches built under the old placement
+    d = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_hnsw2"
     if not os.path.exists(os.path.join(d, "manifest.json")):
         from lucene_spark.pipeline.hnsw import build_hnsw_index
 
@@ -1678,6 +1681,38 @@ def q_ann_ivf_exact_topk(spark, sf):
         spark, _ivf_index_dir(spark, sf), _ann_query_vec(spark, sf),
         k=10, nprobe=IVF_NLIST,
     )
+
+
+def q_ann_filtered_topk(spark, sf):
+    """Pre-filtered KNN (search/KnnFloatVectorQuery.java:48, r6): allowed
+    ids (label IN (2,3)) are co-partitioned to each HNSW shard's task —
+    the per-segment acceptOrds bitset analog — and because the filter is
+    selective the task switches to EXACT filtered cosine (Lucene's
+    AbstractKnnVectorQuery fallback), so the oracle is plain
+    filter + brute-force-cosine SQL. The approximate accept-mask walk is
+    recall-tested in tests/test_hnsw.py."""
+    from lucene_spark.pipeline.hnsw import hnsw_index_topk
+
+    emb = _emb(spark, sf)
+    filt = emb.filter(F.col("label").isin(2, 3)).select("vec_id")
+    res = hnsw_index_topk(
+        spark, _hnsw_index_dir(spark, sf), _ann_query_vec(spark, sf),
+        k=10, ef_search=64, filter_df=filt,
+    )
+    return res.select("vec_id", F.round("cos", 4).alias("cosine"))
+
+
+def _ann_filtered_sql() -> str:
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID}),
+c AS (SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label IN (2, 3))
+SELECT vec_id, round(cos, 4) AS cosine FROM c
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
 def q_multimodal_meta(spark, sf):
@@ -2139,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exact_topk": q_ann_ivf_exact_topk,
         "tree_mixed_topk": q_tree_mixed_topk,
         "tree_mixed_not_topk": q_tree_mixed_not_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "phrase_wildcard_topk": q_phrase_wildcard_topk,
         "tree_msm_topk": q_tree_msm_topk,
         # --- r4 additions: never driver-checked yet
@@ -3185,6 +3221,7 @@ FROM documents ORDER BY doc_id""",
         # retiring the two rows-only ANN checks (VERDICT r5 wrong#1)
         "ann_hnsw_exact_topk": _ann_sql(),
         "ann_ivf_exact_topk": _ann_sql(),
+        "ann_filtered_topk": _ann_filtered_sql(),
         "ann_squant_topk": _squant_sql(),
         "ann_lsh_buckets": _ann_lsh_sql(),
         "cosine_neardup": """

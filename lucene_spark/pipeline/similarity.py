@@ -286,10 +286,20 @@ def ivf_index_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    filter_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k within the nprobe nearest centroid partitions —
     the centroid filter lands in PartitionFilters, so only those
-    directories are read."""
+    directories are read. ``filter_df`` (one ``id_col`` column of allowed
+    ids) adds pre-filtered KNN (search/KnnFloatVectorQuery.java:48): a
+    semi-join against the probed partitions — Catalyst broadcasts the
+    small side, and at nprobe == nlist the result is exact filtered
+    brute-force (the SQL-oracle mode)."""
     probes = ivf_probe_centroids(index_dir, query_vec, nprobe)
     cand = spark.read.parquet(index_dir).filter(F.col("centroid").isin(probes))
+    if filter_df is not None:
+        cand = cand.join(
+            filter_df.select(F.col(id_col).cast("long").alias(id_col)),
+            id_col, "left_semi",
+        )
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

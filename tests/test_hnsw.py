@@ -114,3 +114,67 @@ def test_quantized_hnsw_index(spark, tmp_path):
     exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
     recall = len(exact & {r["vec_id"] for r in got}) / 10
     assert recall >= 0.8, recall
+
+
+def test_filtered_search_accept_mask_and_exact_fallback():
+    """Pre-filtered KNN (KnnFloatVectorQuery.java:48): the accept-mask
+    walk returns only allowed ids with good recall; at full ef it is
+    EXACT over the allowed set."""
+    rng = np.random.default_rng(11)
+    n, d = 1500, 32
+    V = _l2_normalize(rng.standard_normal((n, d)).astype(np.float32))
+    graph = hnsw_build(V, M=12, ef_construction=80, seed=4)
+    accept = rng.random(n) < 0.3
+    allowed = np.flatnonzero(accept)
+    recalls = []
+    for q in _l2_normalize(rng.standard_normal((10, d)).astype(np.float32)):
+        ids, cos = hnsw_search(V, graph, q, 10, ef_search=96, accept=accept)
+        assert all(accept[i] for i in ids)  # never leaks a filtered doc
+        sims = V[allowed] @ q
+        exact = allowed[np.argsort(-sims)[:10]]
+        recalls.append(len(set(ids.tolist()) & set(exact.tolist())) / 10)
+        # full-ef = exact over the allowed subset
+        ids_f, _ = hnsw_search(V, graph, q, 10, ef_search=n, accept=accept)
+        assert set(ids_f.tolist()) == set(exact.tolist())
+    assert np.mean(recalls) >= 0.8
+
+
+def test_filtered_index_topk_selective_exact(spark, tmp_path):
+    """Selective filter routes to the exact per-shard fallback
+    (AbstractKnnVectorQuery's visited-limit switch) and equals filtered
+    brute force; the filter ids are co-partitioned, never collected."""
+    from lucene_spark.pipeline.hnsw import build_hnsw_index, hnsw_index_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "hnswf")
+    build_hnsw_index(emb, d, dim=64, M=12, ef_construction=80, num_shards=3)
+    from pyspark.sql import functions as F
+
+    filt = emb.filter(F.col("label").isin(1, 4)).select("vec_id")
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    got = [r["vec_id"]
+           for r in hnsw_index_topk(spark, d, qv, k=5, ef_search=16,
+                                    filter_df=filt).collect()]
+    # brute force over the filtered set
+    rows = emb.filter(F.col("label").isin(1, 4)).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = _l2_normalize(np.stack([np.array(r["embedding"], dtype=np.float32)
+                                for r in rows]))
+    q = np.array(qv, dtype=np.float32); q /= np.linalg.norm(q)
+    want = ids[np.argsort(-(M @ q), kind="stable")[:5]].tolist()
+    assert got == want and got  # vacuity guard
+
+
+def test_build_auto_widens_shards_past_cap(spark, tmp_path):
+    from lucene_spark.index import fsio
+    from lucene_spark.pipeline.hnsw import build_hnsw_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "hnswcap")
+    build_hnsw_index(emb, d, dim=64, num_shards=2, max_shard_vectors=10)
+    fs, base = fsio.resolve(d)
+    man = fsio.read_json(fs, f"{base}/manifest.json")
+    assert man["num_shards"] >= man["n_vectors"] / 10
+    assert man["max_shard_vectors"] == 10
+    assert man["max_shard_actual"] <= 3 * 10  # hash skew tolerance

@@ -688,3 +688,29 @@ def test_lsh_hot_bucket_guard_star_reduces(spark):
     got = {(r["doc_id_a"], r["doc_id_b"])
            for r in lsh_candidate_pairs(mixed).collect()}
     assert (0, 1) in got and (0, 2) not in got
+
+
+def test_ivf_filtered_topk(spark, tmp_path):
+    """Pre-filtered IVF KNN: nprobe == nlist + filter semi-join equals
+    filtered brute force (KnnFloatVectorQuery.java:48 filter seam)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.similarity import build_ivf_index, ivf_index_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "ivff")
+    build_ivf_index(emb, d, dim=64, nlist=4, seed=3)
+    filt = emb.filter(F.col("label").isin(0, 5)).select("vec_id")
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    got = [r["vec_id"] for r in ivf_index_topk(spark, d, qv, k=5, nprobe=4,
+                                               filter_df=filt).collect()]
+    rows = emb.filter(F.col("label").isin(0, 5)).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    q = np.array(qv, dtype=np.float64); q /= np.linalg.norm(q)
+    cs = np.round(M @ q, 4)
+    order = np.lexsort((ids, -cs))[:5]
+    assert got == ids[order].tolist() and got
