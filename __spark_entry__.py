@@ -617,6 +617,132 @@ def _index_mf(spark: SparkSession, sf_dir: str):
     return mfi
 
 
+def _index_mf_sim(spark: SparkSession, sf_dir: str):
+    """Two-field index with a PER-FIELD similarity map (title scores
+    ClassicSimilarity, body keeps BM25) — PerFieldSimilarityWrapper.java:28
+    persisted in fields.json and applied as each field's default."""
+    from lucene_spark.index.multifield import MultiFieldIndex
+
+    key = os.path.abspath(sf_dir) + "#mfsim"
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    root = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_mfsim"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, TITLE_TOKENS), " ").alias("title"),
+            F.col("text").alias("body"),
+        )
+    )
+    try:
+        mfi = MultiFieldIndex.open(spark, root)
+        if not mfi.similarities:
+            raise ValueError("pre-similarity cache")
+    except Exception:
+        mfi = MultiFieldIndex.build(
+            spark, docs, root, ["title", "body"], "doc_id",
+            IndexConfig(num_segments=3, hot_df_threshold=150, merge_bucket_segments=1),
+            similarities={"title": "classic"},
+        )
+    _INDEX_CACHE[key] = mfi
+    return mfi
+
+
+def q_field_sim_topk(spark, sf):
+    """Per-field similarity (PerFieldSimilarityWrapper.java:28): the title
+    field's DEFAULT similarity is ClassicSimilarity (persisted in
+    fields.json, applied by search_field without any similarity= kwarg);
+    body stays BM25. Scored over title's own postings/statistics."""
+    mfi = _index_mf_sim(spark, sf)
+    res = mfi.search_field(
+        "title", normalize(should=["spark"]), k=10, quantize=False,
+        dtype=np.float64,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_multi_field_sim_topk(spark, sf):
+    """Cross-field boolean (title:spark OR body:spark) where each clause
+    scores under ITS field's similarity — title Classic, body BM25 —
+    summed per doc (PerFieldSimilarityWrapper through a cross-field
+    BooleanQuery)."""
+    from lucene_spark.index.multifield import multi_field_topk
+
+    mfi = _index_mf_sim(spark, sf)
+    res = multi_field_topk(
+        mfi,
+        {"title": normalize(should=["spark"]), "body": normalize(should=["spark"])},
+        k=10,
+    )
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def _field_sim_sql() -> str:
+    """ClassicSimilarity over the derived title field:
+    sqrt(tf) * (ln((N+1)/(df+1)) + 1) / sqrt(doclen)."""
+    score = ("sqrt(CAST(tf.tf AS DOUBLE)) * w.w / sqrt(CAST(tdl.doclen AS DOUBLE))")
+    return f"""
+WITH ttoks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, {TITLE_TOKENS})) AS t
+    FROM documents) u
+  WHERE t <> '' AND t NOT IN ({STOPLIST_SQL})),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY 1, 2),
+tdl AS (SELECT doc_id, count(*) AS doclen FROM ttoks GROUP BY 1),
+tfs AS (SELECT count(*) AS doc_cnt FROM tdl),
+dfq AS (SELECT count(*) AS df FROM tf WHERE term = 'spark'),
+w AS (SELECT ln((tfs.doc_cnt + 1) / CAST(dfq.df + 1 AS DOUBLE)) + 1 AS w
+      FROM dfq CROSS JOIN tfs)
+SELECT tf.doc_id AS docid, round({score}, 4) AS score
+FROM tf JOIN tdl ON tf.doc_id = tdl.doc_id CROSS JOIN w
+WHERE tf.term = 'spark'
+ORDER BY ({score}) DESC, docid ASC LIMIT 10"""
+
+
+def _multi_field_sim_sql() -> str:
+    """title-Classic + body-BM25 clause sum per doc."""
+    t_score = ("sqrt(CAST(tf.tf AS DOUBLE)) * w.w / sqrt(CAST(tdl.doclen AS DOUBLE))")
+    b_ninv = "(1.0 / (1.2 * (0.25 + 0.75 * bdl.doclen / bfs.avgdl)))"
+    b_score = f"bw.w - bw.w / (1 + CAST(btf.tf AS DOUBLE) * {b_ninv})"
+    return f"""
+WITH ttoks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, {TITLE_TOKENS})) AS t
+    FROM documents) u
+  WHERE t <> '' AND t NOT IN ({STOPLIST_SQL})),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY 1, 2),
+tdl AS (SELECT doc_id, count(*) AS doclen FROM ttoks GROUP BY 1),
+tfs AS (SELECT count(*) AS doc_cnt FROM tdl),
+dfq AS (SELECT count(*) AS df FROM tf WHERE term = 'spark'),
+w AS (SELECT ln((tfs.doc_cnt + 1) / CAST(dfq.df + 1 AS DOUBLE)) + 1 AS w
+      FROM dfq CROSS JOIN tfs),
+btoks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+  WHERE t <> '' AND t NOT IN ({STOPLIST_SQL})),
+btf AS (SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY 1, 2),
+bdl AS (SELECT doc_id, count(*) AS doclen FROM btoks GROUP BY 1),
+bfs AS (SELECT count(*) AS doc_cnt,
+               sum(doclen) / CAST(count(*) AS DOUBLE) AS avgdl FROM bdl),
+bdfq AS (SELECT count(*) AS df FROM btf WHERE term = 'spark'),
+bw AS (SELECT ln(1 + (bfs.doc_cnt - bdfq.df + 0.5) / (bdfq.df + 0.5)) AS w
+       FROM bdfq CROSS JOIN bfs),
+cl AS (
+  SELECT tf.doc_id, {t_score} AS s
+  FROM tf JOIN tdl ON tf.doc_id = tdl.doc_id CROSS JOIN w
+  WHERE tf.term = 'spark'
+  UNION ALL
+  SELECT btf.doc_id, {b_score} AS s
+  FROM btf JOIN bdl ON btf.doc_id = bdl.doc_id CROSS JOIN bfs CROSS JOIN bw
+  WHERE btf.term = 'spark')
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM cl GROUP BY 1
+ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
+
+
 def q_field_topk(spark, sf):
     """field:term routing — BM25 within the title field's own postings and
     statistics only."""
@@ -2175,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_mixed_topk": q_tree_mixed_topk,
         "tree_mixed_not_topk": q_tree_mixed_not_topk,
         "ann_filtered_topk": q_ann_filtered_topk,
+        "field_sim_topk": q_field_sim_topk,
+        "multi_field_sim_topk": q_multi_field_sim_topk,
         "phrase_wildcard_topk": q_phrase_wildcard_topk,
         "tree_msm_topk": q_tree_msm_topk,
         # --- r4 additions: never driver-checked yet
@@ -3133,6 +3261,8 @@ SELECT doc_id AS docid, round(score, 4) AS score FROM agg
 WHERE doc_id % {DELETE_MOD} <> 3
 ORDER BY score DESC, docid ASC LIMIT 10""",
         "field_topk": _field_topk_sql(),
+        "field_sim_topk": _field_sim_sql(),
+        "multi_field_sim_topk": _multi_field_sim_sql(),
         "combined_field_topk": _combined_field_sql(),
         "drill_sideways": bm25_matches_cte({"spark": 1})
         + f"""

@@ -37,12 +37,20 @@ K1, B = 1.2, 0.75
 
 
 class MultiFieldIndex:
-    """Per-field sub-indexes sharing one docid space."""
+    """Per-field sub-indexes sharing one docid space.
 
-    def __init__(self, spark: SparkSession, root: str, fields: Dict[str, "object"]):
+    ``similarities`` maps field name -> similarity name — the
+    PerFieldSimilarityWrapper seam (search/similarities/
+    PerFieldSimilarityWrapper.java:28: ``get(field)`` picks the scorer per
+    field). Persisted in fields.json; an unlisted field scores BM25, an
+    explicit ``similarity=`` argument always wins."""
+
+    def __init__(self, spark: SparkSession, root: str, fields: Dict[str, "object"],
+                 similarities: Optional[Dict[str, str]] = None):
         self.spark = spark
         self.root = root
         self.fields = fields  # name -> Index
+        self.similarities = dict(similarities or {})
 
     @classmethod
     def build(
@@ -53,11 +61,21 @@ class MultiFieldIndex:
         field_cols: Sequence[str],
         docid_col: str,
         cfg: Optional[IndexConfig] = None,
+        similarities: Optional[Dict[str, str]] = None,
     ) -> "MultiFieldIndex":
         """Index each field column of ``docs`` as its own sub-index.
-        ``docid_col`` pins identical docids across fields."""
+        ``docid_col`` pins identical docids across fields.
+        ``similarities``: per-field similarity names (validated against
+        the registry; PerFieldSimilarityWrapper.java:28)."""
         from ..search.executor import Index
+        from ..search.similarities import validate_similarity
 
+        sims = {f: s for f, s in (similarities or {}).items()}
+        unknown = set(sims) - set(field_cols)
+        if unknown:
+            raise ValueError(f"similarities for unindexed fields: {sorted(unknown)}")
+        for s in sims.values():
+            validate_similarity(s)
         base = cfg or IndexConfig()
         paths = IndexPaths(root)
         fsio.mkdirs(paths.fs, paths.fs_path(root))
@@ -74,9 +92,10 @@ class MultiFieldIndex:
         fsio.write_json_atomic(
             paths.fs,
             paths.fs_path(f"{root}/fields.json"),
-            {"fields": sorted(field_cols), "docid_col": docid_col},
+            {"fields": sorted(field_cols), "docid_col": docid_col,
+             "similarities": sims},
         )
-        return cls(spark, root, fields)
+        return cls(spark, root, fields, sims)
 
     @classmethod
     def open(cls, spark: SparkSession, root: str) -> "MultiFieldIndex":
@@ -85,17 +104,58 @@ class MultiFieldIndex:
         paths = IndexPaths(root)
         meta = fsio.read_json(paths.fs, paths.fs_path(f"{root}/fields.json"))
         fields = {n: Index.open(spark, f"{root}/fields/{n}") for n in meta["fields"]}
-        return cls(spark, root, fields)
+        return cls(spark, root, fields, meta.get("similarities"))
 
     def field(self, name: str):
         return self.fields[name]
 
+    def field_similarity(self, name: str) -> Optional[str]:
+        """PerFieldSimilarityWrapper.get(field) — None means BM25."""
+        return self.similarities.get(name)
+
     def search_field(self, name: str, q, k: int = 10, **kw) -> DataFrame:
         """field:term routing — a per-field TermQuery/BooleanQuery runs
-        against that field's postings and statistics only."""
+        against that field's postings and statistics only, scored under
+        the field's OWN similarity unless the caller overrides."""
         from ..search.executor import search_topk
 
+        kw.setdefault("similarity", self.similarities.get(name))
         return search_topk(self.fields[name], q, k=k, **kw)
+
+
+def multi_field_topk(
+    mfi: MultiFieldIndex,
+    field_queries: Dict[str, "object"],
+    k: int = 10,
+    quantize: bool = False,
+    dtype=np.float64,
+) -> DataFrame:
+    """Cross-field boolean query — ``title:spark OR body:join`` — where
+    EACH field's clause scores under that field's own similarity
+    (PerFieldSimilarityWrapper.java:28 through a BooleanQuery across
+    fields: per-doc score = Σ over fields of the field clause's score).
+    ``field_queries`` maps field name -> NormalizedQuery."""
+    from ..search.executor import search_exhaustive
+
+    spark = mfi.spark
+    parts = []
+    for name in sorted(field_queries):
+        df = search_exhaustive(
+            mfi.fields[name], field_queries[name], k=None,
+            quantize=quantize, dtype=dtype,
+            similarity=mfi.similarities.get(name),
+        )
+        parts.append(df.select("docid", "score"))
+    if not parts:
+        return spark.createDataFrame([], "docid long, score double")
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionAll(p)
+    return (
+        allf.groupBy("docid").agg(F.sum("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
 
 
 def combined_field_topk(
@@ -117,6 +177,16 @@ def combined_field_topk(
     spark = mfi.spark
     if any(w < 1 for w in weights.values()):
         raise ValueError("field weights must be >= 1 (CombinedFieldQuery.Builder)")
+    nonbm = {f: s for f, s in mfi.similarities.items()
+             if f in weights and s not in (None, "bm25")}
+    if nonbm:
+        # the reference refuses too: CombinedFieldQuery.java:174-178 throws
+        # unless the searcher's similarity is BM25 (the pseudo-field freq/
+        # norm composition is only defined for BM25's shape)
+        raise ValueError(
+            f"CombinedFieldQuery requires BM25 on every combined field; "
+            f"per-field similarities set: {nonbm}"
+        )
     names = sorted(weights)
     idxs = {n: mfi.fields[n] for n in names}
 

@@ -476,6 +476,12 @@ _REGISTRY = {
 }
 
 
+def validate_similarity(name: Optional[str]) -> None:
+    """Raise on an unknown similarity name (None/"bm25" is the default)."""
+    if name is not None and name != "bm25" and name not in _REGISTRY:
+        raise ValueError(f"unknown similarity {name!r}; have {sorted(_REGISTRY)}")
+
+
 def bind_similarity(
     name: Optional[str],
     qtf: Dict[str, int],

@@ -110,3 +110,94 @@ def test_weights_below_one_rejected(mf_index):
 
     with pytest.raises(ValueError, match="weights must be >= 1"):
         combined_field_topk(mf_index, ["import"], {"title": 0.5, "body": 1.0})
+
+
+@pytest.fixture(scope="module")
+def mf_sim_index(spark, tmp_path_factory):
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import IndexConfig
+    from lucene_spark.index.multifield import MultiFieldIndex
+
+    from pyspark.sql import Window
+
+    root = str(tmp_path_factory.mktemp("mfsim") / "index")
+    rn = F.row_number().over(Window.orderBy("repo", "path", "commit")) - 1
+    docs = corpus_spark_df(spark, 200, seed=13).select(
+        rn.cast("long").alias("doc_id"),
+        F.array_join(F.slice(F.split("content", " "), 1, 6), " ").alias("title"),
+        F.col("content").alias("body"),
+    )
+    return MultiFieldIndex.build(
+        spark, docs, root, ["title", "body"], "doc_id",
+        IndexConfig(num_segments=2, hot_df_threshold=60),
+        similarities={"title": "classic"},
+    )
+
+
+def test_per_field_similarity_default_and_override(mf_sim_index, spark):
+    """PerFieldSimilarityWrapper.java:28: search_field applies the field's
+    own similarity by default — identical to passing it explicitly, and
+    different from the BM25 override; persists through open()."""
+    from lucene_spark.index.multifield import MultiFieldIndex
+    from lucene_spark.search.executor import search_topk
+    from lucene_spark.search.plan import normalize
+
+    q = normalize(should=["import"])
+    dflt = [(r["docid"], round(r["score"], 9))
+            for r in mf_sim_index.search_field("title", q, k=10).collect()]
+    expl = [(r["docid"], round(r["score"], 9))
+            for r in search_topk(mf_sim_index.fields["title"], q, k=10,
+                                 similarity="classic").collect()]
+    assert dflt == expl and dflt
+    bm25 = [(r["docid"], round(r["score"], 9))
+            for r in mf_sim_index.search_field("title", q, k=10,
+                                               similarity="bm25").collect()]
+    assert bm25 != dflt
+    reopened = MultiFieldIndex.open(spark, mf_sim_index.root)
+    assert reopened.similarities == {"title": "classic"}
+    assert reopened.field_similarity("title") == "classic"
+    assert reopened.field_similarity("body") is None
+
+
+def test_multi_field_topk_sums_per_field_similarities(mf_sim_index):
+    """Cross-field boolean: per-doc score = title clause under Classic +
+    body clause under BM25 (hand-assembled expectation)."""
+    from lucene_spark.index.multifield import multi_field_topk
+    from lucene_spark.search.executor import search_exhaustive
+    from lucene_spark.search.plan import normalize
+
+    q = normalize(should=["import"])
+    got = {r["docid"]: r["score"]
+           for r in multi_field_topk(
+               mf_sim_index, {"title": q, "body": q}, k=1000).collect()}
+    ca = {r["docid"]: r["score"]
+          for r in search_exhaustive(mf_sim_index.fields["title"], q, k=None,
+                                     quantize=False, dtype=np.float64,
+                                     similarity="classic").collect()}
+    cb = {r["docid"]: r["score"]
+          for r in search_exhaustive(mf_sim_index.fields["body"], q, k=None,
+                                     quantize=False, dtype=np.float64).collect()}
+    want = {d: ca.get(d, 0.0) + cb.get(d, 0.0) for d in set(ca) | set(cb)}
+    assert set(got) == set(want) and got
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_combined_field_refuses_non_bm25_fields(mf_sim_index):
+    """CombinedFieldQuery.java:174-178: BM25-only, refuse loudly."""
+    from lucene_spark.index.multifield import combined_field_topk
+
+    with pytest.raises(ValueError, match="requires BM25"):
+        combined_field_topk(mf_sim_index, ["import"], {"title": 2.0, "body": 1.0})
+
+
+def test_build_rejects_bad_similarity_map(spark, tmp_path):
+    from lucene_spark.index.multifield import MultiFieldIndex
+
+    docs = spark.createDataFrame([(0, "a", "b")], "doc_id long, t string, b string")
+    with pytest.raises(ValueError, match="unknown similarity"):
+        MultiFieldIndex.build(spark, docs, str(tmp_path / "x"), ["t", "b"],
+                              "doc_id", similarities={"t": "nope"})
+    with pytest.raises(ValueError, match="unindexed fields"):
+        MultiFieldIndex.build(spark, docs, str(tmp_path / "y"), ["t", "b"],
+                              "doc_id", similarities={"zz": "classic"})
