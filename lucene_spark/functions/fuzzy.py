@@ -80,6 +80,25 @@ def damerau_predicate(col, query: str, max_edits: int) -> Column:
     return band_filter(col, query, max_edits) & pred(col)
 
 
+def damerau_pair_predicate(col_a, col_b, edits_col) -> Column:
+    """Boolean Column over ROW-WISE pairs: Damerau(a, b) <= edits. For
+    expansions where the query term varies per row (percolator fuzzy legs:
+    batch vocabulary x distinct stored fuzzy constraints). The length band
+    runs as a Catalyst predicate first so the Python DP only sees band
+    survivors."""
+
+    @F.pandas_udf("boolean")
+    def pred(a: pd.Series, b: pd.Series, e: pd.Series) -> pd.Series:
+        return pd.Series(
+            [damerau_levenshtein(x, y) <= int(m)
+             for x, y, m in zip(a, b, e)],
+            index=a.index,
+        )
+
+    band = (F.length(col_a) - F.length(col_b)).between(-edits_col, edits_col)
+    return band & pred(col_a, col_b, edits_col)
+
+
 def damerau_distance_col(col, query: str) -> Column:
     """Int Column of the unrestricted Damerau-Levenshtein distance to
     ``query`` (for ranking, e.g. the spell checker); apply band_filter

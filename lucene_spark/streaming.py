@@ -193,25 +193,35 @@ def decompose_query(node, max_clauses: int = 64):
     """QueryDecomposer analog (monitor/QueryDecomposer.java:33): lower a
     parsed query tree to a disjunction of conjunctive clauses the join
     machinery can evaluate. Each clause is
-    ``{terms, nots, phrases, patterns}``: the doc must contain EVERY term,
-    NONE of the nots, every phrase (exact, consecutive), and at least one
-    token matching every LIKE pattern. A doc matches the query when any
-    clause matches.
+    ``{terms, nots, phrases, patterns, sloppy, fuzzies, ranges}``: the doc
+    must contain EVERY term, NONE of the nots, every exact phrase
+    (consecutive), at least one token matching every LIKE pattern, every
+    sloppy 2-term phrase within its slop, at least one token within every
+    fuzzy constraint's edit distance, and at least one token inside every
+    term range. A doc matches the query when any clause matches.
 
     Matching semantics (scores are irrelevant to percolation):
     MUST clauses AND-merge (clause cross-product); SHOULD clauses form the
     disjunction — and are IGNORED when MUSTs exist (optional clauses never
     gate a match, BooleanQuery matching semantics); MUST_NOT must lower to
     pure terms (a term, or a boolean of SHOULD terms — De Morgan turns
-    NOT(a OR b) into nots {a, b}). Unsupported shapes (sloppy phrase,
-    fuzzy, range, NOT over phrase/prefix, pure-negative booleans) raise
-    loudly rather than percolate wrongly."""
+    NOT(a OR b) into nots {a, b}).
+
+    r6 (the Monitor's CandidateMatcher verify analog,
+    monitor/CandidateMatcher.java — VERDICT r5 missing#5): sloppy TWO-term
+    phrases ("a b"~2; the pair's terms also join the clause's required
+    terms as the prefilter), fuzzy terms (term~1, Damerau), and term
+    ranges ([lo TO hi]) now lower to verify legs instead of refusing.
+    Still refused loudly: >2-term sloppy phrases, non-transposition fuzzy,
+    field ranges, NOT over phrase/prefix, pure-negative booleans."""
     from .search.plan import (
         MUST,
         MUST_NOT,
         QBool,
+        QFuzzy,
         QPhrase,
         QPrefix,
+        QRange,
         QTerm,
         QWildcard,
         SHOULD,
@@ -234,20 +244,41 @@ def decompose_query(node, max_clauses: int = 64):
             "term or a disjunction of terms lowers via De Morgan)"
         )
 
+    def empty_clause():
+        return {"terms": set(), "nots": set(), "phrases": [], "patterns": [],
+                "sloppy": [], "fuzzies": [], "ranges": []}
+
     def merge(a, b):
         return {
             "terms": a["terms"] | b["terms"],
             "nots": a["nots"] | b["nots"],
             "phrases": a["phrases"] + b["phrases"],
             "patterns": a["patterns"] + b["patterns"],
+            "sloppy": a["sloppy"] + b["sloppy"],
+            "fuzzies": a["fuzzies"] + b["fuzzies"],
+            "ranges": a["ranges"] + b["ranges"],
         }
+
+    def one(**kw):
+        c = empty_clause()
+        c.update(kw)
+        return [c]
 
     def dnf(n):
         if isinstance(n, QTerm):
-            return [{"terms": {n.term}, "nots": set(), "phrases": [], "patterns": []}]
+            return one(terms={n.term})
         if isinstance(n, QPhrase):
             if n.slop != 0:
-                raise NotImplementedError("sloppy-phrase percolation unsupported")
+                if len(n.terms_off) != 2:
+                    raise NotImplementedError(
+                        "sloppy percolation supports 2-term phrases only"
+                    )
+                (ta, oa), (tb, ob) = n.terms_off
+                # the pair's terms are ALSO required terms: the cheap
+                # equi-join leg prefilters, the positions band-join
+                # verifies (CandidateMatcher.java two-phase shape)
+                return one(terms={ta, tb},
+                           sloppy=[(ta, tb, int(ob - oa), int(n.slop))])
             terms = []
             for i, (t, off) in enumerate(n.terms_off):
                 if off != i:
@@ -256,19 +287,29 @@ def decompose_query(node, max_clauses: int = 64):
                         "(parse stored queries with stop_words=frozenset())"
                     )
                 terms.append(t)
-            return [{"terms": set(), "nots": set(), "phrases": [terms], "patterns": []}]
+            return one(phrases=[terms])
         if isinstance(n, QPrefix):
-            return [{"terms": set(), "nots": set(), "phrases": [],
-                     "patterns": [like_pattern(n.prefix, star_suffix=True)]}]
+            return one(patterns=[like_pattern(n.prefix, star_suffix=True)])
         if isinstance(n, QWildcard):
-            return [{"terms": set(), "nots": set(), "phrases": [],
-                     "patterns": [like_pattern(n.pattern)]}]
+            return one(patterns=[like_pattern(n.pattern)])
+        if isinstance(n, QFuzzy):
+            if not n.transpositions:
+                raise NotImplementedError(
+                    "fuzzy percolation supports Damerau (transpositions) only"
+                )
+            return one(fuzzies=[(n.term, int(n.max_edits))])
+        if isinstance(n, QRange):
+            if n.field is not None:
+                raise NotImplementedError(
+                    "field-range percolation unsupported (term ranges only)"
+                )
+            return one(ranges=[(n.lo, n.hi)])
         if isinstance(n, QBool):
             musts = [c for occ, c in n.clauses if occ == MUST]
             shoulds = [c for occ, c in n.clauses if occ == SHOULD]
             nots = [c for occ, c in n.clauses if occ == MUST_NOT]
             if musts:
-                acc = [{"terms": set(), "nots": set(), "phrases": [], "patterns": []}]
+                acc = [empty_clause()]
                 for m in musts:
                     acc = [merge(a, b) for a in acc for b in dnf(m)]
                     if len(acc) > max_clauses:
@@ -295,7 +336,8 @@ def decompose_query(node, max_clauses: int = 64):
 
     clauses = dnf(node)
     for c in clauses:
-        if not (c["terms"] or c["phrases"] or c["patterns"]):
+        if not (c["terms"] or c["phrases"] or c["patterns"]
+                or c["fuzzies"] or c["ranges"]):
             raise NotImplementedError("clause with no positive constraint")
     return clauses
 
@@ -329,51 +371,74 @@ def percolate_tree(
     spark = docs.sparkSession
     clause_schema = (
         "qid int, cid int, terms array<string>, not_terms array<string>, "
-        "phrases array<array<string>>, patterns array<string>"
+        "phrases array<array<string>>, patterns array<string>, "
+        "sloppy array<struct<ta:string,tb:string,gap:int,slop:int>>, "
+        "fuzzies array<struct<fterm:string,fedits:int>>, "
+        "ranges array<struct<rlo:string,rhi:string>>"
     )
+
+    def _crow(qid, ci, c):
+        return {
+            "qid": int(qid), "cid": int(ci),
+            "terms": sorted(c["terms"]), "not_terms": sorted(c["nots"]),
+            "phrases": c["phrases"], "patterns": c["patterns"],
+            "sloppy": [
+                {"ta": a, "tb": b, "gap": int(g), "slop": int(s)}
+                for a, b, g, s in c["sloppy"]
+            ],
+            "fuzzies": [
+                {"fterm": t, "fedits": int(e)} for t, e in c["fuzzies"]
+            ],
+            "ranges": [{"rlo": lo, "rhi": hi} for lo, hi in c["ranges"]],
+        }
+
     if isinstance(stored, DataFrame):
         import pandas as pd
 
         def decomp(pdf_iter):
             for pdf in pdf_iter:
-                out = {k: [] for k in ("qid", "cid", "terms", "not_terms",
-                                        "phrases", "patterns")}
+                rows = []
                 for qid, qstr in zip(pdf["qid"], pdf["query"]):
                     tree = parse_tree(str(qstr), stop_words=frozenset())
                     for ci, c in enumerate(decompose_query(tree)):
-                        out["qid"].append(int(qid))
-                        out["cid"].append(int(ci))
-                        out["terms"].append(sorted(c["terms"]))
-                        out["not_terms"].append(sorted(c["nots"]))
-                        out["phrases"].append(c["phrases"])
-                        out["patterns"].append(c["patterns"])
-                yield pd.DataFrame(out)
+                        rows.append(_crow(qid, ci, c))
+                yield pd.DataFrame(
+                    rows, columns=["qid", "cid", "terms", "not_terms",
+                                   "phrases", "patterns", "sloppy",
+                                   "fuzzies", "ranges"]
+                )
 
         clauses = stored.mapInPandas(decomp, clause_schema).persist()
         flags = clauses.agg(
             F.max(F.size("phrases")).alias("p"),
             F.max(F.size("patterns")).alias("x"),
             F.max(F.size("not_terms")).alias("n"),
+            F.max(F.size("sloppy")).alias("s"),
+            F.max(F.size("fuzzies")).alias("f"),
+            F.max(F.size("ranges")).alias("r"),
         ).collect()[0]
         any_phrases = (flags["p"] or 0) > 0
         any_patterns = (flags["x"] or 0) > 0
         any_nots = (flags["n"] or 0) > 0
+        any_sloppy = (flags["s"] or 0) > 0
+        any_fuzzy = (flags["f"] or 0) > 0
+        any_ranges = (flags["r"] or 0) > 0
     else:
         rows = []
         for qid, qstr in stored:
             for ci, c in enumerate(decompose_query(parse_tree(qstr, stop_words=frozenset()))):
-                rows.append((
-                    int(qid), int(ci), sorted(c["terms"]), sorted(c["nots"]),
-                    c["phrases"], c["patterns"],
-                ))
+                rows.append(_crow(qid, ci, c))
         clauses = spark.createDataFrame(rows, clause_schema)
         # the stored-query shape is known on the driver: legs whose
         # constraint kind appears in NO clause are skipped entirely (no
         # tokenize/join jobs for them — the Monitor similarly indexes
         # queries by structure)
-        any_phrases = any(r[4] for r in rows)
-        any_patterns = any(r[5] for r in rows)
-        any_nots = any(r[3] for r in rows)
+        any_phrases = any(r["phrases"] for r in rows)
+        any_patterns = any(r["patterns"] for r in rows)
+        any_nots = any(r["not_terms"] for r in rows)
+        any_sloppy = any(r["sloppy"] for r in rows)
+        any_fuzzy = any(r["fuzzies"] for r in rows)
+        any_ranges = any(r["ranges"] for r in rows)
 
     dterms = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
@@ -386,10 +451,12 @@ def percolate_tree(
     # qids at the end cuts that volume by the duplication factor
     clauses = clauses.withColumn(
         "skey",
-        F.sha2(F.to_json(F.struct("terms", "not_terms", "phrases", "patterns")), 256),
+        F.sha2(F.to_json(F.struct("terms", "not_terms", "phrases", "patterns",
+                                  "sloppy", "fuzzies", "ranges")), 256),
     )
     sets = (
-        clauses.select("skey", "terms", "not_terms", "phrases", "patterns")
+        clauses.select("skey", "terms", "not_terms", "phrases", "patterns",
+                       "sloppy", "fuzzies", "ranges")
         .dropDuplicates(["skey"])
         .persist()
     )
@@ -426,6 +493,11 @@ def percolate_tree(
 
     # --- phrase leg: anchor trick per phrase, then all phrases present
     ok_p = None
+    dpos = None
+    if any_phrases or any_sloppy:
+        dpos = docs.select(
+            "doc_id", F.posexplode(tokens(text_col)).alias("pos", "term")
+        )
     if any_phrases:
         ph = sets.filter(F.size("phrases") > 0).select(
             *key, F.size("phrases").alias("n_ph"),
@@ -434,9 +506,6 @@ def percolate_tree(
         slots = ph.select(
             *key, "n_ph", "pid", F.size("phr").alias("n_slots"),
             F.posexplode("phr").alias("slot", "term"),
-        )
-        dpos = docs.select(
-            "doc_id", F.posexplode(tokens(text_col)).alias("pos", "term")
         )
         anchored = (
             dpos.join(slots, "term")
@@ -455,29 +524,130 @@ def percolate_tree(
             .select(*key, "doc_id")
         )
 
+    # --- sloppy-phrase leg (r6 verify pass, monitor/CandidateMatcher.java
+    # analog): 2-term sloppy phrases match when SOME position pair sits
+    # within the slop band — |pa + gap - pb| <= slop is exactly Lucene's
+    # 2-term matchLength (SloppyPhraseMatcher.java:200-236) — evaluated as
+    # an equi-join on (term, doc) with a position band predicate, so the
+    # fan-out per doc is bounded by the slop window, not tf_a * tf_b.
+    # (The pair's terms are already required by the terms leg — that leg
+    # is the cheap prefilter, this one the verifier.)
+    ok_s = None
+    if any_sloppy:
+        srow = sets.filter(F.size("sloppy") > 0).select(
+            *key, F.size("sloppy").alias("n_sl"),
+            F.posexplode("sloppy").alias("sid", "sp"),
+        ).select(
+            *key, "n_sl", "sid", F.col("sp.ta").alias("ta"),
+            F.col("sp.tb").alias("tb"), F.col("sp.gap").alias("gap"),
+            F.col("sp.slop").alias("slop"),
+        )
+        pa = srow.join(dpos, srow.ta == dpos.term).select(
+            *key, "n_sl", "sid", "tb", "gap", "slop", "doc_id",
+            F.col("pos").alias("pos_a"),
+        )
+        pb = dpos.select(
+            F.col("doc_id").alias("doc_id_b"), F.col("term").alias("term_b"),
+            F.col("pos").alias("pos_b"),
+        )
+        hit = pa.join(
+            pb,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("term_b") == F.col("tb"))
+            & (F.col("pos_b") != F.col("pos_a"))  # slots never collide
+            & (F.col("pos_b") >= F.col("pos_a") + F.col("gap") - F.col("slop"))
+            & (F.col("pos_b") <= F.col("pos_a") + F.col("gap") + F.col("slop")),
+        )
+        ok_s = (
+            hit.select(*key, "n_sl", "sid", "doc_id").distinct()
+            .groupBy(*key, "n_sl", "doc_id")
+            .agg(F.count_distinct("sid").alias("nm"))
+            .filter(F.col("nm") == F.col("n_sl"))
+            .select(*key, "doc_id")
+        )
+
+    # --- fuzzy leg (r6): expand each stored fuzzy constraint against the
+    # batch VOCABULARY (|vocab| x |distinct fuzzies| vectorized Damerau —
+    # the same expansion shape as the pattern leg's LIKE scan), then
+    # equi-join; every fuzzy must be matched by >= 1 doc token
+    ok_f = None
+    if any_fuzzy:
+        from .functions.fuzzy import damerau_pair_predicate
+
+        frow = sets.filter(F.size("fuzzies") > 0).select(
+            *key, F.size("fuzzies").alias("n_fz"),
+            F.posexplode("fuzzies").alias("fid", "fz"),
+        ).select(
+            *key, "n_fz", "fid", F.col("fz.fterm").alias("fterm"),
+            F.col("fz.fedits").alias("fedits"),
+        )
+        vocab = dterms.select("term").distinct()
+        fdist = frow.select("fterm", "fedits").distinct()
+        fmatch = vocab.crossJoin(F.broadcast(fdist)).filter(
+            damerau_pair_predicate(F.col("term"), F.col("fterm"), F.col("fedits"))
+        )
+        fterm = fmatch.join(F.broadcast(frow), ["fterm", "fedits"])
+        ok_f = (
+            fterm.join(dterms, "term")
+            .groupBy(*key, "n_fz", "doc_id")
+            .agg(F.count_distinct("fid").alias("nm"))
+            .filter(F.col("nm") == F.col("n_fz"))
+            .select(*key, "doc_id")
+        )
+
+    # --- term-range leg (r6): in-range vocabulary -> equi-join; every
+    # range must cover >= 1 doc token (TermRangeQuery match semantics)
+    ok_r = None
+    if any_ranges:
+        rrow = sets.filter(F.size("ranges") > 0).select(
+            *key, F.size("ranges").alias("n_rg"),
+            F.posexplode("ranges").alias("rid", "rg"),
+        ).select(
+            *key, "n_rg", "rid", F.col("rg.rlo").alias("rlo"),
+            F.col("rg.rhi").alias("rhi"),
+        )
+        vocab_r = dterms.select("term").distinct()
+        rterm = vocab_r.join(
+            F.broadcast(rrow),
+            (F.col("term") >= F.col("rlo")) & (F.col("term") <= F.col("rhi")),
+        )
+        ok_r = (
+            rterm.join(dterms, "term")
+            .groupBy(*key, "n_rg", "doc_id")
+            .agg(F.count_distinct("rid").alias("nm"))
+            .filter(F.col("nm") == F.col("n_rg"))
+            .select(*key, "doc_id")
+        )
+
     # --- combine: every applicable leg must hold
-    sat = ok_t.withColumns({"t": F.lit(1), "p": F.lit(0), "x": F.lit(0)})
-    if ok_p is not None:
-        sat = sat.unionByName(
-            ok_p.withColumns({"t": F.lit(0), "p": F.lit(1), "x": F.lit(0)})
+    LEGS = ["t", "p", "x", "s", "f", "r"]
+
+    def tag(df, name):
+        return df.withColumns(
+            {g: F.lit(1 if g == name else 0) for g in LEGS}
         )
-    if ok_x is not None:
-        sat = sat.unionByName(
-            ok_x.withColumns({"t": F.lit(0), "p": F.lit(0), "x": F.lit(1)})
-        )
-    sat = (
-        sat.groupBy(*key, "doc_id")
-        .agg(F.max("t").alias("t"), F.max("p").alias("p"), F.max("x").alias("x"))
+
+    sat = tag(ok_t, "t")
+    for leg_df, name in ((ok_p, "p"), (ok_x, "x"), (ok_s, "s"),
+                         (ok_f, "f"), (ok_r, "r")):
+        if leg_df is not None:
+            sat = sat.unionByName(tag(leg_df, name))
+    sat = sat.groupBy(*key, "doc_id").agg(
+        *[F.max(g).alias(g) for g in LEGS]
     )
     meta = sets.select(
         *key, F.size("terms").alias("n_terms"), F.size("phrases").alias("n_ph"),
-        F.size("patterns").alias("n_pat"),
+        F.size("patterns").alias("n_pat"), F.size("sloppy").alias("n_sl"),
+        F.size("fuzzies").alias("n_fz"), F.size("ranges").alias("n_rg"),
     )
     match = (
         sat.join(meta, key)
         .filter((F.col("n_terms") == 0) | (F.col("t") == 1))
         .filter((F.col("n_ph") == 0) | (F.col("p") == 1))
         .filter((F.col("n_pat") == 0) | (F.col("x") == 1))
+        .filter((F.col("n_sl") == 0) | (F.col("s") == 1))
+        .filter((F.col("n_fz") == 0) | (F.col("f") == 1))
+        .filter((F.col("n_rg") == 0) | (F.col("r") == 1))
         .select(*key, "doc_id")
     )
 

@@ -525,13 +525,21 @@ def test_decompose_query_shapes():
     cl = d('"hash join" AND spar*')
     assert cl[0]["phrases"] == [["hash", "join"]]
     assert cl[0]["patterns"] == ["spar%"]
+    # r6 verify legs: sloppy 2-term / fuzzy / term range now lower
+    cl = d('"hash join"~2')
+    assert cl[0]["sloppy"] == [("hash", "join", 1, 2)]
+    assert cl[0]["terms"] == {"hash", "join"}  # prefilter terms
+    cl = d("merge~1")
+    assert cl[0]["fuzzies"] == [("merge", 1)]
+    cl = d("[ma TO me]")
+    assert cl[0]["ranges"] == [("ma", "me")]
     # unsupported shapes refuse loudly
     with _pt.raises(NotImplementedError, match="MUST_NOT over"):
         d('join -"hash join"')
     with _pt.raises(NotImplementedError, match="pure-negative"):
         d("-join -spark")
-    with _pt.raises(NotImplementedError, match="sloppy"):
-        d('"hash join"~2')
+    with _pt.raises(NotImplementedError, match="2-term"):
+        d('"hash join fast"~2')
 
 
 def test_percolate_tree_randomized_differential(spark):
@@ -567,12 +575,32 @@ def test_percolate_tree_randomized_differential(spark):
         (5, "+join +\"spark join\" -table"),
         (6, "wind?w OR (fast AND slo*)"),
         (7, "spark join window"),  # pure disjunction of SHOULDs
+        # r6 verify legs
+        (8, '"hash join"~2'),
+        (9, "merge~1 AND window"),
+        (10, "[so TO st] -table"),
+        (11, '"spark window"~1 OR quer*'),
     ]
 
     def ev(node, toks):
+        from lucene_spark.functions.fuzzy import damerau_levenshtein
+        from lucene_spark.search.plan import QFuzzy, QRange
+
         ts = set(toks)
         if isinstance(node, QTerm):
             return node.term in ts
+        if isinstance(node, QFuzzy):
+            return any(damerau_levenshtein(t, node.term) <= node.max_edits
+                       for t in ts)
+        if isinstance(node, QRange):
+            return any(node.lo <= t <= node.hi for t in ts)
+        if isinstance(node, QPhrase) and node.slop > 0:
+            (ta, oa), (tb, ob) = node.terms_off
+            gap = ob - oa
+            pa = [i for i, t in enumerate(toks) if t == ta]
+            pb = [i for i, t in enumerate(toks) if t == tb]
+            return any(a != b and abs(a + gap - b) <= node.slop
+                       for a in pa for b in pb)
         if isinstance(node, QPhrase):
             terms = [t for t, _ in node.terms_off]
             return any(
