@@ -1922,6 +1922,36 @@ def q_interval_containing_topk(spark, sf):
     )
 
 
+def q_interval_atleast_docs(spark, sf):
+    """Intervals.atLeast(2, spark, join, window) — m-of-n windows
+    (MinimumShouldMatchIntervalsSource, r6). Doc-level match == at least
+    2 of the 3 terms present, which is what the oracle checks; the
+    window sweep itself is brute-force-differential-tested in
+    tests/test_intervals.py."""
+    from lucene_spark.search.intervals import IAtLeast, ITerm, search_intervals
+
+    node = IAtLeast((ITerm("spark"), ITerm("join"), ITerm("window")), 2)
+    return (
+        search_intervals(_index(spark, sf), node)
+        .select("docid").orderBy("docid")
+    )
+
+
+def q_interval_prefix_docs(spark, sf):
+    """Intervals.ordered(Intervals.prefix("spar"), join) — the prefix
+    source expands against the term dictionary (MultiTermIntervalsSource,
+    r6) and the ordered walk runs over the union positions."""
+    from lucene_spark.search.intervals import (
+        IOrdered, IPrefix, ITerm, search_intervals,
+    )
+
+    node = IOrdered((IPrefix("spar"), ITerm("join")))
+    return (
+        search_intervals(_index(spark, sf), node)
+        .select("docid").orderBy("docid")
+    )
+
+
 def q_interval_before_count(spark, sf):
     """Intervals.before(spark, join): spark occurrences ending before the
     start of some join occurrence (BEFORE filter semantics,
@@ -2376,6 +2406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_sim_topk": q_field_sim_topk,
         "multi_field_sim_topk": q_multi_field_sim_topk,
         "percolate_verify": q_percolate_verify,
+        "interval_atleast_docs": q_interval_atleast_docs,
+        "interval_prefix_docs": q_interval_prefix_docs,
         "phrase_wildcard_topk": q_phrase_wildcard_topk,
         "tree_msm_topk": q_tree_msm_topk,
         # --- r4 additions: never driver-checked yet
@@ -3162,6 +3194,18 @@ def oracle_sql() -> dict[str, str]:
         "passage_highlight_topk": _passage_highlight_sql(),
         "interval_ordered_topk": _interval_ordered_sql("spark", "join", 4),
         "interval_near_topk": _interval_near_sql("spark", "join", 6),
+        "interval_atleast_docs": """
+WITH """ + TPOS_CTE.strip() + """
+SELECT doc_id AS docid FROM tpos
+WHERE term IN ('spark', 'join', 'window')
+GROUP BY 1 HAVING count(DISTINCT term) >= 2
+ORDER BY docid""",
+        "interval_prefix_docs": """
+WITH """ + TPOS_CTE.strip() + """
+SELECT DISTINCT a.doc_id AS docid
+FROM tpos a JOIN tpos b ON b.doc_id = a.doc_id AND b.pos > a.pos
+WHERE a.term LIKE 'spar%' AND b.term = 'join'
+ORDER BY docid""",
         "interval_before_count": """
 WITH """ + TPOS_CTE.strip() + """,
 pl AS (SELECT a.doc_id, a.av, b.bv FROM

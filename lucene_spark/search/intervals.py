@@ -152,6 +152,54 @@ class IExtend:
 
 
 @dataclass(frozen=True)
+class IAtLeast:
+    """Intervals.atLeast(minShouldMatch, sources...) — minimal windows
+    covering intervals from at least ``min_should_match`` DISTINCT child
+    sources (queries/intervals/MinimumShouldMatchIntervalsSource.java).
+    ``inner`` sums the greedily-chosen (rightmost-starting) matched child
+    intervals, so gaps read as the tightest cover's gaps."""
+
+    children: Tuple
+    min_should_match: int
+
+    def __post_init__(self):
+        if not (1 <= int(self.min_should_match) <= len(self.children)):
+            raise ValueError(
+                "atLeast requires 1 <= minShouldMatch <= #sources "
+                f"(got {self.min_should_match} of {len(self.children)})"
+            )
+
+
+@dataclass(frozen=True)
+class INoIntervals:
+    """Intervals.noIntervals(reason) — matches nothing, everywhere
+    (Intervals.java:56; the explicit empty source)."""
+
+    reason: str = ""
+
+
+@dataclass(frozen=True)
+class IPrefix:
+    """Intervals.prefix(term[, maxExpansions]) — any term starting with
+    ``prefix``; rewritten driver-side against the term dictionary to an
+    IOr of the (capped) expansions, exactly Lucene's
+    MultiTermIntervalsSource over the automaton with its 128-expansion
+    default cap (Intervals.java DEFAULT_MAX_EXPANSIONS)."""
+
+    prefix: str
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class IWildcard:
+    """Intervals.wildcard(pattern[, maxExpansions]) — * and ? glob over
+    the term dictionary, rewritten like IPrefix."""
+
+    pattern: str
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
 class IWithin:
     """Intervals of ``source`` within ``positions`` of a ``reference``
     interval (Intervals.within == containedBy(source, extend(reference,
@@ -163,8 +211,10 @@ class IWithin:
 
 
 def _children_of(node) -> List[object]:
-    if isinstance(node, (IOrdered, IUnordered, IOr)):
+    if isinstance(node, (IOrdered, IUnordered, IOr, IAtLeast)):
         return list(node.children)
+    if isinstance(node, INoIntervals):
+        return []
     if isinstance(node, IContaining):
         return [node.big, node.small]
     if isinstance(node, IContainedBy):
@@ -179,6 +229,11 @@ def _children_of(node) -> List[object]:
         return [node.source]
     if isinstance(node, IWithin):
         return [node.source, node.reference]
+    if isinstance(node, (IPrefix, IWildcard)):
+        raise TypeError(
+            "multi-term interval sources must be expanded against the term "
+            "dictionary first (expand_interval_sources(index, node))"
+        )
     raise TypeError(f"unknown interval node {type(node).__name__}")
 
 
@@ -200,6 +255,19 @@ def required_terms(node) -> frozenset:
         return frozenset([node.term])
     if isinstance(node, IOr):
         return frozenset()  # any child suffices
+    if isinstance(node, IAtLeast):
+        if node.min_should_match < len(node.children):
+            return frozenset()  # no single child is required
+        # msm == n degenerates to "all children present"
+        req = frozenset()
+        for c in node.children:
+            req |= required_terms(c)
+        return req
+    if isinstance(node, (IPrefix, IWildcard)):
+        raise TypeError(
+            "multi-term interval sources must be expanded first "
+            "(expand_interval_sources)"
+        )
     if isinstance(node, INotContaining):
         return required_terms(node.minuend)
     if isinstance(node, INotContainedBy):
@@ -371,6 +439,41 @@ def eval_intervals(node, positions: Dict[str, np.ndarray]) -> List[Interval]:
         cands: List[Interval] = []
         for c in node.children:
             cands.extend(eval_intervals(c, positions))
+        return _minimalize(cands)
+    if isinstance(node, INoIntervals):
+        return []
+    if isinstance(node, IAtLeast):
+        m = int(node.min_should_match)
+        child_ivs = [eval_intervals(c, positions) for c in node.children]
+        # sweep by window END over the merged child intervals: at each end
+        # E, each child's best fully-inside interval is its rightmost
+        # start with end <= E (child lists are minimal -> starts/ends both
+        # ascending); a window covering m children starts at the m-th
+        # largest of those best-starts. Minimalization then keeps exactly
+        # the minimal windows (MinimumShouldMatchIntervalsSource's pq
+        # sweep, evaluated batch-wise).
+        events = sorted(
+            {e for ivs in child_ivs for (_s, e, _i) in ivs}
+        )
+        if not events:
+            return []
+        ptr = [0] * len(child_ivs)
+        best: List[Optional[Interval]] = [None] * len(child_ivs)
+        cands: List[Interval] = []
+        for E in events:
+            for ci, ivs in enumerate(child_ivs):
+                p = ptr[ci]
+                while p < len(ivs) and ivs[p][1] <= E:
+                    best[ci] = ivs[p]  # ends ascending -> starts ascending
+                    p += 1
+                ptr[ci] = p
+            have = [b for b in best if b is not None]
+            if len(have) < m:
+                continue
+            have.sort(key=lambda iv: -iv[0])
+            chosen = have[:m]
+            s = chosen[-1][0]
+            cands.append((s, E, sum(iv[2] for iv in chosen)))
         return _minimalize(cands)
     if isinstance(node, INotContaining):
         minu = eval_intervals(node.minuend, positions)
@@ -685,6 +788,61 @@ def make_intervals_fn(node):
     return run
 
 
+def expand_interval_sources(index, node):
+    """Rewrite IPrefix / IWildcard leaves to IOr over their term-dictionary
+    expansions (MultiTermIntervalsSource semantics: capped at
+    max_expansions like Intervals.java's 128 default; zero expansions ->
+    INoIntervals). Pure driver-side plan rewrite — the expansion scan runs
+    distributed through Index.expand_terms."""
+    if isinstance(node, IPrefix):
+        terms = index.expand_terms(prefix=node.prefix,
+                                   max_terms=int(node.max_expansions))
+        if not terms:
+            return INoIntervals(f"prefix {node.prefix!r} matches no terms")
+        return IOr(tuple(ITerm(t) for t in sorted(terms)))
+    if isinstance(node, IWildcard):
+        import re as _re
+
+        regex = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in node.pattern
+        ) + "$"
+        terms = index.expand_terms(regex=regex,
+                                   max_terms=int(node.max_expansions))
+        if not terms:
+            return INoIntervals(f"wildcard {node.pattern!r} matches no terms")
+        return IOr(tuple(ITerm(t) for t in sorted(terms)))
+    if isinstance(node, (ITerm, INoIntervals)):
+        return node
+    kids = tuple(expand_interval_sources(index, c) for c in _children_of(node))
+    if isinstance(node, (IOrdered, IUnordered, IOr)):
+        return type(node)(kids, **{
+            k: getattr(node, k)
+            for k in ("max_gaps", "max_width") if hasattr(node, k)
+        })
+    if isinstance(node, IAtLeast):
+        return IAtLeast(kids, node.min_should_match)
+    if isinstance(node, IContaining):
+        return IContaining(kids[0], kids[1])
+    if isinstance(node, IContainedBy):
+        return IContainedBy(kids[0], kids[1])
+    if isinstance(node, INotContaining):
+        return INotContaining(kids[0], kids[1])
+    if isinstance(node, INotContainedBy):
+        return INotContainedBy(kids[0], kids[1])
+    if isinstance(node, IBefore):
+        return IBefore(kids[0], kids[1])
+    if isinstance(node, IAfter):
+        return IAfter(kids[0], kids[1])
+    if isinstance(node, IOverlapping):
+        return IOverlapping(kids[0], kids[1])
+    if isinstance(node, IExtend):
+        return IExtend(kids[0], node.before, node.after)
+    if isinstance(node, IWithin):
+        return IWithin(kids[0], node.positions, kids[1])
+    raise TypeError(f"unknown interval node {type(node).__name__}")
+
+
 def search_intervals(index, node) -> DataFrame:
     """ALL docs with at least one interval from ``node``; columns
     (docid, n_intervals, min_gaps, min_width). Ordering/limits are the
@@ -694,7 +852,10 @@ def search_intervals(index, node) -> DataFrame:
     from .executor import apply_per_segment, require_positions
 
     require_positions(index, "IntervalQuery")
+    node = expand_interval_sources(index, node)
     distinct = sorted(set(leaf_terms(node)))
+    if not distinct:
+        return index.spark.createDataFrame([], INTERVALS_SCHEMA)
     required = required_terms(node)
     stats = index.term_stats_for(distinct)
     if any(t not in stats for t in required) or not any(t in stats for t in distinct):
@@ -721,6 +882,7 @@ def interval_topk(
 
     spark = index.spark
     empty = spark.createDataFrame([], "docid long, score double")
+    node = expand_interval_sources(index, node)
     distinct = sorted(set(leaf_terms(node)))
     stats = index.term_stats_for(distinct)
     live = [t for t in distinct if t in stats]

@@ -582,3 +582,106 @@ def test_empty_children_rejected_at_construction():
         IOrdered(())
     with pytest.raises(ValueError, match="at least one child"):
         IUnordered(())
+
+
+# ---------------------------------------------------------------------------
+# r6 sources: atLeast / noIntervals / prefix / wildcard
+# ---------------------------------------------------------------------------
+
+
+def _rand_positions(rng, n_terms, doc_len=60):
+    return {
+        f"t{i}": np.array(sorted(rng.sample(range(doc_len), rng.randint(0, 6))),
+                          dtype=np.int64)
+        for i in range(n_terms)
+    }
+
+
+@pytest.mark.parametrize("trial", range(30))
+def test_atleast_matches_brute(trial):
+    """IAtLeast vs exhaustive enumeration: for every m-subset of children
+    and every interval choice, window = (min start, max end); compare the
+    minimal (start, end) sets."""
+    import random
+    from itertools import combinations
+
+    from lucene_spark.search.intervals import IAtLeast, IUnordered
+
+    rng = random.Random(900 + trial)
+    n = rng.randint(2, 4)
+    m = rng.randint(1, n)
+    positions = _rand_positions(rng, n)
+    children = tuple(ITerm(f"t{i}") for i in range(n))
+    got = sorted((s, e) for s, e, _ in
+                 eval_intervals(IAtLeast(children, m), positions))
+
+    child_ivs = [eval_intervals(c, positions) for c in children]
+    cands = []
+    for combo in combinations(range(n), m):
+        lists = [child_ivs[c] for c in combo]
+        if any(not l for l in lists):
+            continue
+        for choice in product(*lists):
+            cands.append((min(iv[0] for iv in choice),
+                          max(iv[1] for iv in choice)))
+    want = brute_minimal(cands)
+    assert got == want
+    if m == n and got:
+        # atLeast(n of n) covers all children like an unordered window
+        un = sorted((s, e) for s, e, _ in
+                    eval_intervals(IUnordered(children), positions))
+        assert got == un
+
+
+def test_atleast_validation_and_noIntervals():
+    from lucene_spark.search.intervals import IAtLeast, INoIntervals
+
+    with pytest.raises(ValueError, match="minShouldMatch"):
+        IAtLeast((ITerm("a"), ITerm("b")), 3)
+    with pytest.raises(ValueError, match="minShouldMatch"):
+        IAtLeast((ITerm("a"),), 0)
+    assert eval_intervals(INoIntervals("why"), {"a": np.array([1])}) == []
+
+
+def test_prefix_wildcard_interval_sources(built_index):
+    """IPrefix/IWildcard expand against the term dictionary and equal the
+    hand-expanded IOr (MultiTermIntervalsSource semantics), capped at
+    max_expansions."""
+    from lucene_spark.search.intervals import (
+        IAtLeast, INoIntervals, IOr, IOrdered, IPrefix, IWildcard,
+        expand_interval_sources, search_intervals,
+    )
+
+    exp = expand_interval_sources(built_index, IPrefix("ret"))
+    assert isinstance(exp, IOr) and all(
+        t.term.startswith("ret") for t in exp.children
+    )
+    got = {r["docid"]
+           for r in search_intervals(
+               built_index,
+               IOrdered((IPrefix("imp"), ITerm("return")), max_gaps=8),
+           ).collect()}
+    want = {r["docid"]
+            for r in search_intervals(
+                built_index,
+                IOrdered((expand_interval_sources(built_index, IPrefix("imp")),
+                          ITerm("return")), max_gaps=8),
+            ).collect()}
+    assert got == want and got  # vacuity guard
+    # wildcard: ? = one char
+    w = expand_interval_sources(built_index, IWildcard("retur?"))
+    assert isinstance(w, (IOr, INoIntervals))
+    # absent prefix -> INoIntervals -> empty result
+    assert expand_interval_sources(
+        built_index, IPrefix("zzzzqq")
+    ) == INoIntervals("prefix 'zzzzqq' matches no terms")
+    assert search_intervals(built_index, IPrefix("zzzzqq")).collect() == []
+    # expansion cap honored
+    capped = expand_interval_sources(built_index, IPrefix("r", max_expansions=3))
+    assert isinstance(capped, IOr) and len(capped.children) <= 3
+    # atLeast end-to-end over the index
+    rows = search_intervals(
+        built_index,
+        IAtLeast((ITerm("import"), ITerm("return"), ITerm("vector")), 2),
+    ).collect()
+    assert rows
