@@ -1351,6 +1351,92 @@ def q_cjk_bigram_topk(spark, sf):
     )
 
 
+# closed two-kanji vocabulary for the derived Japanese corpus — all
+# committed DEFAULT_JA_DICT entries, so the Viterbi must recover exactly
+# these words from their UNDELIMITED concatenation (real Japanese has no
+# spaces); order is load-bearing (the index expression below)
+JA_VOCAB = [
+    "学生", "学校", "試験", "合格", "勉強", "研究", "結果", "発表",
+    "日本", "東京", "経済", "新聞", "会社", "仕事", "問題", "情報",
+]
+# token -> vocab index, computable bit-identically in Spark AND DuckDB
+JA_IDX_EXPR = "(length({t}) * 7 + ascii(substr({t}, 1, 1))) % 16"
+
+
+def _ja_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Japanese morphological index (JapaneseTokenizer.java:95 analog,
+    functions/ja.py) over the deterministically DERIVED Japanese corpus:
+    every source token maps to a two-kanji dictionary word via a pure
+    arithmetic expression, and the words concatenate with NO delimiter —
+    the Viterbi lattice has to re-find the word boundaries."""
+    key = ("ja", os.path.abspath(sf_dir))
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    slug = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx_dir = f"/tmp/lucene_spark_entry_v{INDEX_FORMAT_VERSION}/{slug}_ja"
+    vocab_arr = "array(" + ", ".join(f"'{w}'" for w in JA_VOCAB) + ")"
+    expr = (
+        f"concat_ws('', transform(filter(split(text, ' '), t -> t <> ''), "
+        f"t -> element_at({vocab_arr}, {JA_IDX_EXPR.format(t='t')} + 1)))"
+    )
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(expr).alias("content"))
+    )
+    cfg = IndexConfig(
+        docid_col="doc_id", order_cols=("doc_id",), content_col="content",
+        num_segments=4, hot_df_threshold=150, merge_bucket_segments=1,
+        index_positions=True, analyzer="japanese",
+    )
+    idx = Index(spark, build_index(spark, docs, idx_dir, cfg))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_lang_ja_topk(spark, sf):
+    """BM25 top-k over the Japanese morphological index (r6): the corpus
+    is undelimited kanji text, the dictionary-driven Viterbi segmenter
+    recovers the word stream, and the oracle replays the same
+    token->word mapping in SQL — a wrong segmentation changes tf/doclen
+    and hash-mismatches."""
+    from lucene_spark.functions.ja import analyze_ja
+
+    terms = analyze_ja("学生試験")  # the query goes through the same chain
+    return _topk(_ja_index(spark, sf), should=terms, pre_analyzed=True)
+
+
+def _lang_ja_sql() -> str:
+    vocab_vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(JA_VOCAB))
+    idx = JA_IDX_EXPR.format(t="t")
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+    return f"""
+WITH v(i, w) AS (VALUES {vocab_vals}),
+toks AS (
+  SELECT d.doc_id, v.w AS term
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM documents) d
+  JOIN v ON v.i = {idx}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+fs AS (SELECT count(*) AS doc_cnt,
+              sum(doclen) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+qt(term, qtf) AS (VALUES ('学生', 1), ('試験', 1)),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+w AS (SELECT q.term,
+             q.qtf * ln(1 + (fs.doc_cnt - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
+      FROM qt q JOIN dfreq ON q.term = dfreq.term CROSS JOIN fs),
+scored AS (
+  SELECT tf.doc_id,
+         sum(w.w - w.w / (1 + CAST(tf.tf AS DOUBLE) * {ninv})) AS score
+  FROM tf JOIN w ON tf.term = w.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs
+  GROUP BY 1)
+SELECT doc_id AS docid, round(score, 4) AS score FROM scored
+ORDER BY score DESC, docid ASC LIMIT 10"""
+
+
 def q_synonym_multiword_topk(spark, sf):
     """BM25 top-k against the multi-word-synonym index: 'hashjoin' scores
     docs where 'hash join' occurred adjacently (n->1 rule), 'data' scores
@@ -2408,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_verify": q_percolate_verify,
         "interval_atleast_docs": q_interval_atleast_docs,
         "interval_prefix_docs": q_interval_prefix_docs,
+        "lang_ja_topk": q_lang_ja_topk,
         "phrase_wildcard_topk": q_phrase_wildcard_topk,
         "tree_msm_topk": q_tree_msm_topk,
         # --- r4 additions: never driver-checked yet
@@ -3265,6 +3352,7 @@ term ASC LIMIT 10""",
         "multi_reader_topk": bm25_topk_sql({"merge": 1, "window": 1, "stream": 1}),
         "lang_it_topk": lang_pack_bm25_sql(
             "italian", {t: 1 for t in _lang_stems_it()}),
+        "lang_ja_topk": _lang_ja_sql(),
         "cjk_bigram_topk": cjk_bigram_bm25_sql(
             {t: 1 for t in _cjk_query_terms("join")}
         ),

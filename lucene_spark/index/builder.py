@@ -166,11 +166,18 @@ class IndexConfig:
     # MoreLikeThis-from-a-doc and per-doc term inspection without
     # re-analysis, and without needing stored content
     term_vectors: bool = False
-    # "standard" (default) or "cjk_bigram" (CJKAnalyzer analog,
-    # functions/cjk.py): adjacent Han/hiragana single-char tokens fuse
-    # into overlapping bigrams; query text must go through
-    # functions.cjk.analyze_cjk for the same chain.
+    # "standard" (default), "cjk_bigram" (CJKAnalyzer analog,
+    # functions/cjk.py: adjacent Han/hiragana single-char tokens fuse into
+    # overlapping bigrams; query via functions.cjk.analyze_cjk),
+    # "japanese" (dictionary-driven Viterbi lattice segmenter,
+    # functions/ja.py — JapaneseTokenizer.java:95 analog; query via
+    # functions.ja.analyze_ja), or a language-pack name (functions/lang.py)
     analyzer: str = "standard"
+    # committed dictionary for analyzer="japanese": {surface: cost}
+    # entries; None -> functions.ja.DEFAULT_JA_DICT. Digested into the
+    # analysis fingerprint (segments built under different dictionaries
+    # hold incomparable vocabularies)
+    ja_dict: Optional[dict] = None
 
     def effective_stop_words(self) -> frozenset:
         """The stop set the chain actually runs: a language pack brings its
@@ -184,6 +191,10 @@ class IndexConfig:
             return self.stop_words
         if self.analyzer in LANG_PACKS:
             return LANG_PACKS[self.analyzer].stop_words
+        if self.analyzer == "japanese":
+            from ..functions.ja import JA_STOP_WORDS
+
+            return JA_STOP_WORDS
         return ENGLISH_STOP_WORDS
 
     def analysis_fingerprint(self) -> str:
@@ -207,6 +218,11 @@ class IndexConfig:
                  bool(self.index_positions))
         if self.analyzer != "standard":
             parts = parts + (self.analyzer,)
+        if self.analyzer == "japanese":
+            from ..functions.ja import JaDict, default_ja_dict
+
+            jd = JaDict(self.ja_dict) if self.ja_dict else default_ja_dict()
+            parts = parts + (jd.digest(),)
         if self.index_offsets:
             parts = parts + ("offsets",)
         if self.fold_ascii:
@@ -474,17 +490,33 @@ def _invert_group(
     # Arrow-kernel tokenize/dict-encode, then lexsort (code, doc) + RLE.
     from ..functions.lang import LANG_PACKS
 
-    if cfg.analyzer not in ("standard", "cjk_bigram") and cfg.analyzer not in LANG_PACKS:
+    if (cfg.analyzer not in ("standard", "cjk_bigram", "japanese")
+            and cfg.analyzer not in LANG_PACKS):
         raise ValueError(
             f"unknown analyzer {cfg.analyzer!r} (supported: standard, "
-            f"cjk_bigram, {', '.join(sorted(LANG_PACKS))})"
+            f"cjk_bigram, japanese, {', '.join(sorted(LANG_PACKS))})"
         )
     stops = cfg.effective_stop_words()
     # the CJK bigram pass tests position adjacency, so it always needs the
     # positions stream even when the index itself won't store positions
     need_pos = cfg.index_positions or cfg.analyzer == "cjk_bigram"
     flat_off = None
-    if cfg.index_offsets:
+    if cfg.analyzer == "japanese":
+        # full replacement chain: Viterbi lattice over the committed
+        # dictionary (functions/ja.py; JapaneseTokenizer.java:95 analog)
+        from ..functions.ja import JaDict, default_ja_dict, ja_flat_tokens
+
+        jd = JaDict(cfg.ja_dict) if cfg.ja_dict else default_ja_dict()
+        if cfg.index_positions:
+            codes, flat_docix, vocab, flat_pos = ja_flat_tokens(
+                table[cfg.content_col], stops, jd, with_positions=True
+            )
+        else:
+            codes, flat_docix, vocab = ja_flat_tokens(
+                table[cfg.content_col], stops, jd
+            )
+            flat_pos = None
+    elif cfg.index_offsets:
         codes, flat_docix, vocab, flat_pos, flat_off = flat_code_tokens(
             table[cfg.content_col], stops,
             with_positions=True, with_offsets=True,
@@ -1016,11 +1048,12 @@ def build_index(
     cfg = cfg or IndexConfig()
     from ..functions.lang import LANG_PACKS
 
-    if cfg.analyzer not in ("standard", "cjk_bigram") and cfg.analyzer not in LANG_PACKS:
+    if (cfg.analyzer not in ("standard", "cjk_bigram", "japanese")
+            and cfg.analyzer not in LANG_PACKS):
         # fail on the driver, not wrapped inside an executor UDF
         raise ValueError(
             f"unknown analyzer {cfg.analyzer!r} (supported: standard, "
-            f"cjk_bigram, {', '.join(sorted(LANG_PACKS))})"
+            f"cjk_bigram, japanese, {', '.join(sorted(LANG_PACKS))})"
         )
     if cfg.analyzer in LANG_PACKS and (
         cfg.stemmer or cfg.fold_ascii or cfg.shingles or cfg.synonyms
@@ -1029,6 +1062,13 @@ def build_index(
             "language packs bundle their own elision/normalize/stem chain; "
             "stemmer/fold_ascii/shingles/synonyms do not compose with "
             f"analyzer={cfg.analyzer!r}"
+        )
+    if cfg.analyzer == "japanese" and (
+        cfg.stemmer or cfg.fold_ascii or cfg.shingles or cfg.synonyms
+    ):
+        raise ValueError(
+            "the japanese analyzer is its own full chain; stemmer/"
+            "fold_ascii/shingles/synonyms do not compose with it"
         )
     if cfg.index_offsets:
         if not cfg.index_positions:
