@@ -255,6 +255,26 @@ def main() -> None:
         ratios["tree_mixed"] = (
             round(m["ratio"], 4) if m["ratio"] is not None else None
         )
+        # conjunction-only mixed tree: no term clause for the free auto
+        # seed, so the per-segment theta works alone (default row) vs the
+        # explicit two-job clause seed (seed_theta_tree)
+        from lucene_spark.search.executor import search_tree_topk, seed_theta_tree
+
+        tree2 = QBool((
+            (SHOULD, QBool(((MUST, QTerm(rare)), (MUST, QTerm("import"))))),
+            (SHOULD, QBool(((MUST, QTerm(med)), (MUST, QTerm("import"))))),
+        ))
+        q_secs["q1m_tree_conjconj"] = t_min(
+            lambda: search_tree_topk(build_idx, tree2, k=K).collect())
+        m = tree_skip_metrics(build_idx, tree2, k=K)
+        ratios["tree_conjconj"] = (
+            round(m["ratio"], 4) if m["ratio"] is not None else None
+        )
+        seed2 = seed_theta_tree(build_idx, tree2, k=K)
+        m = tree_skip_metrics(build_idx, tree2, k=K, theta_seed=seed2)
+        ratios["tree_conjconj_seeded"] = (
+            round(m["ratio"], 4) if m["ratio"] is not None else None
+        )
     if rare:
         # pluggable-similarity pruning on the same shape: DFR prunes like
         # BM25 (bounded tf saturation); Classic's unbounded sqrt(tf) keeps

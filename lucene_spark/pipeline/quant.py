@@ -149,10 +149,19 @@ def build_squant_index(
 def squant_index_topk(
     spark: SparkSession, index_dir: str, query_vec, k: int = 10,
     id_col: str = "vec_id",
+    filter_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Search a persisted scalar-quantized index."""
+    """Search a persisted scalar-quantized index. ``filter_df`` (one
+    ``id_col`` column of allowed ids) adds pre-filtered KNN via a
+    semi-join, matching the hnsw/ivf filter seam
+    (search/KnnFloatVectorQuery.java:48)."""
     fs, fs_path = fsio.resolve(index_dir)
     params = fsio.read_json(fs, fs_path + "/params.json")
     vecs = spark.read.parquet(index_dir + "/vectors")
+    if filter_df is not None:
+        vecs = vecs.join(
+            filter_df.select(F.col(id_col).cast("long").alias(id_col)),
+            id_col, "left_semi",
+        )
     return squant_cosine_topk(vecs, query_vec, params, k=k,
                               qvec_col="qvec", id_col=id_col)

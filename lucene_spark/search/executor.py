@@ -2966,6 +2966,47 @@ def _mixed_plan(index: Index, node, quantize: bool, dtype,
     return live, excl, weights, sim, rows
 
 
+def seed_theta_tree(
+    index: Index,
+    node,
+    k: int = 10,
+    quantize: bool = False,
+    dtype=np.float64,
+    similarity: Optional[str] = None,
+) -> float:
+    """Cross-segment threshold seed for MIXED trees (the two-job
+    seed_theta analog, MaxScoreAccumulator.java:23): evaluate the single
+    CHEAPEST clause alone on the pruned path — its global k-th score is a
+    lower bound of the full query's k-th (clauses only add). This is the
+    knob for conjunction-only trees, where the free stats-based
+    _auto_seed_theta_mixed has no term clause to seed from. Declined
+    (0.0) on exclusions/deletes or when the tree is not the mixed shape."""
+    plan = _mixed_plan(index, node, quantize, dtype, similarity)
+    if plan is None:
+        return 0.0
+    live, excl, weights, sim, _rows = plan
+    if not live or excl or index.has_deletes:
+        return 0.0
+    stats = index.term_stats_for(sorted({t for c in live for t in c}))
+
+    def lead_df(c):
+        return min(stats.get(t, (1 << 60, 0))[0] for t in c)
+
+    cheapest = min(live, key=lead_df)
+    terms = sorted(cheapest)
+    rows = index.seg_postings.filter(F.col("term").isin(terms))
+    fn = make_mixed_topk_fn(
+        [cheapest], [], k, float(index.field_stats.avgdl()), quantize, dtype,
+        sim=sim, weights=weights,
+    )
+    per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
+    out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    vals = out.select("score").collect()
+    if len(vals) < k:
+        return 0.0
+    return float(vals[-1]["score"]) * PRUNE_SCALE[dtype]
+
+
 def search_tree_topk(
     index: Index,
     node,

@@ -171,6 +171,17 @@ class IAtLeast:
 
 
 @dataclass(frozen=True)
+class IUnorderedNoOverlaps:
+    """Intervals.unorderedNoOverlaps(a, b) — two-source unordered windows
+    whose chosen sub-intervals do NOT overlap
+    (queries/intervals/Intervals.java unorderedNoOverlaps,
+    NonOverlappingIntervalsSource composition)."""
+
+    a: object
+    b: object
+
+
+@dataclass(frozen=True)
 class INoIntervals:
     """Intervals.noIntervals(reason) — matches nothing, everywhere
     (Intervals.java:56; the explicit empty source)."""
@@ -227,6 +238,8 @@ def _children_of(node) -> List[object]:
         return [node.source, node.reference]
     if isinstance(node, IExtend):
         return [node.source]
+    if isinstance(node, IUnorderedNoOverlaps):
+        return [node.a, node.b]
     if isinstance(node, IWithin):
         return [node.source, node.reference]
     if isinstance(node, (IPrefix, IWildcard)):
@@ -442,6 +455,29 @@ def eval_intervals(node, positions: Dict[str, np.ndarray]) -> List[Interval]:
         return _minimalize(cands)
     if isinstance(node, INoIntervals):
         return []
+    if isinstance(node, IUnorderedNoOverlaps):
+        av = eval_intervals(node.a, positions)
+        bv = eval_intervals(node.b, positions)
+        if not av or not bv:
+            return []
+        # candidate per (ia, ib) pair with no overlap; both lists are
+        # minimal (starts/ends ascending), so for each ia only the
+        # nearest non-overlapping ib on each side can be minimal
+        bstarts = [iv[0] for iv in bv]
+        bends = [iv[1] for iv in bv]
+        cands: List[Interval] = []
+        for s, e, inner in av:
+            # nearest b fully BEFORE a: last with b.end < s
+            j = bisect_left(bends, s) - 1
+            if j >= 0:
+                bs, be, bi = bv[j]
+                cands.append((bs, e, inner + bi))
+            # nearest b fully AFTER a: first with b.start > e
+            j = bisect_right(bstarts, e)
+            if j < len(bv):
+                bs, be, bi = bv[j]
+                cands.append((s, be, inner + bi))
+        return _minimalize(cands)
     if isinstance(node, IAtLeast):
         m = int(node.min_should_match)
         child_ivs = [eval_intervals(c, positions) for c in node.children]
@@ -838,6 +874,8 @@ def expand_interval_sources(index, node):
         return IOverlapping(kids[0], kids[1])
     if isinstance(node, IExtend):
         return IExtend(kids[0], node.before, node.after)
+    if isinstance(node, IUnorderedNoOverlaps):
+        return IUnorderedNoOverlaps(kids[0], kids[1])
     if isinstance(node, IWithin):
         return IWithin(kids[0], node.positions, kids[1])
     raise TypeError(f"unknown interval node {type(node).__name__}")

@@ -685,3 +685,26 @@ def test_prefix_wildcard_interval_sources(built_index):
         IAtLeast((ITerm("import"), ITerm("return"), ITerm("vector")), 2),
     ).collect()
     assert rows
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_unordered_no_overlaps_matches_brute(trial):
+    """IUnorderedNoOverlaps vs exhaustive pair enumeration: every
+    non-overlapping (a, b) pair makes a window (min start, max end)."""
+    import random
+
+    from lucene_spark.search.intervals import IUnorderedNoOverlaps
+
+    rng = random.Random(700 + trial)
+    positions = _rand_positions(rng, 2)
+    a, b = ITerm("t0"), ITerm("t1")
+    got = sorted((s, e) for s, e, _ in
+                 eval_intervals(IUnorderedNoOverlaps(a, b), positions))
+    av = eval_intervals(a, positions)
+    bv = eval_intervals(b, positions)
+    cands = [
+        (min(ia[0], ib[0]), max(ia[1], ib[1]))
+        for ia in av for ib in bv
+        if ia[1] < ib[0] or ib[1] < ia[0]  # no overlap
+    ]
+    assert got == brute_minimal(cands)

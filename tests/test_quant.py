@@ -106,3 +106,24 @@ def test_degenerate_constant_vectors(spark):
     assert params["scale"] == 1.0  # hi == lo guard
     got = squant_cosine_topk(df, [1.0, 1.0], params, k=2).collect()
     assert [r["vec_id"] for r in got] == [0, 1]
+
+
+def test_squant_filtered_topk(spark, tmp_path):
+    """filter_df seam parity with hnsw/ivf: semi-join then quantized
+    cosine equals the unfiltered result restricted to allowed ids."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.quant import build_squant_index, squant_index_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "sq")
+    build_squant_index(spark, emb, d, bits=7)
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    filt = emb.filter(F.col("label").isin(2, 6)).select("vec_id")
+    allowed = {r["vec_id"] for r in filt.collect()}
+    got = [r["vec_id"] for r in squant_index_topk(spark, d, qv, k=5,
+                                                  filter_df=filt).collect()]
+    full = [r["vec_id"] for r in squant_index_topk(spark, d, qv, k=10**6).collect()]
+    want = [v for v in full if v in allowed][:5]
+    assert got == want and got

@@ -173,3 +173,32 @@ def test_tree_pruning_is_live(mixed_index):
     m = tree_skip_metrics(mixed_index, tree, k=10)
     assert m["blocks_total"] > 0
     assert m["blocks_decoded"] < m["blocks_total"]
+
+
+def test_seed_theta_tree_sound_and_tightens(mixed_index):
+    """seed_theta_tree: the cheapest clause's global k-th is a valid
+    pruning seed — results identical to unseeded, decode never higher."""
+    from lucene_spark.search.executor import (
+        search_tree_topk, seed_theta_tree, tree_skip_metrics,
+    )
+
+    tree = _tree(
+        (SHOULD, QBool(((MUST, QTerm("rare")), (MUST, QTerm("hot"))))),
+        (SHOULD, QBool(((MUST, QTerm("med")), (MUST, QTerm("hot"))))),
+    )
+    seed = seed_theta_tree(mixed_index, tree, k=10)
+    assert seed > 0.0
+    a = _canon(search_tree_topk(mixed_index, tree, k=10).collect())
+    b = _canon(search_tree_topk(mixed_index, tree, k=10,
+                                theta_seed=seed).collect())
+    assert a == b and a[0]
+    m0 = tree_skip_metrics(mixed_index, tree, k=10)
+    m1 = tree_skip_metrics(mixed_index, tree, k=10, theta_seed=seed)
+    assert m1["blocks_decoded"] <= m0["blocks_decoded"]
+    # non-mixed shape / excluded terms decline gracefully
+    assert seed_theta_tree(mixed_index, QTerm("hot")) == 0.0
+    tree_not = _tree(
+        (SHOULD, QBool(((MUST, QTerm("rare")), (MUST, QTerm("hot"))))),
+        (MUST_NOT, QTerm("ban")),
+    )
+    assert seed_theta_tree(mixed_index, tree_not) == 0.0
