@@ -2560,6 +2560,24 @@ def make_mixed_topk_fn(
             return _Z, _Z.astype(np.float64), counters
 
         terms_here = sorted({t for c in viable for t in c})
+        # blocks_total is a PLAN invariant — every postings block of every
+        # viable query term, each term once — so decode ratios stay
+        # comparable across seeded/unseeded configurations (counting
+        # per-visit totals shrinks the denominator whenever a selection
+        # empties and made a better plan look worse). blocks_decoded
+        # counts decode EVENTS (a block decoded for two clauses is two).
+        counters[0] += sum(
+            len(r["block_first"])
+            for t in terms_here + [t for t in excl if t in rows]
+            for r in rows[t]
+        )
+        _only_decoded = [0, 0]  # _decode_rows sink: slot 0 discarded
+
+        def _dec(r, sel):
+            before = _only_decoded[1]
+            out = _decode_rows(r, sel, _only_decoded)
+            counters[1] += _only_decoded[1] - before
+            return out
         base = min(int(r["first_docid"]) for t in terms_here for r in rows[t])
         hi = max(int(r["last_docid"]) for t in terms_here for r in rows[t])
         n = hi - base + 1
@@ -2573,7 +2591,7 @@ def make_mixed_topk_fn(
             # MUST_NOT as an up-front liveDocs ban (ReqExclScorer.java:26);
             # see make_topk_fn — excluded docs must never raise theta
             ex_parts = [
-                _decode_rows(r, None, counters)[0]
+                _dec(r, None)[0]
                 for t in excl if t in rows for r in rows[t]
             ]
             if ex_parts:
@@ -2586,7 +2604,7 @@ def make_mixed_topk_fn(
             if sel is not None and len(sel) == 0:
                 z = np.empty(0, np.int64)
                 return z, z, z
-            parts = [_decode_rows(r, sel, counters) for r in rows[t]]
+            parts = [_dec(r, sel) for r in rows[t]]
             ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
@@ -2701,7 +2719,6 @@ def make_mixed_topk_fn(
                     bl = np.asarray(r["block_last"], dtype=np.int64)
                     data = r["block_data"]
                     nb = len(bf)
-                    counters[0] += nb
                     ubw = ub * fw
                     border = np.argsort(-ubw, kind="stable")
                     for j in range(0, nb, CHUNK):
@@ -2793,7 +2810,6 @@ def make_mixed_topk_fn(
                         [np.arange(len(b), dtype=np.int64) for b in bfs]
                     ) if bfs else np.empty(0, np.int64)
                     nb = len(flat_bf)
-                    counters[0] += nb
                     border = np.argsort(-flat_ub, kind="stable")
                     nm = np.zeros(n, dtype=bool)
                     done = np.zeros(n, dtype=bool) if last else None
