@@ -2488,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exact_topk": q_ann_ivf_exact_topk,
         "tree_mixed_topk": q_tree_mixed_topk,
         "tree_mixed_not_topk": q_tree_mixed_not_topk,
+        "tree_msm_mixed_topk": q_tree_msm_mixed_topk,
         "ann_filtered_topk": q_ann_filtered_topk,
         "field_sim_topk": q_field_sim_topk,
         "multi_field_sim_topk": q_multi_field_sim_topk,
@@ -2788,6 +2789,57 @@ def q_tree_mixed_not_topk(spark, sf):
     ))
     res = search_query(_index(spark, sf), tree, k=10)
     return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def q_tree_msm_mixed_topk(spark, sf):
+    """minimumNumberShouldMatch over MIXED clauses on the PRUNED path
+    (r6): 2 of {(stream AND hash), merge, window} must match — the
+    clause-granularity freq-counting-WAND analog (search_tree_topk
+    counts distinct matching clauses while pruning)."""
+    from lucene_spark.search.executor import search_query
+    from lucene_spark.search.plan import MUST, QBool, QTerm, SHOULD
+
+    tree = QBool((
+        (SHOULD, QBool(((MUST, QTerm("stream")), (MUST, QTerm("hash"))))),
+        (SHOULD, QTerm("merge")),
+        (SHOULD, QTerm("window")),
+    ), msm=2)
+    res = search_query(_index(spark, sf), tree, k=10)
+    return res.select("docid", F.round("score", 4).alias("score"))
+
+
+def _tree_msm_mixed_sql() -> str:
+    from lucene_spark.oracle import BM25_CTES
+
+    ninv = "(1.0 / (1.2 * (0.25 + 0.75 * dl.doclen / fs.avgdl)))"
+
+    def term_score(t, cid):
+        return f"""
+SELECT tf.doc_id, {cid} AS cid,
+       w.w - w.w / (1 + CAST(tf.tf AS DOUBLE) * {ninv}) AS s
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs
+CROSS JOIN (SELECT ln(1 + (fs.doc_cnt - d.df + 0.5) / (d.df + 0.5)) AS w
+            FROM (SELECT count(*) AS df FROM tf WHERE term = '{t}') d
+            CROSS JOIN fs) w
+WHERE tf.term = '{t}'"""
+
+    return (
+        "WITH "
+        + BM25_CTES
+        + f""",
+cl AS (
+  SELECT a.doc_id, 0 AS cid, a.s + b.s AS s
+  FROM ({term_score("stream", 0)}) a JOIN ({term_score("hash", 0)}) b
+    ON a.doc_id = b.doc_id
+  UNION ALL
+  {term_score("merge", 1)}
+  UNION ALL
+  {term_score("window", 2)}
+)
+SELECT doc_id AS docid, round(sum(s), 4) AS score
+FROM cl GROUP BY 1 HAVING count(DISTINCT cid) >= 2
+ORDER BY sum(s) DESC, docid ASC LIMIT 10"""
+    )
 
 
 def _tree_mixed_sql(not_term: str | None = None) -> str:
@@ -3494,6 +3546,7 @@ ORDER BY max(hits.score) DESC, parent ASC LIMIT 5""",
         "tree_msm_topk": _tree_msm_sql(),
         "tree_mixed_topk": _tree_mixed_sql(),
         "tree_mixed_not_topk": _tree_mixed_sql(not_term="window"),
+        "tree_msm_mixed_topk": _tree_msm_mixed_sql(),
         "blended_term_topk": _blended_sql(),
         "function_score_topk": bm25_matches_cte({"spark": 1})
         + """

@@ -2505,6 +2505,7 @@ def make_mixed_topk_fn(
     theta_seed: float = 0.0,
     sim=None,
     weights: Optional[Dict[str, float]] = None,
+    msm: int = 0,
 ):
     """Per-segment scorer for the MIXED single-level disjunction — an OR
     over pseudo-scorers that are plain terms or AND-of-term groups, e.g.
@@ -2534,7 +2535,16 @@ def make_mixed_topk_fn(
       (ReqExclScorer.java:26) so excluded docs never raise theta.
 
     Scoring matches search_tree's semantics: score = Σ over MATCHING
-    clauses of Σ member term scores (float64 tree defaults)."""
+    clauses of Σ member term scores (float64 tree defaults).
+
+    ``msm`` > 0 demands at least that many DISTINCT matching clauses per
+    doc (BooleanQuery.Builder.setMinimumNumberShouldMatch over arbitrary
+    clause types) — the clause-granularity freq-counting-WAND analog of
+    the flat path: per-doc matched-clause counts accumulate, theta only
+    rises from docs already GUARANTEED qualified (counts are monotone),
+    candidates additionally keep any doc whose count can still reach
+    msm, and NEW docs stop being admitted once the remaining clauses
+    cannot credit msm."""
     if sim is None:
         from .similarities import BM25Bound
 
@@ -2543,6 +2553,7 @@ def make_mixed_topk_fn(
     scale = PRUNE_SCALE[dtype]
     chunk_blocks = int(MAXSCORE_CHUNK)
     cl = [dict(c) for c in clauses]
+    msm = int(msm)
     _Z = np.empty(0, np.int64)
 
     def run(pdf: pd.DataFrame, deleted: Optional[np.ndarray]):
@@ -2556,7 +2567,9 @@ def make_mixed_topk_fn(
         # a clause is viable here iff EVERY member has postings in this
         # segment (conjunction semantics; a term clause is its own member)
         viable = [c for c in cl if all(t in rows for t in c)]
-        if not viable:
+        if not viable or msm > len(viable):
+            # a clause missing a term here can credit no doc in this
+            # segment, so msm > len(viable) is segment-level MatchNone
             return _Z, _Z.astype(np.float64), counters
 
         terms_here = sorted({t for c in viable for t in c})
@@ -2689,11 +2702,20 @@ def make_mixed_topk_fn(
 
         acc = np.zeros(n, dtype=np.float64)
         seen = np.zeros(n, dtype=bool)
+        nmatch = np.zeros(n, dtype=np.int64) if msm > 0 else None
+        nclauses = len(viable)
         theta = float(theta_seed) if theta_seed > 0 else -np.inf
         CHUNK = chunk_blocks
 
         def kth(vals: np.ndarray) -> float:
             return float(np.partition(vals, len(vals) - k)[len(vals) - k])
+
+        def bump_theta():
+            # theta rises only from docs GUARANTEED to qualify
+            nonlocal theta
+            qual = seen if nmatch is None else seen & (nmatch >= msm)
+            if int(qual.sum()) >= k:
+                theta = max(theta, kth(acc[qual]))
 
         for i, c in enumerate(viable):
             rest = float(suffix[i + 1])
@@ -2708,12 +2730,19 @@ def make_mixed_topk_fn(
                 if theta <= 0 or (sel is not None and theta <= sel_theta * 1.05):
                     return
                 mask = seen & (acc + suffix[i] >= theta * scale)
+                if nmatch is not None:
+                    # count-hopeless docs can drop outright: the remaining
+                    # clauses cannot lift them to msm
+                    mask &= nmatch + (nclauses - i) >= msm
                 sel = np.flatnonzero(mask) + base
                 sel_theta = theta
 
             if len(c) == 1:
                 ((t, w),) = c.items()
                 fw = float(w)
+                # once the remaining clauses (this one included) cannot
+                # credit msm, blocks only matter for existing candidates
+                new_docs_ok = nmatch is None or (nclauses - i) >= msm
                 for r, ub in zip(rows[t], term_ubs(t)):
                     bf = np.asarray(r["block_first"], dtype=np.int64)
                     bl = np.asarray(r["block_last"], dtype=np.int64)
@@ -2723,19 +2752,32 @@ def make_mixed_topk_fn(
                     border = np.argsort(-ubw, kind="stable")
                     for j in range(0, nb, CHUNK):
                         cidx = border[j : j + CHUNK]
-                        if theta > 0:
+                        if theta > 0 or not new_docs_ok:
                             refresh_sel()
-                            keep = ubw[cidx] + rest >= theta * scale
-                            if sel is not None and len(sel):
-                                lo = np.searchsorted(sel, bf[cidx], "left")
-                                hi2 = np.searchsorted(sel, bl[cidx], "right")
+                            if new_docs_ok and theta > 0:
+                                keep = ubw[cidx] + rest >= theta * scale
+                            elif new_docs_ok:
+                                keep = np.ones(len(cidx), dtype=bool)
+                            else:
+                                keep = np.zeros(len(cidx), dtype=bool)
+                            cand_set = sel if sel is not None else (
+                                (np.flatnonzero(seen) + base)
+                                if not new_docs_ok else None
+                            )
+                            if cand_set is not None and len(cand_set):
+                                lo = np.searchsorted(cand_set, bf[cidx], "left")
+                                hi2 = np.searchsorted(cand_set, bl[cidx], "right")
                                 has = hi2 > lo
-                                for z in np.flatnonzero(has):
-                                    cmax = float(
-                                        acc[sel[lo[z]:hi2[z]] - base].max()
-                                    )
-                                    if cmax + ubw[cidx[z]] + rest < theta * scale:
-                                        has[z] = False
+                                if theta > 0 and nmatch is None:
+                                    # per-block candidate potential (msm
+                                    # keeps the coarse test: its
+                                    # candidates are kept for COUNT too)
+                                    for z in np.flatnonzero(has):
+                                        cmax = float(
+                                            acc[cand_set[lo[z]:hi2[z]] - base].max()
+                                        )
+                                        if cmax + ubw[cidx[z]] + rest < theta * scale:
+                                            has[z] = False
                                 keep |= has
                             cidx = cidx[keep]
                         counters[1] += len(cidx)
@@ -2753,17 +2795,25 @@ def make_mixed_topk_fn(
                         s = np.asarray(sim.score(t, tfs, dls), np.float64) * fw
                         acc[ids - base] += s
                         seen[ids - base] = True
-                        if int(seen.sum()) >= k:
-                            theta = max(theta, kth(acc[seen]))
+                        if nmatch is not None:
+                            nmatch[ids - base] += 1
+                        bump_theta()
             else:
                 members = sorted(
                     c, key=lambda t: sum(int(r["df"]) for r in rows[t])
                 )
                 refresh_sel()
                 essential = theta <= 0 or cubs[i] + rest >= theta * scale
-                # non-essential conjunction: only still-competitive docs
-                # can be affected, so even the LEAD decode is restricted
-                lead_sel = None if essential else sel
+                new_docs_ok = nmatch is None or (nclauses - i) >= msm
+                # non-essential conjunction (or no room for new docs to
+                # reach msm): only still-competitive docs can be
+                # affected, so even the LEAD decode is restricted
+                if essential and new_docs_ok:
+                    lead_sel = None
+                elif sel is not None:
+                    lead_sel = sel
+                else:
+                    lead_sel = np.flatnonzero(seen) + base
                 ids, tfs, dls = decode_term(members[0], sel=lead_sel)
                 if len(ids) == 0:
                     continue
@@ -2854,10 +2904,15 @@ def make_mixed_topk_fn(
                         )
                         if last:
                             done[ids2 - base] = True
-                            if int(done.sum()) >= k:
-                                # full-clause matches: acc + csd are exact
-                                # partial totals, a sound theta source
-                                theta = max(theta, kth((acc + csd)[done]))
+                            # full-clause matches: acc + csd are exact
+                            # partial totals — but only docs GUARANTEED
+                            # to qualify (count after this clause >= msm)
+                            # may raise theta
+                            dq = done if nmatch is None else (
+                                done & (nmatch + 1 >= msm)
+                            )
+                            if int(dq.sum()) >= k:
+                                theta = max(theta, kth((acc + csd)[dq]))
                     cm &= nm
                     if not cm.any():
                         alive = False
@@ -2868,10 +2923,14 @@ def make_mixed_topk_fn(
                     if len(idx):
                         acc[idx] += csd[idx]
                         seen[idx] = True
-                        if int(seen.sum()) >= k:
-                            theta = max(theta, kth(acc[seen]))
+                        if nmatch is not None:
+                            nmatch[idx] += 1
+                        bump_theta()
 
-        matched = np.flatnonzero(seen) + base
+        if nmatch is None:
+            matched = np.flatnonzero(seen) + base
+        else:
+            matched = np.flatnonzero(seen & (nmatch >= msm)) + base
         if len(matched) == 0:
             return _Z, _Z.astype(np.float64), counters
         out_ids, out_sc = _select_topk(matched, acc[matched - base], k)
@@ -2968,7 +3027,7 @@ def _mixed_plan(index: Index, node, quantize: bool, dtype,
     shape = mixed_or_clauses(node)
     if shape is None:
         return None
-    clauses, excl = shape
+    clauses, excl, msm = shape
     terms = sorted({t for c in clauses for t in c})
     sim = bind_similarity(
         similarity, {t: 1 for t in terms}, index.term_stats_for(terms),
@@ -2977,9 +3036,11 @@ def _mixed_plan(index: Index, node, quantize: bool, dtype,
     q1 = NormalizedQuery(optional=tuple((t, 1) for t in terms))
     weights = sim.weights if sim is not None else _weights_for(index, q1, 1.0, dtype)
     live = [c for c in clauses if all(t in weights for t in c)]
+    if msm > len(live):
+        msm = -1  # clauses on unindexed terms can never credit msm
     all_terms = sorted({t for c in live for t in c} | set(excl))
     rows = index.seg_postings.filter(F.col("term").isin(all_terms))
-    return live, excl, weights, sim, rows
+    return live, excl, msm, weights, sim, rows
 
 
 def seed_theta_tree(
@@ -3000,8 +3061,8 @@ def seed_theta_tree(
     plan = _mixed_plan(index, node, quantize, dtype, similarity)
     if plan is None:
         return 0.0
-    live, excl, weights, sim, _rows = plan
-    if not live or excl or index.has_deletes:
+    live, excl, msm, weights, sim, _rows = plan
+    if not live or msm != 0 or excl or index.has_deletes:
         return 0.0
     stats = index.term_stats_for(sorted({t for c in live for t in c}))
 
@@ -3048,16 +3109,18 @@ def search_tree_topk(
     empty = spark.createDataFrame(
         [], TOPK_SCHEMA if with_metrics else "docid long, score double"
     )
-    live, excl, weights, sim, rows = plan
-    if not live:
+    live, excl, msm, weights, sim, rows = plan
+    if not live or msm < 0:
         return empty
-    if theta_seed == 0.0:
+    if theta_seed == 0.0 and msm == 0:
+        # msm restricts the qualifying set below any term clause's df, so
+        # the stats-based seed is unsound there (same rule as the flat path)
         theta_seed = _auto_seed_theta_mixed(
             index, live, excl, weights, sim, k, quantize, dtype
         )
     fn = make_mixed_topk_fn(
         live, excl, k, float(index.field_stats.avgdl()), quantize, dtype,
-        theta_seed=theta_seed, sim=sim, weights=weights,
+        theta_seed=theta_seed, sim=sim, weights=weights, msm=msm,
     )
     per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
@@ -3078,16 +3141,16 @@ def tree_skip_metrics(
     plan = _mixed_plan(index, node, quantize, dtype, similarity)
     if plan is None:
         return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
-    live, excl, weights, sim, rows = plan
-    if not live:
+    live, excl, msm, weights, sim, rows = plan
+    if not live or msm < 0:
         return {"blocks_total": 0, "blocks_decoded": 0, "ratio": None}
-    if theta_seed == 0.0:
+    if theta_seed == 0.0 and msm == 0:
         theta_seed = _auto_seed_theta_mixed(
             index, live, excl, weights, sim, k, quantize, dtype
         )
     fn = make_mixed_topk_fn(
         live, excl, k, float(index.field_stats.avgdl()), quantize, dtype,
-        theta_seed=theta_seed, sim=sim, weights=weights,
+        theta_seed=theta_seed, sim=sim, weights=weights, msm=msm,
     )
     per_seg = apply_per_segment(index, rows, fn.metrics_fn, METRICS_SCHEMA)
     row = per_seg.agg(

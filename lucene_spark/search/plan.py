@@ -566,8 +566,13 @@ def mixed_or_clauses(node):
     sub-scorers for (BooleanScorerSupplier.java:288-317, WANDScorer.java:55
     — a MUST group is ONE pseudo-scorer whose max-score bound is the sum
     of its members' bounds); the executor's search_tree_topk lowers it to
-    the per-segment block-max path instead of the exhaustive walk."""
-    if not isinstance(node, QBool) or node.boost != 1.0 or node.msm > 0:
+    the per-segment block-max path instead of the exhaustive walk.
+
+    Returns (clauses, excluded, msm): ``msm`` is the tree's
+    minimumNumberShouldMatch over these clauses (0 = plain disjunction;
+    r6 supports it on the pruned path — each clause credits one distinct
+    match, the freq-counting-WAND analog at clause granularity)."""
+    if not isinstance(node, QBool) or node.boost != 1.0:
         return None
     clauses: List[Dict[str, int]] = []
     excluded: List[str] = []
@@ -596,7 +601,12 @@ def mixed_or_clauses(node):
             return None  # top-level MUST -> conjunction-led scorer shape
     if not clauses:
         return None
-    return clauses, sorted(set(excluded))
+    msm = int(node.msm or 0)
+    if msm > len(clauses):
+        msm = -1  # MatchNone sentinel (msm > #SHOULD clauses)
+    elif msm <= 1:
+        msm = 0  # a disjunction already demands >= 1 matching clause
+    return clauses, sorted(set(excluded)), msm
 
 
 def parse(query: str, stop_words=ENGLISH_STOP_WORDS):

@@ -34,16 +34,20 @@ def test_mixed_shape_detection():
     conj = QBool(((MUST, QTerm("a")), (MUST, QTerm("b"))))
     t = _tree((SHOULD, conj), (SHOULD, QTerm("c")), (MUST_NOT, QTerm("d")))
     got = mixed_or_clauses(t)
-    assert got == ([{"a": 1, "b": 1}, {"c": 1}], ["d"])
+    assert got == ([{"a": 1, "b": 1}, {"c": 1}], ["d"], 0)
     # duplicate member -> qtf weight
     conj2 = QBool(((MUST, QTerm("a")), (MUST, QTerm("a"))))
     assert mixed_or_clauses(_tree((SHOULD, conj2)))[0] == [{"a": 2}]
+    # msm rides along (r6): <=1 normalizes to 0, infeasible -> -1 sentinel
+    m2 = mixed_or_clauses(QBool(((SHOULD, conj), (SHOULD, QTerm("x"))), msm=2))
+    assert m2 == ([{"a": 1, "b": 1}, {"x": 1}], [], 2)
+    assert mixed_or_clauses(QBool(((SHOULD, conj),), msm=1))[2] == 0
+    assert mixed_or_clauses(QBool(((SHOULD, conj),), msm=5))[2] == -1
     # unsupported shapes fall back (None)
     assert mixed_or_clauses(QTerm("a")) is None
     assert mixed_or_clauses(_tree((MUST, QTerm("a")), (SHOULD, conj))) is None
     assert mixed_or_clauses(_tree((SHOULD, QTerm("a", boost=2.0)))) is None
     assert mixed_or_clauses(QBool(((SHOULD, conj),), boost=2.0)) is None
-    assert mixed_or_clauses(QBool(((SHOULD, conj), (SHOULD, QTerm("x"))), msm=2)) is None
     nested = QBool(((MUST, conj), (MUST, QTerm("e"))))
     assert mixed_or_clauses(_tree((SHOULD, nested))) is None
     ph = QPhrase((("a", 0), ("b", 1)))
@@ -202,3 +206,51 @@ def test_seed_theta_tree_sound_and_tightens(mixed_index):
         (MUST_NOT, QTerm("ban")),
     )
     assert seed_theta_tree(mixed_index, tree_not) == 0.0
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_msm_mixed_matches_exhaustive(mixed_index, trial):
+    """minimumNumberShouldMatch over mixed clauses on the PRUNED path
+    (r6): distinct-matching-clause gate == the exhaustive tree's
+    __cid__ counting, randomized."""
+    rng = random.Random(4200 + trial)
+    vocab = ["med", "rare", "hot"] + [f"w{i}" for i in range(30)]
+    cls = []
+    for _ in range(rng.randrange(2, 5)):
+        if rng.random() < 0.5:
+            cls.append((SHOULD, QTerm(rng.choice(vocab))))
+        else:
+            m = tuple((MUST, QTerm(rng.choice(vocab)))
+                      for _ in range(rng.randrange(2, 3)))
+            cls.append((SHOULD, QBool(m)))
+    msm = rng.randrange(2, len(cls) + 1)
+    tree = QBool(tuple(cls), msm=msm)
+    from lucene_spark.search.executor import search_tree, search_tree_topk
+
+    pruned = search_tree_topk(mixed_index, tree, k=10)
+    assert pruned is not None
+    sa = _canon(pruned.collect())
+    sb = _canon(search_tree(mixed_index, tree, k=10).collect())
+    assert sa == sb
+
+
+def test_msm_mixed_goldens(mixed_index):
+    from lucene_spark.search.executor import search_query, search_tree
+
+    conj = QBool(((MUST, QTerm("rare")), (MUST, QTerm("hot"))))
+    # 2-of-3 with a conjunction clause; exclusion on top
+    tree = QBool(((SHOULD, conj), (SHOULD, QTerm("med")),
+                  (SHOULD, QTerm("w3")), (MUST_NOT, QTerm("ban"))), msm=2)
+    sa = _canon(search_query(mixed_index, tree, k=20).collect())
+    sb = _canon(search_tree(mixed_index, tree, k=20).collect())
+    assert sa == sb and sa[0]
+    # msm == #clauses degenerates to AND-of-clauses
+    tree_all = QBool(((SHOULD, conj), (SHOULD, QTerm("med"))), msm=2)
+    sa = _canon(search_query(mixed_index, tree_all, k=20).collect())
+    sb = _canon(search_tree(mixed_index, tree_all, k=20).collect())
+    assert sa == sb
+    # infeasible msm -> empty
+    from lucene_spark.search.executor import search_tree_topk
+
+    none = QBool(((SHOULD, conj),), msm=3)
+    assert search_tree_topk(mixed_index, none, k=5).collect() == []
