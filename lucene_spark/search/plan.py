@@ -574,21 +574,23 @@ def mixed_or_clauses(node):
     match, the freq-counting-WAND analog at clause granularity)."""
     if not isinstance(node, QBool) or node.boost != 1.0:
         return None
-    clauses: List[Dict[str, int]] = []
+    clauses: List[Dict[str, float]] = []
     excluded: List[str] = []
     for occ, child in node.clauses:
         if occ == SHOULD:
-            if (isinstance(child, QTerm) and child.boost == 1.0
-                    and child.field is None):
-                clauses.append({child.term: 1})
-            elif (isinstance(child, QBool) and child.boost == 1.0
+            if isinstance(child, QTerm) and child.field is None:
+                # clause weight = the term's boost (BoostQuery folding;
+                # BM25 is linear in the weight) — r6 accepts any boost
+                clauses.append({child.term: float(child.boost)})
+            elif (isinstance(child, QBool)
                   and child.msm == 0 and child.clauses
                   and all(o == MUST and isinstance(c, QTerm)
-                          and c.boost == 1.0 and c.field is None
+                          and c.field is None
                           for o, c in child.clauses)):
-                d: Dict[str, int] = {}
+                cb = float(child.boost)
+                d: Dict[str, float] = {}
                 for _, c in child.clauses:
-                    d[c.term] = d.get(c.term, 0) + 1
+                    d[c.term] = d.get(c.term, 0.0) + cb * float(c.boost)
                 clauses.append(d)
             else:
                 return None

@@ -43,10 +43,14 @@ def test_mixed_shape_detection():
     assert m2 == ([{"a": 1, "b": 1}, {"x": 1}], [], 2)
     assert mixed_or_clauses(QBool(((SHOULD, conj),), msm=1))[2] == 0
     assert mixed_or_clauses(QBool(((SHOULD, conj),), msm=5))[2] == -1
+    # clause boosts fold into the weights (r6): term boost, conj boost,
+    # member boost all multiply (BM25 linear in W)
+    bconj = QBool(((MUST, QTerm("a", boost=3.0)), (MUST, QTerm("b"))), boost=2.0)
+    got_b = mixed_or_clauses(_tree((SHOULD, bconj), (SHOULD, QTerm("c", boost=0.5))))
+    assert got_b == ([{"a": 6.0, "b": 2.0}, {"c": 0.5}], [], 0)
     # unsupported shapes fall back (None)
     assert mixed_or_clauses(QTerm("a")) is None
     assert mixed_or_clauses(_tree((MUST, QTerm("a")), (SHOULD, conj))) is None
-    assert mixed_or_clauses(_tree((SHOULD, QTerm("a", boost=2.0)))) is None
     assert mixed_or_clauses(QBool(((SHOULD, conj),), boost=2.0)) is None
     nested = QBool(((MUST, conj), (MUST, QTerm("e"))))
     assert mixed_or_clauses(_tree((SHOULD, nested))) is None
@@ -254,3 +258,34 @@ def test_msm_mixed_goldens(mixed_index):
 
     none = QBool(((SHOULD, conj),), msm=3)
     assert search_tree_topk(mixed_index, none, k=5).collect() == []
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_boosted_mixed_matches_exhaustive(mixed_index, trial):
+    """Boosted clauses (term^b, (x AND y)^b, member boosts) on the pruned
+    path equal the exhaustive tree, randomized, across similarities."""
+    rng = random.Random(7700 + trial)
+    vocab = ["med", "rare", "hot"] + [f"w{i}" for i in range(30)]
+
+    def boost():
+        return rng.choice([1.0, 0.5, 2.0, 3.0])
+
+    cls = []
+    for _ in range(rng.randrange(2, 5)):
+        if rng.random() < 0.5:
+            cls.append((SHOULD, QTerm(rng.choice(vocab), boost=boost())))
+        else:
+            m = tuple((MUST, QTerm(rng.choice(vocab), boost=boost()))
+                      for _ in range(rng.randrange(2, 3)))
+            cls.append((SHOULD, QBool(m, boost=boost())))
+    if rng.random() < 0.3:
+        cls.append((MUST_NOT, QTerm("ban")))
+    sim = rng.choice([None, "classic", "lm_dirichlet"])
+    tree = QBool(tuple(cls))
+    from lucene_spark.search.executor import search_tree, search_tree_topk
+
+    pruned = search_tree_topk(mixed_index, tree, k=10, similarity=sim)
+    assert pruned is not None
+    assert _canon(pruned.collect()) == _canon(
+        search_tree(mixed_index, tree, k=10, similarity=sim).collect()
+    )
