@@ -171,6 +171,25 @@ class IAtLeast:
 
 
 @dataclass(frozen=True)
+class IMaxGaps:
+    """Intervals.maxgaps(n, source) over ANY source
+    (FilteredIntervalsSource.maxGaps — the generic wrapper; IOrdered/
+    IUnordered keep their embedded fields for the common shapes)."""
+
+    source: object
+    max_gaps: int
+
+
+@dataclass(frozen=True)
+class IMaxWidth:
+    """Intervals.maxwidth(n, source) over ANY source
+    (FilteredIntervalsSource.maxWidth)."""
+
+    source: object
+    max_width: int
+
+
+@dataclass(frozen=True)
 class IUnorderedNoOverlaps:
     """Intervals.unorderedNoOverlaps(a, b) — two-source unordered windows
     whose chosen sub-intervals do NOT overlap
@@ -237,6 +256,8 @@ def _children_of(node) -> List[object]:
     if isinstance(node, (IBefore, IAfter, IOverlapping)):
         return [node.source, node.reference]
     if isinstance(node, IExtend):
+        return [node.source]
+    if isinstance(node, (IMaxGaps, IMaxWidth)):
         return [node.source]
     if isinstance(node, IUnorderedNoOverlaps):
         return [node.a, node.b]
@@ -455,6 +476,14 @@ def eval_intervals(node, positions: Dict[str, np.ndarray]) -> List[Interval]:
         return _minimalize(cands)
     if isinstance(node, INoIntervals):
         return []
+    if isinstance(node, IMaxGaps):
+        return _filter_gaps_width(
+            eval_intervals(node.source, positions), int(node.max_gaps), None
+        )
+    if isinstance(node, IMaxWidth):
+        return _filter_gaps_width(
+            eval_intervals(node.source, positions), None, int(node.max_width)
+        )
     if isinstance(node, IUnorderedNoOverlaps):
         av = eval_intervals(node.a, positions)
         bv = eval_intervals(node.b, positions)
@@ -874,6 +903,10 @@ def expand_interval_sources(index, node):
         return IOverlapping(kids[0], kids[1])
     if isinstance(node, IExtend):
         return IExtend(kids[0], node.before, node.after)
+    if isinstance(node, IMaxGaps):
+        return IMaxGaps(kids[0], node.max_gaps)
+    if isinstance(node, IMaxWidth):
+        return IMaxWidth(kids[0], node.max_width)
     if isinstance(node, IUnorderedNoOverlaps):
         return IUnorderedNoOverlaps(kids[0], kids[1])
     if isinstance(node, IWithin):

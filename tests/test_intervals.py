@@ -708,3 +708,29 @@ def test_unordered_no_overlaps_matches_brute(trial):
         if ia[1] < ib[0] or ib[1] < ia[0]  # no overlap
     ]
     assert got == brute_minimal(cands)
+
+
+def test_generic_maxgaps_maxwidth_wrappers():
+    """IMaxGaps/IMaxWidth == the embedded ordered/unordered filters, and
+    compose over sources that have no embedded filter (atLeast)."""
+    import random
+
+    from lucene_spark.search.intervals import (
+        IAtLeast, IMaxGaps, IMaxWidth, IOrdered, IUnordered,
+    )
+
+    rng = random.Random(321)
+    for _ in range(10):
+        positions = _rand_positions(rng, 3)
+        kids = tuple(ITerm(f"t{i}") for i in range(3))
+        for g in (0, 1, 3):
+            a = eval_intervals(IMaxGaps(IOrdered(kids), g), positions)
+            b = eval_intervals(IOrdered(kids, max_gaps=g), positions)
+            assert a == b
+        for w in (3, 5, 9):
+            a = eval_intervals(IMaxWidth(IUnordered(kids), w), positions)
+            b = eval_intervals(IUnordered(kids, max_width=w), positions)
+            assert a == b
+        # over atLeast: every kept window obeys the width cap
+        for s, e, _ in eval_intervals(IMaxWidth(IAtLeast(kids, 2), 6), positions):
+            assert e - s + 1 <= 6
