@@ -2506,6 +2506,7 @@ def make_mixed_topk_fn(
     sim=None,
     weights: Optional[Dict[str, float]] = None,
     msm: int = 0,
+    cursor: Optional[Tuple[float, int]] = None,
 ):
     """Per-segment scorer for the MIXED single-level disjunction — an OR
     over pseudo-scorers that are plain terms or AND-of-term groups, e.g.
@@ -2544,7 +2545,15 @@ def make_mixed_topk_fn(
     rises from docs already GUARANTEED qualified (counts are monotone),
     candidates additionally keep any doc whose count can still reach
     msm, and NEW docs stop being admitted once the remaining clauses
-    cannot credit msm."""
+    cannot credit msm.
+
+    ``cursor`` = (after_score, after_docid) enables pruned deep paging
+    (IndexSearcher.searchAfter): a doc whose partial sum already exceeds
+    the cursor score can never re-enter the page (sums only grow) and is
+    dropped from decoding; theta may only rise from docs GUARANTEED to
+    stay at/below the cursor (acc + full remaining bound <= after_score),
+    so the intra-clause theta refresh is disabled — exactly the flat
+    path's cursor rules."""
     if sim is None:
         from .similarities import BM25Bound
 
@@ -2554,6 +2563,9 @@ def make_mixed_topk_fn(
     chunk_blocks = int(MAXSCORE_CHUNK)
     cl = [dict(c) for c in clauses]
     msm = int(msm)
+    after_bound = float(cursor[0]) if cursor is not None else None
+    after_docid = int(cursor[1]) if cursor is not None else None
+    slack = 2.0 - scale  # tiny upward slack for float re-association
     _Z = np.empty(0, np.int64)
 
     def run(pdf: pd.DataFrame, deleted: Optional[np.ndarray]):
@@ -2710,10 +2722,14 @@ def make_mixed_topk_fn(
         def kth(vals: np.ndarray) -> float:
             return float(np.partition(vals, len(vals) - k)[len(vals) - k])
 
-        def bump_theta():
-            # theta rises only from docs GUARANTEED to qualify
+        def bump_theta(rest=0.0):
+            # theta rises only from docs GUARANTEED to qualify; in cursor
+            # mode additionally GUARANTEED to stay at/below the cursor
+            # (acc + full remaining bound <= after_score)
             nonlocal theta
             qual = seen if nmatch is None else seen & (nmatch >= msm)
+            if after_bound is not None:
+                qual = qual & (acc + rest <= after_bound)
             if int(qual.sum()) >= k:
                 theta = max(theta, kth(acc[qual]))
 
@@ -2734,6 +2750,10 @@ def make_mixed_topk_fn(
                     # count-hopeless docs can drop outright: the remaining
                     # clauses cannot lift them to msm
                     mask &= nmatch + (nclauses - i) >= msm
+                if after_bound is not None:
+                    # partial sum already past the cursor: can never
+                    # re-enter the page (sums only grow)
+                    mask &= acc <= after_bound * slack
                 sel = np.flatnonzero(mask) + base
                 sel_theta = theta
 
@@ -2797,7 +2817,8 @@ def make_mixed_topk_fn(
                         seen[ids - base] = True
                         if nmatch is not None:
                             nmatch[ids - base] += 1
-                        bump_theta()
+                        if after_bound is None:
+                            bump_theta()
             else:
                 members = sorted(
                     c, key=lambda t: sum(int(r["df"]) for r in rows[t])
@@ -2902,7 +2923,7 @@ def make_mixed_topk_fn(
                         csd[ids2 - base] += (
                             np.asarray(sim.score(m, tf2, dl2), np.float64) * fw
                         )
-                        if last:
+                        if last and after_bound is None:
                             done[ids2 - base] = True
                             # full-clause matches: acc + csd are exact
                             # partial totals — but only docs GUARANTEED
@@ -2925,7 +2946,13 @@ def make_mixed_topk_fn(
                         seen[idx] = True
                         if nmatch is not None:
                             nmatch[idx] += 1
-                        bump_theta()
+                        if after_bound is None:
+                            bump_theta()
+            if after_bound is not None:
+                # cursor mode: theta only from docs GUARANTEED at/below
+                # the cursor — sound with the clause's FULL remaining
+                # bound, known only at clause end (flat-path rule)
+                bump_theta(rest=rest)
 
         if nmatch is None:
             matched = np.flatnonzero(seen) + base
@@ -2933,7 +2960,16 @@ def make_mixed_topk_fn(
             matched = np.flatnonzero(seen & (nmatch >= msm)) + base
         if len(matched) == 0:
             return _Z, _Z.astype(np.float64), counters
-        out_ids, out_sc = _select_topk(matched, acc[matched - base], k)
+        final = acc[matched - base]
+        if after_bound is not None:
+            # keep hits strictly after the (score desc, docid asc) cursor
+            ok = (final < after_bound) | (
+                (final == after_bound) & (matched > after_docid)
+            )
+            matched, final = matched[ok], final[ok]
+            if len(matched) == 0:
+                return _Z, _Z.astype(np.float64), counters
+        out_ids, out_sc = _select_topk(matched, final, k)
         return out_ids, out_sc, counters
 
     def topk_fn(key, pdf: pd.DataFrame, deleted: Optional[np.ndarray]) -> pd.DataFrame:
@@ -3125,6 +3161,50 @@ def search_tree_topk(
     per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
     out = per_seg.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
     return out if with_metrics else out.select("docid", "score")
+
+
+def search_tree_after(
+    index: Index,
+    node,
+    k: int,
+    after_score: float,
+    after_docid: int,
+    quantize: bool = False,
+    dtype=np.float64,
+    similarity: Optional[str] = None,
+) -> DataFrame:
+    """Cursor pagination for query TREES (IndexSearcher.searchAfter,
+    IndexSearcher.java:587-602): mixed single-level disjunctions page on
+    the PRUNED clause path (theta seeds from cursor-guaranteed docs,
+    past-cursor partials stop decoding); any other tree shape falls back
+    to the exhaustive evaluation filtered by the cursor."""
+    plan = _mixed_plan(index, node, quantize, dtype, similarity)
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, score double")
+    if plan is not None:
+        live, excl, msm, weights, sim, rows = plan
+        if not live or msm < 0:
+            return empty
+        fn = make_mixed_topk_fn(
+            live, excl, k, float(index.field_stats.avgdl()), quantize, dtype,
+            sim=sim, weights=weights, msm=msm,
+            cursor=(float(after_score), int(after_docid)),
+        )
+        per_seg = apply_per_segment(index, rows, fn, TOPK_SCHEMA)
+        return (
+            per_seg.orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k).select("docid", "score")
+        )
+    full = search_tree(index, node, k=None, quantize=quantize, dtype=dtype,
+                       similarity=similarity)
+    cond = (F.col("score") < float(after_score)) | (
+        (F.col("score") == float(after_score)) & (F.col("docid") > int(after_docid))
+    )
+    return (
+        full.filter(cond)
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
 
 
 def tree_skip_metrics(

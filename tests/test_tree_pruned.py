@@ -289,3 +289,42 @@ def test_boosted_mixed_matches_exhaustive(mixed_index, trial):
     assert _canon(pruned.collect()) == _canon(
         search_tree(mixed_index, tree, k=10, similarity=sim).collect()
     )
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_search_tree_after_matches_exhaustive(mixed_index, trial):
+    """Pruned tree deep paging == exhaustive-filtered paging, randomized
+    (pages 2 and 3, with msm/boost/NOT mixes)."""
+    from lucene_spark.search.executor import search_tree, search_tree_after
+
+    rng = random.Random(8800 + trial)
+    vocab = ["med", "rare", "hot"] + [f"w{i}" for i in range(30)]
+    cls = []
+    for _ in range(rng.randrange(2, 5)):
+        if rng.random() < 0.5:
+            cls.append((SHOULD, QTerm(rng.choice(vocab),
+                                      boost=rng.choice([1.0, 2.0]))))
+        else:
+            m = tuple((MUST, QTerm(rng.choice(vocab)))
+                      for _ in range(rng.randrange(2, 3)))
+            cls.append((SHOULD, QBool(m)))
+    if rng.random() < 0.3:
+        cls.append((MUST_NOT, QTerm("ban")))
+    nsh = sum(1 for o, _ in cls if o == SHOULD)
+    tree = QBool(tuple(cls), msm=rng.choice([0, 0, 2]) if nsh >= 2 else 0)
+    k = rng.choice([5, 10])
+    full = search_tree(mixed_index, tree, k=None).collect()
+    if len(full) <= k:
+        return  # no second page to test
+    ordered = sorted(full, key=lambda r: (-r["score"], r["docid"]))
+    cur = ordered[k - 1]
+    got = _canon(search_tree_after(
+        mixed_index, tree, k, float(cur["score"]), int(cur["docid"])
+    ).collect())
+    want = _canon(
+        [r for r in ordered
+         if (r["score"] < cur["score"])
+         or (r["score"] == cur["score"] and r["docid"] > cur["docid"])][:k]
+    )
+    assert got == want
+    assert got[0]  # vacuity guard
