@@ -321,7 +321,12 @@ def sloppy_2term_doc_freqs(
         return z, np.empty(0, dtype)
     keys = np.concatenate([ka, kb])
     lab = np.concatenate([np.zeros(len(ka), np.int8), np.ones(len(kb), np.int8)])
-    order = np.lexsort((lab, keys))
+    if len(keys) and int(keys.max()) < (1 << 62):
+        # fused (key, label) sort key: one int64 argsort instead of a
+        # two-pass lexsort — same ordering (label A before B on key ties)
+        order = np.argsort((keys << 1) | lab, kind="stable")
+    else:
+        order = np.lexsort((lab, keys))
     k = keys[order]
     l = lab[order]
     n = len(k)

@@ -7,6 +7,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """One third of physical RAM, clamped to [4g, 48g] — big enough that
+    local-mode executors (which share the driver JVM) survive sf-scale
+    shuffles/aggregations, small enough to leave room for Python workers
+    and the OS page cache."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page = os.sysconf("SC_PAGE_SIZE")
+        gib = (pages * page) // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        gib = 16
+    return f"{max(4, min(48, gib // 3))}g"
+
+
 def get_spark(app: str = "lucene_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     # Python workers inherit this env: keep large numpy/pandas buffers
@@ -28,7 +42,13 @@ def get_spark(app: str = "lucene_spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local-mode: the driver heap IS the executor heap. 16g OOM'd the
+        # r6 driver bench at sf1.0 (Java heap space + evicted blocks, 3/3
+        # repeats); this sandbox has 128 GiB, so default to a third of
+        # physical RAM capped at 48g — still parameterised for real
+        # clusters via SPARK_GRAFT_DRIVER_MEM (guide §5: fix stability
+        # with memory sizing, not by shrinking the work)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # compute-per-byte here (sha256, tokenize) is high: bin-pack file
