@@ -1873,8 +1873,12 @@ def q_ann_hnsw_exact_topk(spark, sf):
     from lucene_spark.pipeline.hnsw import hnsw_index_topk
 
     qv = _ann_query_vec(spark, sf)
+    # pool k=3000 (the documented size): a float32-rounded top-30 could
+    # drop a true float64 top-10 vector on near-tie embeddings and flap
+    # the oracle row (ADVICE r6); the wide pool makes the exact re-rank
+    # robust while staying k-bounded
     pool = hnsw_index_topk(
-        spark, _hnsw_index_dir(spark, sf), qv, k=30, ef_search=1 << 20
+        spark, _hnsw_index_dir(spark, sf), qv, k=3000, ef_search=1 << 20
     )
     cand = _emb(spark, sf).join(pool.select("vec_id"), "vec_id")
     return cosine_topk(cand, qv, k=10)
@@ -2031,9 +2035,18 @@ def q_interval_prefix_docs(spark, sf):
         IOrdered, IPrefix, ITerm, search_intervals,
     )
 
-    node = IOrdered((IPrefix("spar"), ITerm("join")))
+    idx = _index(spark, sf)
+    # the DuckDB oracle's LIKE 'spar%' is UNCAPPED while the engine caps
+    # expansions; assert LOUDLY that the corpus stays under the cap so
+    # the two can never silently diverge (ADVICE r6)
+    cap = 10_000
+    exp = idx.expand_terms(prefix="spar", max_terms=cap + 1)
+    assert len(exp) <= cap, (
+        f"prefix 'spar' expands to >{cap} terms; oracle comparison invalid"
+    )
+    node = IOrdered((IPrefix("spar", max_expansions=cap), ITerm("join")))
     return (
-        search_intervals(_index(spark, sf), node)
+        search_intervals(idx, node)
         .select("docid").orderBy("docid")
     )
 

@@ -140,11 +140,15 @@ def lsh_candidate_pairs(
     docs, license boilerplate repeated across the corpus — would fan out
     B²/2 pairs inside ONE task and OOM it at 100 TB. Buckets larger than
     ``max_bucket_size`` therefore emit a STAR instead of all pairs: every
-    member pairs with the bucket's smallest doc_id (B-1 rows). For
-    dedup-by-clustering this loses nothing — the cluster stays connected
-    through the representative (union-find closes it) — while the task is
-    back to linear. ``lsh_hot_buckets`` reports which buckets were capped
-    so the drop is never silent. ``max_bucket_size=None`` disables."""
+    member pairs with the bucket's smallest doc_id (B-1 rows), keeping the
+    task linear. Recall trade, stated honestly (ADVICE r6): the star only
+    preserves the full cluster when bucket members are true near-dups of
+    the representative — in a hot-but-HETEROGENEOUS bucket, downstream
+    Jaccard verification can sever rep edges and real duplicate pairs
+    among non-rep members are then lost. Re-verify the buckets
+    ``lsh_hot_buckets`` reports (e.g. a secondary pass with a different
+    band seed, or exact pairing within the capped bucket) when recall
+    there matters. ``max_bucket_size=None`` disables."""
     if sig is None:
         sig = minhash_signatures(df, text_col, shingle, cfg)
     bands = band_buckets(sig, cfg)

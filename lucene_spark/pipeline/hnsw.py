@@ -52,9 +52,119 @@ def hnsw_build(vectors: np.ndarray, M: int = 16, ef_construction: int = 100,
     Returns (levels int32[n], neighbors): ``neighbors[l]`` is an int32
     array (n_l?, ...) stored as a dict {level: {node: int32 array}} in a
     flat CSR-ish form — per level l, ``nbr[l]`` maps node -> neighbor ids.
-    Pure numpy + small python loops per inserted node (construction is a
-    per-shard, in-task cost; search is the hot path).
+
+    r7: the per-insertion ef-beam (the construction cost floor — >85% of
+    build wall was numpy-call/heap overhead inside that loop) runs
+    through an optionally compiled C kernel (_hnsw_native; same walk,
+    same admission/termination rules, fixed-capacity neighbor matrices).
+    When no C compiler is available the pure-numpy path below runs
+    unchanged. The two paths may differ in float last-ulp tie-breaks;
+    correctness is recall-gated (tests/test_hnsw.py).
     """
+    from . import _hnsw_native
+
+    lib = _hnsw_native.load()
+    if lib is not None:
+        try:
+            return _hnsw_build_native(vectors, M, ef_construction, seed, lib)
+        except Exception:
+            pass  # any native-path failure falls back to pure numpy
+    return _hnsw_build_py(vectors, M, ef_construction, seed)
+
+
+def _hnsw_build_native(vectors: np.ndarray, M: int, ef_construction: int,
+                       seed: int, lib):
+    import ctypes
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    n = len(vectors)
+    if n == 0:
+        return np.empty(0, np.int32), []
+    V = np.ascontiguousarray(_l2_normalize(np.asarray(vectors, dtype=np.float32)))
+    d = V.shape[1]
+    rng = np.random.default_rng(seed)
+    ml = 1.0 / np.log(M)
+    u = np.maximum(rng.random(n), 1e-300)
+    levels = np.minimum((-np.log(u) * ml).astype(np.int32), 31)
+    max_level = int(levels.max())
+    max_conn = [2 * M] + [M] * max_level
+    # fixed-capacity neighbor matrices (the C kernel's layout); the prune
+    # below keeps every row <= max_conn, so capacity == max_conn
+    nbrmat = [np.zeros((n, max_conn[l]), dtype=np.int32)
+              for l in range(max_level + 1)]
+    counts = [np.zeros(n, dtype=np.int32) for _ in range(max_level + 1)]
+    nm_p = [m.ctypes.data_as(i32p) for m in nbrmat]
+    ct_p = [c.ctypes.data_as(i32p) for c in counts]
+    stamp = np.zeros(n, dtype=np.int64)
+    stamp_p = stamp.ctypes.data_as(i64p)
+    Vp = V.ctypes.data_as(f32p)
+    out_ids = np.empty(ef_construction, np.int32)
+    out_d = np.empty(ef_construction, np.float32)
+    oi_p = out_ids.ctypes.data_as(i32p)
+    od_p = out_d.ctypes.data_as(f32p)
+    g_id = np.empty(1, np.int32)
+    g_d = np.empty(1, np.float32)
+    gi_p = g_id.ctypes.data_as(i32p)
+    gd_p = g_d.ctypes.data_as(f32p)
+    vaddr = V.ctypes.data
+    row_bytes = d * 4
+    epoch = 0
+
+    entry_point = 0
+    entry_level = int(levels[0])
+    for i in range(1, n):
+        qp = ctypes.cast(vaddr + i * row_bytes, f32p)
+        li = int(levels[i])
+        ep = entry_point
+        if entry_level > li:
+            dep = 1.0 - float(V[ep] @ V[i])
+            for l in range(entry_level, li, -1):
+                lib.greedy_step(Vp, d, nm_p[l], ct_p[l], max_conn[l], qp,
+                                ep, np.float32(dep), gi_p, gd_p)
+                ep, dep = int(g_id[0]), float(g_d[0])
+        for l in range(min(li, entry_level), -1, -1):
+            epoch += 1
+            cnt = lib.search_layer(
+                Vp, d, n, nm_p[l], ct_p[l], max_conn[l], qp, ep,
+                ef_construction, stamp_p, epoch, oi_p, od_p,
+            )
+            found = out_ids[:cnt]
+            sel = found[:M]  # ascending distance: SELECT_SIMPLE
+            mat, cts = nbrmat[l], counts[l]
+            mat[i, :len(sel)] = sel
+            cts[i] = len(sel)
+            mc = max_conn[l]
+            for e in sel.tolist():
+                c = int(cts[e])
+                if c < mc:
+                    mat[e, c] = i
+                    cts[e] = c + 1
+                else:
+                    cur = np.concatenate([mat[e, :c], [i]]).astype(np.int64)
+                    ds = 1.0 - V[cur] @ V[e]
+                    keep = np.argsort(ds, kind="stable")[:mc]
+                    mat[e, :mc] = cur[keep]
+                    cts[e] = mc
+            ep = int(found[0])
+        if li > entry_level:
+            entry_level = li
+            entry_point = i
+
+    # convert to the public dict-per-level form (same membership rule as
+    # the numpy path: node j appears at levels 0..levels[j])
+    nbr: List[dict] = []
+    for l in range(max_level + 1):
+        ids_at = np.flatnonzero(levels >= l)
+        mat, cts = nbrmat[l], counts[l]
+        nbr.append({int(j): mat[j, :cts[j]].copy() for j in ids_at})
+    return levels, nbr, entry_point, entry_level
+
+
+def _hnsw_build_py(vectors: np.ndarray, M: int = 16, ef_construction: int = 100,
+                   seed: int = 42):
     import heapq
 
     rng = np.random.default_rng(seed)
@@ -375,7 +485,12 @@ def build_hnsw_index(
 
     rows = (
         emb.select(id_col, vec_col)
-        .withColumn("__shard__", F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)))
+        # cast BEFORE hashing: Spark's Murmur3 hashes IntegerType and
+        # LongType differently, and the filtered-search path hashes a
+        # long — an uncast int id column would route filter ids to the
+        # wrong shard (ADVICE r6). Stamped in the manifest.
+        .withColumn("__shard__",
+                    F.pmod(F.hash(F.col(id_col).cast("long")), F.lit(num_shards)))
         .groupBy("__shard__")
         .applyInPandas(build, "shard int, n long")
         .collect()
@@ -384,6 +499,7 @@ def build_hnsw_index(
         "dim": int(dim), "M": int(M), "ef_construction": int(ef_construction),
         "num_shards": int(num_shards), "seed": int(seed),
         "shards": sorted({int(r["shard"]) for r in rows}),
+        "id_hash": "long",  # both build and filtered search hash CAST-to-long ids
         "n_vectors": int(sum(r["n"] for r in rows)),
         "quantized": bool(quantize),
         "max_shard_vectors": int(max_shard_vectors),
@@ -446,10 +562,13 @@ def hnsw_index_topk(
         return res.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
 
     # route each allowed id to its shard with the SAME hash the build used;
-    # a shard with no allowed ids never even spawns a task
+    # a shard with no allowed ids never even spawns a task. Ids landing on
+    # a shard that holds no vectors (absent from the manifest) are dropped
+    # here instead of crashing the task on a nonexistent blob (ADVICE r6).
     fdf = (
         filter_df.select(F.col(id_col).cast("long").alias("vec_id"))
         .withColumn("__shard__", F.pmod(F.hash(F.col("vec_id")), F.lit(num_shards)))
+        .filter(F.col("__shard__").isin([int(s) for s in shards]))
     )
 
     def search_filtered(key, pdf: pd.DataFrame) -> pd.DataFrame:

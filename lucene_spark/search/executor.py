@@ -309,6 +309,27 @@ class Index:
     def seg_postings(self) -> DataFrame:
         return self._snap_seg(self.spark.read.parquet(self.paths.postings))
 
+    # skip/impact metadata every per-segment scorer needs; block streams
+    # are requested explicitly so the positions/offsets payloads never
+    # ship through the segment shuffle unless the operator decodes them
+    # (project before the exchange — on a positions+offsets index the
+    # unused streams are most of the row's bytes)
+    _SCORE_COLS = (
+        "term", "segment_id", "df", "first_docid", "last_docid",
+        "max_tf", "min_doclen", "block_first", "block_last",
+        "block_maxtf", "block_mindl", "block_imp",
+    )
+
+    def postings_for(self, terms=None, streams=("block_data",)) -> DataFrame:
+        """Scoring-projected postings rows: skip/impact metadata plus only
+        the requested block streams, filtered to ``terms`` when given."""
+        ps = self.seg_postings
+        cols = [c for c in self._SCORE_COLS if c in ps.columns]
+        cols += [s for s in streams if s in ps.columns and s not in cols]
+        if terms is not None:
+            ps = ps.filter(F.col("term").isin(list(terms)))
+        return ps.select(*cols)
+
     @property
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(self._term_stats_dir)
@@ -1029,7 +1050,17 @@ def make_topk_fn(
                             if int(qual.sum()) >= k:
                                 theta = max(theta, kth(acc[qual]))
                 if after_bound is not None:
-                    guaranteed = seen & (acc + rest <= after_bound)
+                    # only docs GUARANTEED on the page may raise theta: a
+                    # doc whose bound TIES the cursor score lands on the
+                    # page only when its docid breaks the tie (ADVICE r6:
+                    # plain <= counted the page-1 boundary tie group and
+                    # could prune genuine later-page hits)
+                    tot = acc + rest
+                    guaranteed = seen & (
+                        (tot < after_bound)
+                        | ((tot == after_bound)
+                           & (np.arange(n, dtype=np.int64) + base > int(cursor[1])))
+                    )
                     if nmatch is not None:
                         guaranteed &= nmatch >= msm
                     vals = acc[guaranteed]
@@ -1160,7 +1191,7 @@ def _topk_plan(index: Index, q: NormalizedQuery, boost: float, dtype,
     if q.min_should_match > sum(c for t, c in q.optional if t in weights):
         return None  # terms absent from the index can never credit msm
     all_terms = sorted(set(weights) | set(q.excluded))
-    rows = index.seg_postings.filter(F.col("term").isin(all_terms))
+    rows = index.postings_for(all_terms)
     return weights, req, rows, sim
 
 
@@ -1302,6 +1333,25 @@ def seed_theta(
     stats = index.term_stats_for(list(weights))
     rarest = min(weights, key=lambda t: stats[t][0])
     qtf = dict(q.optional).get(rarest, 1)
+    # r7: when the rarest list is small, decode it on the DRIVER through
+    # the parquet row-group seek (same machinery as auto_seed_theta tier
+    # 1) — the k-th partial is identical to the one-term Spark pass, at
+    # term-dictionary-seek cost instead of a whole job. Declined on live
+    # deletes (the Spark pass applies tombstones; the raw decode cannot).
+    if not index.has_deletes and k <= stats[rarest][0] <= AUTO_SEED_DECODE_CAP:
+        tfs, dls = _driver_term_postings(index, rarest)
+        if tfs is not None and len(tfs) >= k:
+            if sim is not None:
+                s = np.asarray(sim.score(rarest, tfs, dls), np.float64)
+            else:
+                s = np.asarray(
+                    score_arrays(tfs, dls, weights[rarest],
+                                 float(index.field_stats.avgdl()),
+                                 quantize, dtype),
+                    np.float64,
+                )
+            kth = float(np.partition(s, len(s) - k)[len(s) - k])
+            return kth * PRUNE_SCALE[dtype]
     sub = NormalizedQuery(optional=((rarest, qtf),))
     rows = search_topk(
         index, sub, k=k, boost=boost, quantize=quantize, dtype=dtype,
@@ -1476,7 +1526,7 @@ def term_offsets_for_docs(index: Index, terms, docids: np.ndarray) -> DataFrame:
             }
         )
 
-    rows = index.seg_postings.filter(F.col("term").isin(terms))
+    rows = index.postings_for(terms, streams=("block_data", "block_off"))
     return apply_per_segment(
         index, rows, fn, "docid long, term string, start int, end int"
     )
@@ -1794,7 +1844,7 @@ def _phrase_per_seg(index, phrase, slop, k, boost, quantize, dtype, stop_words,
         similarity, dict(Counter(t for t, _ in terms_off)), stats,
         index.field_stats, boost, quantize, dtype,
     )
-    rows = index.seg_postings.filter(F.col("term").isin(distinct))
+    rows = index.postings_for(distinct, streams=("block_data", "block_pos"))
     fn = make_phrase_topk_fn(
         terms_off, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype,
         sim=sim,
@@ -2137,7 +2187,7 @@ def search_multi_phrase(
         index.field_stats, boost, quantize, dtype,
     )
     distinct = sorted({t for _, a in live_slots for t in a})
-    rows = index.seg_postings.filter(F.col("term").isin(distinct))
+    rows = index.postings_for(distinct, streams=("block_data", "block_pos"))
     fn = make_multiphrase_fn(
         live_slots, w, k, slop, float(index.field_stats.avgdl()), quantize, dtype,
         sim=sim,
@@ -2724,12 +2774,19 @@ def make_mixed_topk_fn(
 
         def bump_theta(rest=0.0):
             # theta rises only from docs GUARANTEED to qualify; in cursor
-            # mode additionally GUARANTEED to stay at/below the cursor
-            # (acc + full remaining bound <= after_score)
+            # mode additionally GUARANTEED on the page — bound strictly
+            # below the cursor score, or tying it with a docid past the
+            # cursor (ADVICE r6: plain <= admitted the page-1 boundary
+            # tie group and could prune genuine later-page hits)
             nonlocal theta
             qual = seen if nmatch is None else seen & (nmatch >= msm)
             if after_bound is not None:
-                qual = qual & (acc + rest <= after_bound)
+                tot = acc + rest
+                qual = qual & (
+                    (tot < after_bound)
+                    | ((tot == after_bound)
+                       & (np.arange(n, dtype=np.int64) + base > after_docid))
+                )
             if int(qual.sum()) >= k:
                 theta = max(theta, kth(acc[qual]))
 
@@ -3075,7 +3132,7 @@ def _mixed_plan(index: Index, node, quantize: bool, dtype,
     if msm > len(live):
         msm = -1  # clauses on unindexed terms can never credit msm
     all_terms = sorted({t for c in live for t in c} | set(excl))
-    rows = index.seg_postings.filter(F.col("term").isin(all_terms))
+    rows = index.postings_for(all_terms)
     return live, excl, msm, weights, sim, rows
 
 
@@ -3107,7 +3164,7 @@ def seed_theta_tree(
 
     cheapest = min(live, key=lead_df)
     terms = sorted(cheapest)
-    rows = index.seg_postings.filter(F.col("term").isin(terms))
+    rows = index.postings_for(terms)
     fn = make_mixed_topk_fn(
         [cheapest], [], k, float(index.field_stats.avgdl()), quantize, dtype,
         sim=sim, weights=weights,

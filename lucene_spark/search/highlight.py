@@ -124,7 +124,7 @@ def highlight_topk(
     from .executor import require_positions
 
     require_positions(index, "highlighting")
-    from .executor import apply_per_segment, search_exhaustive
+    from .executor import apply_per_segment, search_topk
     from .scorer import idf as _idf
 
     spark = index.spark
@@ -132,7 +132,11 @@ def highlight_topk(
         [], "docid long, score double, passage_start int, passage_end int,"
         " n_hits int, passage_score double"
     )
-    top = search_exhaustive(index, q, k=k)
+    # r7: the hit list comes from the PRUNED block-max path in the same
+    # float64/unquantized mode the exhaustive pass used — identical top-k
+    # (pruned==exhaustive differentials + oracle rows), but only ~1-6% of
+    # blocks decode on hot-term queries
+    top = search_topk(index, q, k=k, quantize=False, dtype=np.float64)
     top_rows = top.collect()  # k rows, bounded by the user's k
     if not top_rows:
         return empty
@@ -145,7 +149,7 @@ def highlight_topk(
     }
     if not weights:
         return empty
-    rows = index.seg_postings.filter(F.col("term").isin(sorted(weights)))
+    rows = index.postings_for(sorted(weights), streams=("block_data", "block_pos"))
     fn = make_highlight_fn(weights, docids, int(width))
     hl = apply_per_segment(index, rows, fn, HL_SCHEMA)
     top_df = F.broadcast(
@@ -285,7 +289,7 @@ def passage_highlight_topk(
     Scale shape: top-k bounds everything — the postings decode is
     candidate-restricted to the k docids, re-analysis touches exactly k
     stored rows inside one mapInPandas; no full-corpus work either way."""
-    from .executor import search_exhaustive, term_offsets_for_docs
+    from .executor import search_topk, term_offsets_for_docs
 
     spark = index.spark
     empty = spark.createDataFrame(
@@ -299,7 +303,8 @@ def passage_highlight_topk(
             "index has no offsets stream (IndexConfig(index_offsets=True)); "
             "use source='analysis'"
         )
-    top_rows = search_exhaustive(index, q, k=k).collect()
+    # r7: pruned hit list (same float64 scores as the exhaustive pass)
+    top_rows = search_topk(index, q, k=k, quantize=False, dtype=np.float64).collect()
     if not top_rows:
         return empty
     docids = np.array(sorted(r["docid"] for r in top_rows), dtype=np.int64)

@@ -931,7 +931,7 @@ def search_intervals(index, node) -> DataFrame:
     stats = index.term_stats_for(distinct)
     if any(t not in stats for t in required) or not any(t in stats for t in distinct):
         return index.spark.createDataFrame([], INTERVALS_SCHEMA)
-    rows = index.seg_postings.filter(F.col("term").isin(distinct))
+    rows = index.postings_for(distinct, streams=("block_data", "block_pos"))
     return apply_per_segment(index, rows, make_intervals_fn(node), INTERVALS_SCHEMA)
 
 
