@@ -2427,8 +2427,9 @@ def _eval_node(index: Index, node, quantize: bool, dtype,
             ts = index.term_stats.filter(
                 (F.col("term") >= node.lo) & (F.col("term") <= node.hi)
             ).select("term")
-            if not ts.limit(1).count():
-                return None
+            # no existence pre-check: it cost a Spark job on EVERY call
+            # (cache hits included), and an empty docid set composes
+            # identically to the None fast path in _eval_bool (r7)
 
             def compute() -> DataFrame:
                 return (

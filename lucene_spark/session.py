@@ -21,6 +21,23 @@ def _default_driver_mem() -> str:
     return f"{max(4, min(48, gib // 3))}g"
 
 
+def spread_small(df):
+    """Round-robin repartition a SMALL frame up to the session's
+    parallelism. Compute-heavy single-pass operators (per-row cosine /
+    mask expressions) otherwise run on the scan's split count, and a
+    small parquet input bin-packs into a handful of splits
+    (spark.sql.files.openCostInBytes), leaving most cores idle. Only
+    fires when the current partition count is below parallelism, so a
+    genuinely large input — already many splits — is never reshuffled."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
+    except Exception:
+        pass
+    return df
+
+
 def get_spark(app: str = "lucene_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     # Python workers inherit this env: keep large numpy/pandas buffers

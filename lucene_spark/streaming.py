@@ -40,12 +40,22 @@ _DRIVER_DEDUP_QUERIES = 100_000
 _POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """See session.spread_small: the percolator's mask plan does all its
+    work in the scan stage (mask + constraint expressions + broadcast
+    crossJoin) — observed 3 tasks on 32 cores at sf1.0 before this."""
+    from .session import spread_small
+
+    return spread_small(docs)
+
+
 def _doc_masks(docs: DataFrame, text_col: str, iv, keep_cols=()) -> DataFrame:
     """(doc_id, *keep_cols, __mask__ array<long>) — per-doc presence bitmask
     over the interesting vocabulary ``iv`` (sorted distinct stored-query
     terms). |iv| <= 62: one inline expression, no shuffle; larger: explode +
     broadcast-join + bit-fold, one narrow (doc_id, bit) shuffle. Project
     early: the text column never leaves this function (guide §2.3)."""
+    docs = _spread(docs)
     toks_d = F.array_distinct(tokens(text_col))
     n_words = max(1, (len(iv) + 63) // 64)
     if len(iv) <= _MASK_INLINE_TERMS:
@@ -156,7 +166,7 @@ def percolate_batch(docs: DataFrame, queries: DataFrame, text_col: str = "text")
             queries.select("qid", "terms", "min_match"), ["terms", "min_match"]
         )
         uniq = F.broadcast(u)
-    toked = docs.withColumn("__toks__", F.array_distinct(tokens(text_col)))
+    toked = _spread(docs).withColumn("__toks__", F.array_distinct(tokens(text_col)))
     j = toked.crossJoin(uniq)
     matches = (
         j.withColumn("n_matched", F.size(F.array_intersect("__toks__", "terms")).cast("long"))
@@ -315,6 +325,9 @@ def _percolate_full_masked(docs, shapes, q_mapping, iv, text_col) -> DataFrame:
     spark = docs.sparkSession
     n_words = max(1, (len(iv) + 63) // 64)
     bit_of = {t: j for j, t in enumerate(iv)}
+    phs = sorted({tuple(r["phrase"] or []) for r in shapes if (r["phrase"] or [])})
+    ph_idx = {p: j for j, p in enumerate(phs)}
+    inline_ph = 0 < len(phs) <= _MASK_MAX_EXISTS
     srows, slot_rows = [], []
     for r in shapes:
         qid = int(r["qid"])
@@ -325,25 +338,43 @@ def _percolate_full_masked(docs, shapes, q_mapping, iv, text_col) -> DataFrame:
             _mask_words(set(r["not_terms"] or []), bit_of, n_words),
             int(r["min_match"]),
             bool(phrase),
+            ph_idx[tuple(phrase)] if (phrase and inline_ph) else -1,
         ))
-        for slot, term in enumerate(phrase):
-            slot_rows.append((qid, len(phrase), slot, term))
+        if not inline_ph:
+            for slot, term in enumerate(phrase):
+                slot_rows.append((qid, len(phrase), slot, term))
     sets_df = spark.createDataFrame(
         srows,
         "qid int, req array<bigint>, nots array<bigint>, "
-        "min_match int, has_ph boolean",
+        "min_match int, has_ph boolean, phi int",
     )
-    docm = _doc_masks(docs, text_col, iv)
+    keep = []
+    if inline_ph:
+        # an exact phrase is a consecutive run of whitespace tokens: it
+        # occurs iff ' p1 p2 .. ' substrings the space-normalized token
+        # string — the whole positions/anchor leg becomes one flag column
+        joined = F.concat(
+            F.lit(" "), F.array_join(tokens(text_col), " "), F.lit(" ")
+        )
+        keep.append(F.array(*[
+            joined.contains(" " + " ".join(p) + " ") for p in phs
+        ]).alias("__phf__"))
+    docm = _doc_masks(docs, text_col, iv, keep_cols=keep)
     nm = _popcount_and(F.col("__mask__"), F.col("req"), n_words)
+    cond = (
+        (F.col("n_matched") >= F.col("min_match"))
+        & (F.col("n_matched") >= 1)
+        & _disjoint(F.col("__mask__"), F.col("nots"), n_words)
+    )
+    if inline_ph:
+        cond = cond & (~F.col("has_ph") | F.get(F.col("__phf__"), F.col("phi")))
     cand = (
         docm.crossJoin(F.broadcast(sets_df))
         .withColumn("n_matched", nm.cast("long"))
-        .filter((F.col("n_matched") >= F.col("min_match"))
-                & (F.col("n_matched") >= 1)
-                & _disjoint(F.col("__mask__"), F.col("nots"), n_words))
+        .filter(cond)
         .select("qid", "doc_id", "n_matched", "has_ph")
     )
-    if not slot_rows:
+    if inline_ph or not slot_rows:
         return _fan_out(cand.drop("has_ph"), q_mapping, extra=("n_matched",))
     slots = spark.createDataFrame(
         slot_rows, "qid int, n_slots int, slot int, term string"
@@ -719,11 +750,19 @@ def _tree_match_core(docs: DataFrame, text_col: str, sets, spark) -> DataFrame:
     pats = sorted({p for s in sets for p in s["patterns"]})
     rngs = sorted({r for s in sets for r in s["ranges"]})
     fzs = sorted({f for s in sets for f in s["fuzzies"]})
+    # exact phrases lower to inline substring flags when few are distinct
+    # (a phrase is a consecutive run of whitespace tokens, so it occurs
+    # iff ' p1 p2 .. ' substrings the space-normalized token string — no
+    # positions explode, no anchor join); many distinct phrases keep the
+    # join leg below
+    phs = sorted({tuple(p) for s in sets for p in s["phrases"]})
+    inline_ph = 0 < len(phs) <= _MASK_MAX_EXISTS
     n_words = max(1, (len(iv) + 63) // 64)
     bit_of = {t: j for j, t in enumerate(iv)}
     pat_idx = {p: j for j, p in enumerate(pats)}
     rng_idx = {r: j for j, r in enumerate(rngs)}
     fz_idx = {f: j for j, f in enumerate(fzs)}
+    ph_idx = {p: j for j, p in enumerate(phs)}
     srows = [
         (
             int(s["sid"]),
@@ -732,13 +771,14 @@ def _tree_match_core(docs: DataFrame, text_col: str, sets, spark) -> DataFrame:
             sorted({pat_idx[p] for p in s["patterns"]}),
             sorted({rng_idx[r] for r in s["ranges"]}),
             sorted({fz_idx[f] for f in s["fuzzies"]}),
+            sorted({ph_idx[tuple(p)] for p in s["phrases"]}) if inline_ph else [],
         )
         for s in sets
     ]
     sets_df = spark.createDataFrame(
         srows,
         "sid int, req array<bigint>, nots array<bigint>, "
-        "patr array<int>, rngr array<int>, fzr array<int>",
+        "patr array<int>, rngr array<int>, fzr array<int>, phr array<int>",
     )
     toks_d = F.array_distinct(tokens(text_col))
 
@@ -760,6 +800,13 @@ def _tree_match_core(docs: DataFrame, text_col: str, sets, spark) -> DataFrame:
         keep.append(F.array(*[
             F.exists(toks_d, _range_fn(lo, hi)) for lo, hi in rngs
         ]).alias("__rng__"))
+    if inline_ph:
+        joined = F.concat(
+            F.lit(" "), F.array_join(tokens(text_col), " "), F.lit(" ")
+        )
+        keep.append(F.array(*[
+            joined.contains(" " + " ".join(p) + " ") for p in phs
+        ]).alias("__phf__"))
     docm = _doc_masks(docs, text_col, iv, keep_cols=keep)
     if fzs:
         from .functions.fuzzy import damerau_pair_predicate
@@ -795,11 +842,13 @@ def _tree_match_core(docs: DataFrame, text_col: str, sets, spark) -> DataFrame:
         cond = cond & F.forall(
             "fzr", lambda j: F.exists(fz_set, lambda x: x == j)
         )
+    if inline_ph:
+        cond = cond & F.forall("phr", lambda j: F.get(F.col("__phf__"), j))
     matches = (
         docm.crossJoin(F.broadcast(sets_df)).filter(cond).select("sid", "doc_id")
     )
 
-    ph_sets = [s for s in sets if s["phrases"]]
+    ph_sets = [] if inline_ph else [s for s in sets if s["phrases"]]
     sl_sets = [s for s in sets if s["sloppy"]]
     dpos = None
     if ph_sets or sl_sets:
