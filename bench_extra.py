@@ -208,6 +208,97 @@ def cmd_explains(outdir: str, sf_dir: str) -> None:
     spark.stop()
 
 
+def cmd_ratio10m() -> None:
+    """Decode-ratio rows at a 10M-doc skip index (VERDICT r6 next-round
+    #9): same deterministic term-pick recipe as bench.py's 1M section,
+    one decade up — shows whether theta-seeding and the tree path hold
+    their ratios at the next scale. Writes nothing; prints one line per
+    shape."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import corpus_spark_df_dist
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import (
+        Index, block_skip_metrics, search_topk, tree_skip_metrics,
+    )
+    from lucene_spark.search.plan import MUST, QBool, QTerm, SHOULD, normalize
+
+    spark = _spark()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scratch = os.environ.get("BENCH_SCRATCH", "/dev/shm/lucene_spark_bench")
+    n = int(os.environ.get("BENCH_RATIO_DOCS", "10000000"))
+    corpus = f"{scratch}/corpus_{n}"
+    idx_dir = f"{scratch}/build_{cpus}_{n}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        t0 = time.perf_counter()
+        corpus_spark_df_dist(spark, n, seed=42, num_partitions=max(cpus, 8)).write.mode(
+            "overwrite").parquet(corpus)
+        print(f"corpus {n}: {time.perf_counter() - t0:.1f}s")
+    cfg = IndexConfig(num_segments=max(cpus, n // 25000),
+                      hot_df_threshold=max(200, n // 20),
+                      merge_bucket_segments=max(2, cpus // 8))
+    if not os.path.exists(os.path.join(idx_dir, "_merged", "_SUCCESS")):
+        t0 = time.perf_counter()
+        build_index(spark, spark.read.parquet(corpus), idx_dir, cfg)
+        print(f"build {n}: {time.perf_counter() - t0:.1f}s")
+    idx = Index.open(spark, idx_dir)
+    n_seg, K = int(cfg.num_segments), 10
+
+    def pick(df_lo, df_hi):
+        r = (idx.term_stats.filter(f"df BETWEEN {df_lo} AND {df_hi}")
+             .orderBy(F.desc("df"), "term").limit(1).collect())
+        return r[0]["term"] if r else None
+
+    ultrarare = pick(20, 200)
+    rare = pick(2 * K * n_seg, 6 * K * n_seg)
+    med = pick(n // 1000, n // 250)
+    print("picks:", ultrarare, rare, med)
+
+    def row(name, q, fn=block_skip_metrics, query=None):
+        t0 = time.perf_counter()
+        if query is not None:
+            query()
+        wall = time.perf_counter() - t0
+        m = fn(idx, q, k=K)
+        print(f"q10m_{name:24s} ratio={m['ratio']:.4f} wall={wall:.3f}s")
+
+    if ultrarare:
+        q = normalize(must=[ultrarare, "import"])
+        row("and_rare_hot", q, query=lambda: search_topk(idx, q, k=K).collect())
+        q = normalize(should=[ultrarare, "import"])
+        row("or_ultrarare_hot", q, query=lambda: search_topk(idx, q, k=K).collect())
+    if rare:
+        q = normalize(should=[rare, "import"])
+        row("or_rare_hot", q, query=lambda: search_topk(idx, q, k=K).collect())
+    if med:
+        q = normalize(should=[med, "import"])
+        row("or_med_hot", q, query=lambda: search_topk(idx, q, k=K).collect())
+    if rare and med:
+        tree = QBool((
+            (SHOULD, QBool(((MUST, QTerm(rare)), (MUST, QTerm("import"))))),
+            (SHOULD, QTerm(med)),
+        ))
+        from lucene_spark.search.executor import search_query
+
+        t0 = time.perf_counter()
+        search_query(idx, tree, k=K).collect()
+        wall = time.perf_counter() - t0
+        m = tree_skip_metrics(idx, tree, k=K)
+        print(f"q10m_{'tree_mixed':24s} ratio={m['ratio']:.4f} wall={wall:.3f}s")
+        tree2 = QBool((
+            (SHOULD, QBool(((MUST, QTerm(rare)), (MUST, QTerm("import"))))),
+            (SHOULD, QBool(((MUST, QTerm(med)), (MUST, QTerm("import"))))),
+        ))
+        from lucene_spark.search.executor import search_tree_topk
+
+        t0 = time.perf_counter()
+        search_tree_topk(idx, tree2, k=K).collect()
+        wall = time.perf_counter() - t0
+        m = tree_skip_metrics(idx, tree2, k=K)
+        print(f"q10m_{'tree_conjconj':24s} ratio={m['ratio']:.4f} wall={wall:.3f}s")
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "micro"
     sf = sys.argv[-1] if (len(sys.argv) > 2 and os.path.isdir(sys.argv[-1])) else \
@@ -216,6 +307,8 @@ if __name__ == "__main__":
         cmd_percolate(sf)
     elif cmd == "micro":
         cmd_micro(sf)
+    elif cmd == "ratio10m":
+        cmd_ratio10m()
     elif cmd == "explains":
         outdir = sys.argv[2] if len(sys.argv) > 2 else "plans/r07"
         cmd_explains(outdir, sf)
