@@ -767,7 +767,7 @@ def make_topk_fn(
         ``deleted`` is this segment's cogrouped tombstone array."""
         counters = [0, 0]  # blocks_total, blocks_decoded
         rows = {}
-        for _, r in pdf.iterrows():
+        for r in pdf.to_dict("records"):  # dicts, not iterrows Series
             rows.setdefault(r["term"], []).append(r)
         # a term may arrive as several (term,salt) rows: keep in docid order
         for t in rows:
@@ -829,7 +829,7 @@ def make_topk_fn(
             (CompetitiveImpactAccumulator.java:26 — tight even for
             unbounded-tf shapes like Classic's sqrt(tf)); corner
             (block_maxtf, block_mindl) fallback for pre-v6 indexes."""
-            imp = r["block_imp"] if "block_imp" in r.index else None
+            imp = r.get("block_imp")
             if imp is None or isinstance(imp, float):  # absent column / null row
                 return sim.score(
                     t,
@@ -1502,7 +1502,7 @@ def term_offsets_for_docs(index: Index, terms, docids: np.ndarray) -> DataFrame:
         out = {"docid": [], "term": [], "start": [], "end": []}
         if len(cur):
             for t, grp in pdf.groupby("term"):
-                rows = [r for _, r in grp.iterrows()]
+                rows = grp.to_dict("records")
                 rows.sort(key=lambda r: r["first_docid"])
                 parts = [_decode_rows_off(r, cur, counters) for r in rows]
                 ids = np.concatenate([p[0] for p in parts])
@@ -1572,7 +1572,7 @@ def make_phrase_topk_fn(
         counters = [0, 0]
         z = np.empty(0, np.int64)
         rows: Dict[str, list] = {}
-        for _, r in pdf.iterrows():
+        for r in pdf.to_dict("records"):
             rows.setdefault(r["term"], []).append(r)
         for t in rows:
             rows[t].sort(key=lambda r: r["first_docid"])
@@ -1875,7 +1875,7 @@ def make_multiphrase_fn(
         counters = [0, 0]
         z = np.empty(0, np.int64)
         rows: Dict[str, list] = {}
-        for _, r in pdf.iterrows():
+        for r in pdf.to_dict("records"):
             rows.setdefault(r["term"], []).append(r)
         for t in rows:
             rows[t].sort(key=lambda r: r["first_docid"])
@@ -2622,7 +2622,7 @@ def make_mixed_topk_fn(
     def run(pdf: pd.DataFrame, deleted: Optional[np.ndarray]):
         counters = [0, 0]  # blocks_total, blocks_decoded
         rows = {}
-        for _, r in pdf.iterrows():
+        for r in pdf.to_dict("records"):  # dicts, not iterrows Series
             rows.setdefault(r["term"], []).append(r)
         for t in rows:
             rows[t].sort(key=lambda r: r["first_docid"])
@@ -2693,7 +2693,7 @@ def make_mixed_topk_fn(
             return ids, tfs, dls
 
         def block_ubs(t, r):
-            imp = r["block_imp"] if "block_imp" in r.index else None
+            imp = r.get("block_imp")
             if imp is None or isinstance(imp, float):
                 return sim.score(
                     t,

@@ -53,7 +53,7 @@ def make_highlight_fn(weights: Dict[str, float], docids: np.ndarray, width: int)
         )
         counters = [0, 0]
         rows: Dict[str, list] = {}
-        for _, r in pdf.iterrows():
+        for r in pdf.to_dict("records"):
             rows.setdefault(r["term"], []).append(r)
         for t in rows:
             rows[t].sort(key=lambda r: r["first_docid"])

@@ -728,7 +728,7 @@ def make_intervals_fn(node):
         )
         counters = [0, 0]
         rows: Dict[str, list] = {}
-        for _, r in pdf.iterrows():
+        for r in pdf.to_dict("records"):
             rows.setdefault(r["term"], []).append(r)
         for t in rows:
             rows[t].sort(key=lambda r: r["first_docid"])
